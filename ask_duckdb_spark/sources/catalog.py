@@ -1,0 +1,68 @@
+"""Table catalog over the Parquet fixture directories.
+
+The reference's data model is "one relational table in a database file,
+read-only" (reference: query_llm.py:441-446, query_db.py:63-68). Ours is
+"N Parquet tables under a directory, registered as temp views" — same
+observable model, columnar at rest, immutable by construction.
+
+Scale notes (100 TB posture):
+- ``spark.read.parquet`` gives vectorized scans, predicate pushdown and
+  column pruning for free; at cluster scale the same loader works on a
+  partitioned directory tree (``dt=.../part-*.parquet``) unchanged.
+- The only per-table fixup (events.ts ns->us) is a zero-shuffle
+  projection, fused into the scan stage by whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import apply_runtime_conf
+
+#: All driver-materialized fixture tables (TESTDATA.md).
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table, normalizing physical quirks.
+
+    ``events.ts`` is INT64 TIMESTAMP(NANOS) in the footer; Spark reads
+    it as long under ``nanosAsLong`` and we convert to TIMESTAMP_NTZ at
+    microsecond precision (integer division — no float round-trip), the
+    same naive-timestamp semantics DuckDB exposes.
+    """
+    apply_runtime_conf(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
+    return df
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view; return the frames."""
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
