@@ -1,0 +1,227 @@
+"""Multimodal / semi-structured column operators (X6 + F5).
+
+Two families:
+
+1. **Schema-on-read over JSON text columns** (``events.props``) — the
+   Spark analogue of the reference's ``duckdb_access`` JSON recipes
+   (reference: queuedata.schema.json:640-646 is the JSON-array
+   membership recipe this module's F5 operator mirrors: membership via
+   ``LIKE '%"AFT"%'`` and the empty-array test ``col = '[]'``).
+2. **Opaque binary payload plumbing** — image/audio/video bytes as a
+   ``binary`` column plus typed metadata, with decode/feature-extract
+   as Arrow-batched ``mapInPandas``. The media codecs aren't in this
+   container, so the decode is a clearly-marked deterministic fake; the
+   Spark-side plumbing (schema, batching, partition flow) is real and
+   oracle-checked.
+
+Scale posture (100 TB): JSON extraction happens in the scan stage
+(whole-stage codegen, no shuffle); binary payloads never pass through a
+shuffle — metadata is extracted in a narrow map and only (id, features)
+rows move. ``mapInPandas`` batches are bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` so executor memory is
+flat regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import query
+
+
+@query(
+    "x18_props_schema_on_read",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k,
+           ROUND(avg(k), 6) AS avg_k
+    FROM (
+      SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def x18_props_schema_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``from_json`` schema-on-read over the JSON props column.
+
+    ``from_json`` (typed struct, one parse) beats repeated
+    ``get_json_object`` calls when several keys are read — the parse
+    happens once per row inside codegen.
+    """
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type", F.from_json("props", "struct<k:bigint>").alias("p")
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("p.k").cast("bigint").alias("min_k"),
+            F.max("p.k").cast("bigint").alias("max_k"),
+            F.round(F.avg("p.k"), 6).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+#: Threshold that makes some users' arrays empty (exercises `= '[]'`).
+HIGH_VALUE = 400.0
+
+_ARR_CTE = f"""
+    WITH arr AS (
+      SELECT user_id,
+             to_json(list_sort(list_distinct(
+               coalesce(list(event_type) FILTER (WHERE value > {HIGH_VALUE}), [])
+             ))) AS types_json
+      FROM events
+      GROUP BY user_id
+    )
+"""
+
+
+@query(
+    "f5_json_array_membership",
+    oracle=_ARR_CTE
+    + """
+    SELECT user_id, types_json,
+           CASE WHEN types_json LIKE '%"error"%' THEN 1 ELSE 0 END AS has_error,
+           CASE WHEN types_json = '[]' THEN 1 ELSE 0 END AS is_empty
+    FROM arr
+    ORDER BY user_id
+    """,
+)
+def f5_json_array_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: JSON-array membership + empty-array test (reference recipe
+    queuedata.schema.json:640-646, README example 2).
+
+    The membership test is done the *typed* way — ``from_json`` to
+    ``array<string>`` + ``array_contains`` — while the oracle uses the
+    reference's string-LIKE recipe; the differential check proves the
+    two formulations agree. ``is_empty`` mirrors ``col = '[]'``.
+    """
+    e = load_table(spark, sf_dir, "events")
+    arr = (
+        e.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.array_distinct(
+                    F.collect_list(
+                        F.when(F.col("value") > HIGH_VALUE, F.col("event_type"))
+                    )
+                )
+            ).alias("types")
+        )
+        .select("user_id", F.to_json("types").alias("types_json"))
+    )
+    typed = F.from_json("types_json", "array<string>")
+    return arr.select(
+        "user_id",
+        "types_json",
+        F.when(F.array_contains(typed, "error"), 1).otherwise(0).alias("has_error"),
+        F.when(F.size(typed) == 0, 1).otherwise(0).alias("is_empty"),
+    ).orderBy("user_id")
+
+
+@query(
+    "x19_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_sha,
+           CASE WHEN octet_length(encode(text)) >= 256
+                THEN 'large' ELSE 'small' END AS size_class
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def x19_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column plumbing: payload bytes + typed metadata.
+
+    The payload here is ``encode(text)`` standing in for image/audio
+    bytes (the fixtures carry no real media); everything downstream —
+    byte length, content digest, size classing — is exactly what a real
+    media pipeline computes before routing blobs, and it all happens in
+    a narrow map over the scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    return d.select(
+        "doc_id",
+        F.length(payload).cast("bigint").alias("n_bytes"),
+        F.sha2(payload, 256).alias("content_sha"),
+        F.when(F.length(payload) >= 256, "large")
+        .otherwise("small")
+        .alias("size_class"),
+    ).orderBy("doc_id")
+
+
+#: Output schema of the fake decoder — what a real image decode would
+#: produce (dimensions + channel stats), minus the actual pixels.
+DECODE_SCHEMA = (
+    "doc_id bigint, width int, height int, n_frames int, mean_byte double"
+)
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic FAKE media decode (the real codec is stubbed).
+
+    A real implementation would ``PIL.Image.open(io.BytesIO(b))`` /
+    ``av.open`` here; this container has no media libraries, so
+    dimensions are derived deterministically from the payload bytes.
+    The batch iterator shape, Arrow transfer, and bounded memory are
+    exactly the real pipeline's.
+    """
+    for pdf in batches:
+        payload = pdf["payload"]
+        n = payload.str.len()
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": (n % 64 + 1).astype("int32"),
+                "height": (n // 64 % 64 + 1).astype("int32"),
+                "n_frames": (n % 7 + 1).astype("int32"),
+                "mean_byte": payload.map(
+                    lambda b: float(sum(b)) / max(len(b), 1)
+                ).round(6),
+            }
+        )
+
+
+@query(
+    "x20_decode_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) % 64 + 1 AS INTEGER) AS width,
+           CAST(octet_length(encode(text)) // 64 % 64 + 1 AS INTEGER) AS height,
+           CAST(octet_length(encode(text)) % 7 + 1 AS INTEGER) AS n_frames,
+           ROUND(CAST(list_aggregate(
+                   list_transform(string_split(text, ''), c -> ascii(c)), 'sum')
+                 AS DOUBLE) / greatest(octet_length(encode(text)), 1), 6)
+             AS mean_byte
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def x20_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media decode / feature-extract via Arrow-batched ``mapInPandas``.
+
+    The decode itself is a deterministic fake (see ``_decode_batches``)
+    because the codecs aren't installed; the oracle reproduces the fake
+    arithmetic, so the *plumbing* — binary column in, fixed-schema
+    feature rows out, per-batch bounded memory — is differentially
+    verified end to end. Works because fixture text is pure ASCII
+    (byte value == codepoint); a real decoder wouldn't care.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    payload = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return payload.mapInPandas(_decode_batches, DECODE_SCHEMA).orderBy("doc_id")

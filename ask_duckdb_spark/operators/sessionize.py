@@ -1,0 +1,257 @@
+"""Sessionized / windowed event analytics (X5) over the ``events`` table.
+
+The reference has no time-series surface (SURVEY.md §2.9: streaming and
+window vocabulary absent); these are the north-star event operators:
+gap-based sessionization, tumbling/sliding time windows, and per-session
+rollups. The streaming twins (same logic via ``readStream`` +
+``session_window``/``window`` + watermark) live in
+``ask_duckdb_spark.streaming``.
+
+Scale posture (100 TB of events):
+- sessionization shuffles once on ``user_id`` (the natural partition
+  key); everything after the shuffle is window functions over sorted
+  runs — no second shuffle for the cumulative session id;
+- tumbling/sliding windows are map-side-combinable groupBys keyed on
+  (bucket) or (bucket, type) — bounded state per key;
+- nothing here collects or sorts globally except the final display
+  ORDER BY, which TakeOrderedAndProject bounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import query
+
+SESSION_GAP_MIN = 30  # minutes of inactivity that closes a session
+
+
+def with_session_no(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Tag each event with a per-user session number (1-based).
+
+    Gap rule: an event starts a new session when it is ``>= gap_min``
+    minutes after the previous event of the same user (matching Spark's
+    ``session_window`` half-open ``[start, last+gap)`` semantics).
+    One shuffle on user_id; the lag + cumulative-sum windows reuse the
+    same partitioning, so Catalyst plans a single exchange.
+    """
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # unix_micros needs TIMESTAMP; ts is TIMESTAMP_NTZ — the cast is
+    # wall-clock-identity under the pinned UTC session timezone.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.lag(us).over(w)
+    is_new = F.when(
+        prev_us.isNull() | (us - prev_us >= gap_min * 60_000_000), 1
+    ).otherwise(0)
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return events.withColumn("sess_no", F.sum(is_new).over(run))
+
+
+_SESSION_CTE = f"""
+    WITH tagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL {SESSION_GAP_MIN} MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, event_id, ts, value,
+             sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS sess_no
+      FROM tagged
+    )
+"""
+
+
+@query(
+    "x13_sessionize",
+    oracle=_SESSION_CTE
+    + """
+    SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           ROUND(sum(value), 6) AS total_value
+    FROM sessions
+    GROUP BY user_id, sess_no
+    ORDER BY user_id, sess_no
+    """,
+)
+def x13_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization → per-session rollup."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        with_session_no(e)
+        .groupBy("user_id", F.col("sess_no").cast("bigint").alias("sess_no"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .orderBy("user_id", "sess_no")
+    )
+
+
+@query(
+    "x14_session_window",
+    oracle=_SESSION_CTE
+    + """
+    SELECT user_id,
+           min(ts) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sessions
+    GROUP BY user_id, sess_no
+    ORDER BY user_id, session_start
+    """,
+)
+def x14_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same sessions via Spark's native ``session_window`` operator.
+
+    ``F.session_window(ts, gap)`` is the batch form of the streaming
+    session operator — at scale it is the idiomatic choice because the
+    state-store implementation is shared with Structured Streaming.
+    ``window.start`` equals the session's min(ts), which the oracle CTE
+    reproduces with the lag/cumsum formulation — a differential check
+    that the two formulations agree.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "user_id", F.session_window("ts", f"{SESSION_GAP_MIN} minutes")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@query(
+    "x15_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(sum(value), 6) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def x15_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window counts per event type.
+
+    ``F.window`` (not date_trunc) so the same expression ports verbatim
+    to the streaming twin; hour windows are epoch-aligned so the oracle
+    can use date_trunc.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "x16_sliding_window",
+    oracle="""
+    SELECT window_start, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)
+                            * 1000000) AS window_start
+      FROM events
+      UNION ALL
+      SELECT make_timestamp((CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)
+                             - 1800) * 1000000) AS window_start
+      FROM events
+    )
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def x16_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (each event in 2 windows).
+
+    The oracle expands the two covering windows per event explicitly
+    (bucket grid at 30 min; width 60 min ⇒ exactly two starts cover any
+    ts), which is precisely what Spark's ``window(ts, '1 hour',
+    '30 minutes')`` generates internally.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "x17_session_stats",
+    oracle=_SESSION_CTE
+    + """
+    , per_session AS (
+      SELECT user_id, sess_no,
+             count(*) AS n_events,
+             epoch(max(ts)) - epoch(min(ts)) AS dur_sec
+      FROM sessions GROUP BY user_id, sess_no
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(max(n_events) AS BIGINT) AS max_events,
+           ROUND(avg(dur_sec), 4) AS avg_session_sec
+    FROM per_session
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def x17_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session behavior profile (count / size / duration).
+
+    Both aggregation levels share the user_id shuffle key, so the second
+    groupBy is exchange-free after the first.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_session = (
+        with_session_no(e)
+        .groupBy("user_id", "sess_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                (
+                    F.unix_micros(F.max("ts").cast("timestamp"))
+                    - F.unix_micros(F.min("ts").cast("timestamp"))
+                )
+                / 1_000_000.0
+            ).alias("dur_sec"),
+        )
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.max("n_events").cast("bigint").alias("max_events"),
+            F.round(F.avg("dur_sec"), 4).alias("avg_session_sec"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,257 @@
+"""Text-analysis operators (X4) over the ``documents`` table.
+
+The reference has no text analytics (its engine runs arbitrary SQL,
+reference: query_llm.py:400); these are the north-star training-data
+operators (SURVEY.md §2.9): tokenization/word stats, corpus term
+frequencies, quality scoring, n-gram language-ID, and document
+fingerprinting (rolling hash).
+
+Everything is JVM-side expression code — ``F.split`` / ``explode`` /
+``aggregate`` — no Python UDFs in any hot path. Scale posture (100 TB):
+
+- per-doc stats are a narrow map (no shuffle at all);
+- corpus term frequency is one map-side-combinable keyed shuffle of
+  (token, 1) pairs — the canonical word-count shape;
+- the rolling-hash fingerprint folds characters inside the row
+  (``F.aggregate``), shuffling only a single BIGINT per document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import query
+
+#: Tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic. Deliberately deterministic and engine-portable (the same
+#: arithmetic is expressible in the DuckDB oracle).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+}
+
+FP_MOD = 1_000_000_007  # rolling-hash modulus (fits BIGINT at 31x steps)
+
+
+def tokens(col):
+    """Whitespace tokens of a lowercased text column (array<string>)."""
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+
+
+@query(
+    "x8_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT)                        AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT)         AS n_unique,
+           CAST(length(text) AS BIGINT)                     AS n_chars
+    FROM (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    )
+    """,
+)
+def x8_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts — pure narrow map, zero shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+@query(
+    "x9_top_terms",
+    oracle=r"""
+    SELECT tok, CAST(count(*) AS BIGINT) AS freq
+    FROM (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                t -> t <> '')) AS tok
+      FROM documents
+    )
+    GROUP BY tok
+    ORDER BY freq DESC, tok
+    LIMIT 20
+    """,
+)
+def x9_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 term frequency (word-count with a total order).
+
+    explode → groupBy is map-side combinable; the orderBy+limit compiles
+    to TakeOrderedAndProject so only 20 rows reach the driver.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .orderBy(F.col("freq").desc(), "tok")
+        .limit(20)
+    )
+
+
+@query(
+    "x10_quality_score",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT)                     AS n_tokens,
+           ROUND(avg_tok_len, 6)                        AS avg_tok_len,
+           ROUND(stopword_ratio, 6)                     AS stopword_ratio,
+           ROUND(unique_ratio, 6)                       AS unique_ratio,
+           CASE WHEN n_tokens >= 20
+                 AND stopword_ratio BETWEEN 0.01 AND 0.5
+                 AND unique_ratio >= 0.2
+                THEN 1 ELSE 0 END                       AS quality_ok
+    FROM (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','is')))
+                  AS DOUBLE) / greatest(len(toks), 1)   AS stopword_ratio,
+             CAST(len(list_distinct(toks)) AS DOUBLE)
+                  / greatest(len(toks), 1)              AS unique_ratio,
+             CAST(length(list_aggregate(toks, 'string_agg', ''))
+                  AS DOUBLE) / greatest(len(toks), 1)   AS avg_tok_len
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> t <> '') AS toks
+        FROM documents
+      )
+    )
+    """,
+)
+def x10_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality gate (length / stopword / diversity).
+
+    The three ratios are the standard cheap pre-filters of an LLM data
+    pipeline. Ratios are ROUNDed to 6 dp on both sides so the value hash
+    is float-stable. Narrow map — no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    safe_n = F.greatest(n, F.lit(1))
+    stop = F.size(F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS["en"])))
+    uniq = F.size(F.array_distinct(toks))
+    tok_chars = F.length(F.array_join(toks, ""))
+    stopword_ratio = stop.cast("double") / safe_n
+    unique_ratio = uniq.cast("double") / safe_n
+    avg_tok_len = tok_chars.cast("double") / safe_n
+    return d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        F.round(avg_tok_len, 6).alias("avg_tok_len"),
+        F.round(stopword_ratio, 6).alias("stopword_ratio"),
+        F.round(unique_ratio, 6).alias("unique_ratio"),
+        F.when(
+            (n >= 20)
+            & stopword_ratio.between(0.01, 0.5)
+            & (unique_ratio >= 0.2),
+            1,
+        )
+        .otherwise(0)
+        .alias("quality_ok"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return f"len(list_filter(toks, t -> t IN ({words})))"
+
+
+@query(
+    "x11_lang_id",
+    oracle=rf"""
+    SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM (
+      SELECT lang,
+             CASE greatest(s_en, s_de, s_fr, s_es)
+               WHEN s_en THEN 'en'
+               WHEN s_de THEN 'de'
+               WHEN s_fr THEN 'fr'
+               ELSE 'es' END AS pred_lang
+      FROM (
+        SELECT lang,
+               {_lang_score_sql('en')} AS s_en,
+               {_lang_score_sql('de')} AS s_de,
+               {_lang_score_sql('fr')} AS s_fr,
+               {_lang_score_sql('es')} AS s_es
+        FROM (
+          SELECT lang,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             t -> t <> '') AS toks
+          FROM documents
+        )
+      )
+    )
+    GROUP BY lang, pred_lang
+    ORDER BY lang, pred_lang
+    """,
+)
+def x11_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID, confusion-matrix output.
+
+    Ties break in fixed order en>de>fr>es (mirrored by the CASE chain in
+    the oracle). On the synthetic fixture every language shares one
+    vocabulary, so predictions collapse to the tie-break — the operator
+    still exercises the full scoring plumbing a real corpus would use.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    def score(words: tuple[str, ...]):
+        # one-arg lambda (a two-arg lambda would be read as (elem, idx))
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    scores = {lang: score(words) for lang, words in LANG_STOPWORDS.items()}
+    best = F.greatest(*scores.values())
+    pred = (
+        F.when(scores["en"] == best, "en")
+        .when(scores["de"] == best, "de")
+        .when(scores["fr"] == best, "fr")
+        .otherwise("es")
+    )
+    return (
+        d.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+@query(
+    "x12_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_transform(string_split(text, ''), c -> ascii(c)::BIGINT),
+             (acc, x) -> (acc * 31 + x) % {FP_MOD}
+           ) AS fp
+    FROM documents
+    """,
+)
+def x12_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint per document.
+
+    ``h = fold(chars, h*31 + ascii(c) mod p)`` — the Karp-Rabin shape.
+    A zero-init fold equals DuckDB's ``list_reduce`` first-element init
+    because ``0*31 + c0 = c0``. Only an 8-byte fingerprint leaves the
+    scan stage, which is exactly what you want when fingerprinting
+    100 TB for shard-level dedup manifests.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    chars = F.filter(F.split(F.col("text"), ""), lambda c: c != "")
+    fp = F.aggregate(
+        F.transform(chars, lambda c: F.ascii(c).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: F.pmod(acc * 31 + x, F.lit(FP_MOD)),
+    )
+    return d.select("doc_id", fp.alias("fp"))

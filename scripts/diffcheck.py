@@ -1,0 +1,120 @@
+"""Local differential harness mimicking the driver's correctness gate.
+
+Runs each registered query on Spark and its DuckDB oracle twin on the
+same parquet fixtures, then compares row-count + (sorted) schema +
+values (rows sorted, floats compared with tolerance). Strictly stronger
+than the driver's order-insensitive value hash for floats; use it to
+pre-flight CORRECTNESS before a round lands.
+
+Usage: python scripts/diffcheck.py [--sf /root/testdata/sf0.01] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ask_duckdb_spark.operators import ORACLES, QUERIES  # noqa: E402
+from ask_duckdb_spark.session import get_spark  # noqa: E402
+from ask_duckdb_spark.sources.catalog import TABLES  # noqa: E402
+
+
+def duck_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+    sort_cols = list(df.columns)
+    return df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+
+
+def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems: list[str] = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}")
+        return problems
+    a, b = normalize(spark_pdf), normalize(duck_pdf)
+    if list(a.columns) != list(b.columns):
+        problems.append(f"columns spark={list(a.columns)} duck={list(b.columns)}")
+        return problems
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            av = pd.to_numeric(av, errors="coerce").astype(float)
+            bv = pd.to_numeric(bv, errors="coerce").astype(float)
+            both_nan = av.isna() & bv.isna()
+            close = np.isclose(av, bv, rtol=1e-9, atol=1e-9) | both_nan
+            if not close.all():
+                i = int(np.argmin(close.values))
+                problems.append(f"col {c}: row {i} spark={av[i]!r} duck={bv[i]!r}")
+        else:
+            eq = (av == bv) | (av.isna() & bv.isna())
+            if not eq.all():
+                i = int(np.argmin(eq.values))
+                problems.append(f"col {c}: row {i} spark={av[i]!r} duck={bv[i]!r}")
+    return problems
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    names = args.names or sorted(QUERIES)
+    spark = get_spark("diffcheck")
+    con = duck_conn(args.sf)
+    n_pass = n_fail = n_rows_only = 0
+    for name in names:
+        fn = QUERIES[name]
+        t0 = time.time()
+        try:
+            sdf = fn(spark, args.sf).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if name not in ORACLES:
+            tag = "ROWS-ONLY" if len(sdf) > 0 else "ROWS-ONLY(EMPTY!)"
+            print(f"{tag} {name}: {len(sdf)} rows [{dt:.1f}s]")
+            n_rows_only += 1
+            continue
+        try:
+            ddf = con.sql(ORACLES[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        problems = compare(sdf, ddf)
+        if problems:
+            print(f"FAIL {name}: {problems[:3]}")
+            n_fail += 1
+        else:
+            empty = " (0 rows — vacuous)" if len(sdf) == 0 else ""
+            print(f"PASS {name}: {len(sdf)} rows [{dt:.1f}s]{empty}")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
