@@ -1,0 +1,77 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+``{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+
+The headline set spans every operator family — scan+agg (q1), joins
+(q3/q5/q10), windows (w1/w2), dedup (x1b/x2/x4), similarity (x5),
+text (x8/x9/x12), sessionization (x13/x15), JSON (x18), and the
+mapInPandas path (x20) — so a regression anywhere in the engine moves
+the headline number. Each query executes via ``df.count()`` (full
+pipeline, no driver materialization beyond the count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ask_duckdb_spark.operators import QUERIES  # noqa: E402
+from ask_duckdb_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "w1_row_number_topk_per_group",
+    "w2_running_sum",
+    "x1b_dedup_hash_key",
+    "x2_minhash_neardup",
+    "x4_simhash",
+    "x5_cosine_topk",
+    "x8_token_stats",
+    "x9_top_terms",
+    "x12_fingerprint",
+    "x13_sessionize",
+    "x15_tumbling_window",
+    "x18_props_schema_on_read",
+    "x20_decode_features",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("bench")
+    # Warm the JVM + parquet footers so per-query timings measure the
+    # engine, not session startup (the driver compares sec/query).
+    QUERIES["g1_count_star"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
