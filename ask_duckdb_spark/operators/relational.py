@@ -186,14 +186,33 @@ def p9_alias_expr(spark, sf_dir):
 
 @query(
     "p10_empty_vs_null",
+    # The fixture has no null/empty text, so derive a column that is
+    # NULL for 'en' rows and '' for 'zh' rows — the predicate then
+    # genuinely exercises BOTH branches (reference recipe:
+    # queuedata.schema.json:595 `x IS NULL OR x = ''`).
     oracle="""
-    SELECT doc_id FROM documents
-    WHERE text IS NULL OR text = ''
+    SELECT doc_id FROM (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN NULL
+                  WHEN lang = 'zh' THEN ''
+                  ELSE lang END AS marker
+      FROM documents
+    )
+    WHERE marker IS NULL OR marker = ''
     """,
 )
 def p10_empty_vs_null(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
-    return d.filter(F.col("text").isNull() | (F.col("text") == "")).select("doc_id")
+    marker = (
+        F.when(F.col("lang") == "en", F.lit(None).cast("string"))
+        .when(F.col("lang") == "zh", F.lit(""))
+        .otherwise(F.col("lang"))
+    )
+    return (
+        d.withColumn("marker", marker)
+        .filter(F.col("marker").isNull() | (F.col("marker") == ""))
+        .select("doc_id")
+    )
 
 
 @query(
@@ -321,14 +340,19 @@ def j5_left_semi(spark, sf_dir):
 
 @query(
     "j6_left_anti",
+    # Every fixture customer has an order, so anti-join against the
+    # URGENT subset — non-vacuous (hundreds of rows at sf0.01).
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
     """,
 )
 def j6_left_anti(spark, sf_dir):
     c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -575,17 +599,20 @@ def so2_intersect(spark, sf_dir):
 
 @query(
     "so3_except",
+    # orders with no lineitems — non-vacuous on the fixtures (customer
+    # nationkeys minus supplier nationkeys, the obvious choice, is empty
+    # because both sides cover all 25 nations).
     oracle="""
-    SELECT c_nationkey AS nk FROM customer
+    SELECT o_orderkey AS ok FROM orders
     EXCEPT
-    SELECT s_nationkey AS nk FROM supplier
+    SELECT l_orderkey AS ok FROM lineitem
     """,
 )
 def so3_except(spark, sf_dir):
-    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
-    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    o = t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("ok"))
+    li = t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("ok"))
     # subtract == SQL EXCEPT (distinct); exceptAll would keep multiplicity.
-    return c.subtract(s)
+    return o.subtract(li)
 
 
 @query(
@@ -660,20 +687,29 @@ def w3_lag_delta(spark, sf_dir):
     "w4_rank_dense_ntile",
     oracle="""
     SELECT c_custkey,
-           rank()       OVER (ORDER BY c_acctbal DESC, c_custkey) AS bal_rank,
-           dense_rank() OVER (ORDER BY c_mktsegment)              AS seg_dense,
-           ntile(4)     OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile
+           rank() OVER (PARTITION BY c_mktsegment
+                        ORDER BY c_acctbal DESC, c_custkey) AS bal_rank,
+           dense_rank() OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_nationkey)         AS nation_dense,
+           ntile(4) OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal DESC, c_custkey) AS quartile
     FROM customer
     """,
 )
 def w4_rank_dense_ntile(spark, sf_dir):
+    # Windows are partitioned by segment: an unpartitioned ORDER BY
+    # window funnels every row through one task — a scale-killer at
+    # 100 TB (global ranks need a two-pass range-partitioned sort, which
+    # o1/o2 already demonstrate via orderBy).
     c = t(spark, sf_dir, "customer")
-    w_bal = W.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
-    w_seg = W.orderBy("c_mktsegment")
+    w_bal = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    w_nat = W.partitionBy("c_mktsegment").orderBy("c_nationkey")
     return c.select(
         "c_custkey",
         F.rank().over(w_bal).alias("bal_rank"),
-        F.dense_rank().over(w_seg).alias("seg_dense"),
+        F.dense_rank().over(w_nat).alias("nation_dense"),
         F.ntile(4).over(w_bal).alias("quartile"),
     )
 
@@ -1069,10 +1105,9 @@ def q5_local_supplier_volume(spark, sf_dir):
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
-        .join(
-            F.broadcast(s),
-            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
-        )
+        # supplier scales with SF (10k rows x SF): no forced broadcast —
+        # AQE picks broadcast at small SF and sort-merge at 100 TB.
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .filter(F.col("r_name") == "ASIA")

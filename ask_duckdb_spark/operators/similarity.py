@@ -15,7 +15,16 @@ from ..functions.vectors import cosine_similarity
 from ..sources.catalog import load_table
 from .registry import query
 
-N_PLANES = 16  # LSH hyperplane count (bucket cardinality 2^16)
+# Banded sign-random-projection tuning. For neighbors at angle θ a band
+# matches with p = (1 - θ/π)^BAND_BITS and recall = 1-(1-p)^N_BANDS.
+# The synthetic fixtures have WEAK neighbors (top-10 cosine ≈ 0.28-0.37,
+# θ≈70°+) so 16 bands × 3 bits gives ~0.97 expected recall at the cost
+# of weak pruning; real text embeddings (neighbor cosine ≥ 0.9) would
+# use fewer, wider bands (e.g. 4×8) for aggressive pruning at the same
+# recall. The knobs are the standard banding trade-off.
+BAND_BITS = 3  # bits per band -> 8 buckets/band
+N_BANDS = 16
+N_PLANES = BAND_BITS * N_BANDS
 
 
 @query(
@@ -48,63 +57,71 @@ def x5_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _band_keys(vec_col):
+    """Banded sign-random-projection keys: array of N_BANDS structs.
+
+    Hyperplane weights derive deterministically from ``xxhash64(plane,
+    dim)`` (no RNG, resumable, identical on every executor without
+    broadcasting a model). Each band packs BAND_BITS sign bits; two
+    vectors are candidates when ANY band key matches — the OR'd
+    multi-table LSH construction (same shape as x2's minhash bands),
+    which keeps recall high where single-bucket probing collapses.
+    """
+
+    def sign_bit(p: int):
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.sequence(F.lit(0), F.size(vec_col) - 1),
+                # pseudo-random weight in [-1, 1) from (plane, dim)
+                lambda v, d: v.cast("double")
+                * (
+                    (F.pmod(F.xxhash64(F.lit(p), d), F.lit(2000001)) - 1000000)
+                    / 1000000.0
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    keys = []
+    for band in range(N_BANDS):
+        bits = [sign_bit(band * BAND_BITS + i) for i in range(BAND_BITS)]
+        key = bits[0]
+        for b in bits[1:]:
+            key = key * 2 + b
+        keys.append(
+            F.struct(F.lit(band).alias("band"), key.alias("bkey"))
+        )
+    return F.array(*keys)
+
+
 @query("x6_ann_lsh_topk")  # hash-seeded hyperplanes: not oracle-expressible
 def x6_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via sign-random-projection LSH.
+    """Approximate NN top-10 via banded sign-random-projection LSH.
 
-    Hyperplane weights are derived deterministically from
-    ``xxhash64(plane, dim)`` (no RNG, resumable, identical on every
-    executor without broadcasting a model). Candidates = vectors in the
-    query's bucket or any bucket at Hamming distance 1 (multi-probe).
+    Candidates = vectors sharing >=1 of the query's N_BANDS band keys
+    (exploded band join, not a cross join). At 100 TB the band join
+    prunes the scan to the colliding fraction of the corpus; recall is
+    tunable via (N_BANDS, BAND_BITS) exactly like minhash banding.
+    tests/test_similarity.py asserts recall >= 0.8 against x5's exact
+    top-10 so this operator can never silently return nothing again.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-
-    def bucket_of(vec_col):
-        # sign bit per plane: sum_d w(p,d) * v[d] >= 0
-        bits = [
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        vec_col,
-                        F.sequence(F.lit(0), F.size(vec_col) - 1),
-                        # pseudo-random weight in [-1, 1) from (plane, dim)
-                        lambda v, d: v.cast("double")
-                        * (
-                            (F.pmod(F.xxhash64(F.lit(p), d), F.lit(2000001)) - 1000000)
-                            / 1000000.0
-                        ),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                >= 0,
-                F.shiftleft(F.lit(1).cast("long"), p),
-            ).otherwise(F.lit(0).cast("long"))
-            for p in range(N_PLANES)
-        ]
-        return sum(bits[1:], bits[0])
-
-    with_bucket = emb.select("vec_id", "embedding", bucket_of(F.col("embedding")).alias("bucket"))
-    q = with_bucket.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
+    banded = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(_band_keys(F.col("embedding"))).alias("bk"),
+    ).select("vec_id", "embedding", "bk.band", "bk.bkey")
+    q = banded.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), "band", "bkey"
     )
-    # Multi-probe: query bucket plus all Hamming-1 neighbors.
-    probes = q.select(
-        "qv",
-        F.explode(
-            F.array_union(
-                F.array(F.col("qbucket")),
-                F.array(
-                    *[
-                        F.col("qbucket").bitwiseXOR(F.lit(1 << p))
-                        for p in range(N_PLANES)
-                    ]
-                ),
-            )
-        ).alias("bucket"),
-    )
-    cands = with_bucket.filter(F.col("vec_id") != 0).join(
-        F.broadcast(probes), "bucket"
+    cands = (
+        banded.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q), ["band", "bkey"])
+        .select("vec_id", "embedding", "qv")
+        .dropDuplicates(["vec_id"])
     )
     return (
         cands.select(
@@ -116,13 +133,32 @@ def x6_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Near-dup cosine threshold. 0.4 is non-vacuous on the synthetic
+#: fixtures (max within-label cosine ~0.47); a production text-embedding
+#: pipeline would use ~0.9+.
+NEARDUP_T = 0.4
+
+# The oracle reproduces our double-precision sequential fold exactly
+# (list_reduce is a left fold; 0.0 + x0 == x0 in IEEE), so pairs at the
+# threshold boundary agree bit-for-bit — no float-tolerance hazard.
+_DUCK_COS = """
+    list_reduce(list_transform(range(1, len(a.embedding) + 1),
+                i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE),
+                (acc, x) -> acc + x)
+    / (sqrt(list_reduce(list_transform(a.embedding, v -> v::DOUBLE * v::DOUBLE),
+            (acc, x) -> acc + x))
+     * sqrt(list_reduce(list_transform(b.embedding, v -> v::DOUBLE * v::DOUBLE),
+            (acc, x) -> acc + x)))
+"""
+
+
 @query(
     "x7_embedding_neardup",
-    oracle="""
+    oracle=f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE a.label = b.label
-      AND list_cosine_similarity(a.embedding, b.embedding) > 0.95
+      AND {_DUCK_COS} > {NEARDUP_T}
     ORDER BY id_a, id_b
     """,
 )
@@ -131,7 +167,8 @@ def x7_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Blocking on `label` keeps the self-join from being O(n^2) over the
     whole corpus — the relational analogue of IVF cells. At 100 TB the
-    blocking key would be an LSH bucket (x6) instead of a label.
+    blocking key would be an LSH band key (x6's ``_band_keys``) instead
+    of a label, bounding every block independently of corpus size.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     a = emb.select(
@@ -147,7 +184,7 @@ def x7_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, "lbl")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine_similarity(F.col("ea"), F.col("eb")) > 0.95)
+        .filter(cosine_similarity(F.col("ea"), F.col("eb")) > NEARDUP_T)
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     )

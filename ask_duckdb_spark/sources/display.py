@@ -19,10 +19,18 @@ from pyspark.sql import DataFrame
 
 
 def result_preview(df: DataFrame, max_rows: int = 1000, count: bool = True):
-    """Return (total_rows or None, pandas preview of at most max_rows)."""
+    """Return (total_rows or None, pandas preview of at most max_rows).
+
+    Fetches ``max_rows + 1`` rows in ONE job; when the result fits the
+    cap the exact count is free. Only a truncated result (+``count=True``)
+    pays a second, count-only job — and that one is cheap because
+    Catalyst prunes every column out of a ``count()`` scan.
+    """
+    pdf = df.limit(max_rows + 1).toPandas()
+    if len(pdf) <= max_rows:
+        return len(pdf), pdf
     total = df.count() if count else None
-    pdf = df.limit(max_rows).toPandas()
-    return total, pdf
+    return total, pdf.iloc[:max_rows]
 
 
 def display_result(
@@ -32,12 +40,12 @@ def display_result(
     file = file or sys.stdout
     total, pdf = result_preview(df, max_rows=max_rows, count=count)
     shown = len(pdf)
-    total = shown if total is None else total
-    print(f"=== Query result ({total} rows) ===", file=file)
-    if total == 0:
+    label = f"{total}" if total is not None else f">{shown}"
+    print(f"=== Query result ({label} rows) ===", file=file)
+    if shown == 0:
         print("Empty DataFrame", file=file)
         return 0
     print(pdf.to_string(index=False), file=file)
-    if total > shown:
+    if total is None or total > shown:
         print(f"\n... truncated to first {shown} rows ...", file=file)
-    return total
+    return total if total is not None else shown
