@@ -1,0 +1,138 @@
+"""CLI entry points: exit-code protocol S10 + output parity.
+
+Run in-process (the CLIs reuse the session via getOrCreate) so the
+whole suite shares one JVM. Exit codes (reference: query_llm.py:446,
+455,475,489 / query_db.py:68,73,51): 1 open-fail, 2 missing table/args,
+3 LLM-fail, 4 SQL-fail.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ask_duckdb_spark.cli import ask as cli_ask
+from ask_duckdb_spark.cli import describe as cli_describe
+from ask_duckdb_spark.cli import sql as cli_sql
+from tests.conftest import SF_DIR
+
+
+def exit_code(func, argv) -> int:
+    try:
+        func(argv)
+    except SystemExit as e:
+        return int(e.code or 0)
+    return 0
+
+
+# --- open / existence protocol -------------------------------------------
+
+
+def test_open_fail_is_exit_1(spark):
+    assert exit_code(
+        cli_sql.main,
+        ["--sf-dir", "/nonexistent", "--table", "region", "--query", "SELECT 1"],
+    ) == 1
+
+
+def test_missing_table_is_exit_2(spark):
+    assert exit_code(
+        cli_sql.main,
+        ["--sf-dir", SF_DIR, "--table", "nope", "--query", "SELECT 1"],
+    ) == 2
+
+
+def test_bad_sql_is_exit_4(spark, capsys):
+    code = exit_code(
+        cli_sql.main,
+        ["--sf-dir", SF_DIR, "--table", "region", "--query", "SELECT FROM WHERE"],
+    )
+    assert code == 4
+    assert "[SQL execution failed]" in capsys.readouterr().err
+
+
+def test_mutation_rejected_exit_4(spark):
+    assert exit_code(
+        cli_sql.main,
+        ["--sf-dir", SF_DIR, "--table", "region", "--query", "DROP TABLE region"],
+    ) == 4
+
+
+def test_sql_happy_path(spark, capsys):
+    code = exit_code(
+        cli_sql.main,
+        ["--sf-dir", SF_DIR, "--table", "region",
+         "--query", "SELECT count(*) AS n FROM region"],
+    )
+    assert code == 0
+    out = capsys.readouterr().out
+    assert "=== Query result (1 rows) ===" in out
+
+
+def test_sql_truncation(spark, capsys):
+    code = exit_code(
+        cli_sql.main,
+        ["--sf-dir", SF_DIR, "--table", "nation",
+         "--query", "SELECT n_name FROM nation ORDER BY n_name", "--max-rows", "5"],
+    )
+    assert code == 0
+    assert "... truncated to first 5 rows ..." in capsys.readouterr().out
+
+
+# --- describe -------------------------------------------------------------
+
+
+def test_describe_outputs_ddl(spark, capsys):
+    code = exit_code(cli_describe.main, ["--sf-dir", SF_DIR, "--table", "region"])
+    assert code == 0
+    out = capsys.readouterr().out
+    assert "=== tbl_schema (for template) ===" in out
+    assert "r_regionkey INT, r_name STRING" in out
+
+
+# --- ask ------------------------------------------------------------------
+
+
+def test_ask_requires_question(spark):
+    assert exit_code(
+        cli_ask.main,
+        ["--sf-dir", SF_DIR, "--with-queuedata-fixture", "--llm", "stub"],
+    ) == 2
+
+
+def test_ask_llm_failure_is_exit_3(spark):
+    # stub with no canned answer and no default raises at the LLM boundary
+    assert exit_code(
+        cli_ask.main,
+        ["--sf-dir", SF_DIR, "--with-queuedata-fixture", "--llm", "stub",
+         "--question", "anything"],
+    ) == 3
+
+
+def test_ask_stub_end_to_end(spark, capsys):
+    code = exit_code(
+        cli_ask.main,
+        ["--sf-dir", SF_DIR, "--with-queuedata-fixture", "--llm", "stub",
+         "--stub-sql", "SELECT name FROM queuedata WHERE LOWER(state) = 'ONLINE'",
+         "--question", "list all queues that are online"],
+    )
+    assert code == 0
+    out = capsys.readouterr().out
+    assert "=== Cleaned SQL ===" in out
+    assert "SELECT queue FROM queuedata WHERE LOWER(status) ='online'" in out
+    assert "=== Query result (" in out
+
+
+def test_ask_generate_schema(spark, tmp_path, capsys):
+    out_path = str(tmp_path / "skel.json")
+    code = exit_code(
+        cli_ask.main,
+        ["--sf-dir", SF_DIR, "--with-queuedata-fixture", "--llm", "stub",
+         "--generate-schema", "--schema-out", out_path],
+    )
+    assert code == 0
+    import json
+
+    skeleton = json.load(open(out_path))
+    names = [c["name"] for c in skeleton["columns"]]
+    assert "queue" in names and "copytools" in names
+    assert f"Wrote schema skeleton to: {out_path}" in capsys.readouterr().out
