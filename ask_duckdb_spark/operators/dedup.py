@@ -94,25 +94,42 @@ def _shingles(col, k: int = SHINGLE_K):
 
 
 def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """doc -> array<long> minhash signature of length N_HASHES."""
-    sh = docs.select(id_col, F.explode(_shingles(F.col(text_col))).alias("shingle"))
-    sh = sh.dropDuplicates([id_col, "shingle"])
-    # One row per (doc, permutation): min over salted xxhash64.
-    hashes = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(N_HASHES)
-    ]
-    sig = sh.groupBy(id_col).agg(*hashes)
-    return sig.select(
-        id_col, F.array(*[F.col(f"h{i}") for i in range(N_HASHES)]).alias("sig")
+    """doc -> array<long> minhash signature of length N_HASHES.
+
+    Computed entirely as a narrow map: per row, the distinct shingle
+    array is hashed per permutation with ``array_min(transform(...))``
+    — ZERO shuffles for signatures (an earlier formulation exploded
+    shingles and groupBy'd them back: two shuffles of O(corpus tokens),
+    which dominated the bench). At 100 TB this keeps the only shuffle
+    in the whole near-dup pipeline at the banding stage, which moves
+    (id, band, bucket) triples — bytes per doc, not the corpus.
+    """
+    # The hashing below is CPU-heavy (N_HASHES passes over every
+    # shingle). A small input can arrive as 1-2 scan partitions (one
+    # parquet footer), serializing the work; widen to the core count.
+    # At 100 TB the scan already has >> cores partitions and this no-ops.
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
+    sh = F.array_distinct(_shingles(F.col(text_col)))
+    docs = docs.select(id_col, sh.alias("_shingles"))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("_shingles"), lambda s: F.xxhash64(F.lit(i), s))
+            )
+            for i in range(N_HASHES)
+        ]
     )
+    return docs.select(id_col, sig.alias("sig"))
 
 
-def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
-    """Banded LSH: pairs of ids that collide in >=1 band."""
+def _banded(sig: DataFrame, id_col: str) -> DataFrame:
+    """Explode a signature frame to (id, sig, band, bucket) rows."""
     n_bands = N_HASHES // BAND_SIZE
-    bands = sig.select(
+    return sig.select(
         id_col,
+        "sig",
         F.explode(
             F.array(
                 *[
@@ -133,18 +150,32 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    ).select(id_col, "sig", "bb.band", "bb.bucket")
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
+    """Banded LSH: pairs of ids that collide in >=1 band.
+
+    The signature rides along both sides of the bucket join so callers
+    can estimate Jaccard from ``sig_a``/``sig_b`` without re-joining the
+    signature frame (each extra join would recompute the hashing).
+    """
+    bands = _banded(sig, id_col)
     # Skew guard: a bucket shared by thousands of boilerplate docs would
     # explode the self-join; cap bucket width.
     counts = bands.groupBy("band", "bucket").count().filter(F.col("count") <= MAX_BUCKET)
     bands = bands.join(counts.select("band", "bucket"), ["band", "bucket"])
-    a = bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    b = bands.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    a = bands.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"),
+                     "band", "bucket")
+    b = bands.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"),
+                     "band", "bucket")
     return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        # sigs are functionally dependent on the ids, so any surviving
+        # duplicate row carries identical sig values.
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", "sig_a", "sig_b")
     )
 
 
@@ -152,30 +183,26 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
 def x2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate pairs with exact-Jaccard verification."""
     d = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(d, "doc_id", "text")
+    # The signature frame feeds three consumers (both self-join sides +
+    # the skew-guard counts); persist it so the CPU-heavy hashing runs
+    # once. ~100 B/doc (32 longs + id): memory at test SF, spills to
+    # disk at 100 TB — either way far cheaper than 3x the hashing.
+    sig = minhash_signatures(d, "doc_id", "text").persist()
     pairs = lsh_candidate_pairs(sig, "doc_id")
-    # Verify candidates with estimated Jaccard from the signatures
-    # (avoids re-shuffling raw text; exact verify would join texts back).
-    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
-    est = (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
+    # Verify candidates with estimated Jaccard from the signatures that
+    # rode through the bucket join (no re-join, no re-shuffle of text).
+    est = pairs.select(
+        "id_a",
+        "id_b",
+        (
             F.size(
                 F.filter(
                     F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
                     lambda m: m,
                 )
-            ).alias("n_match"),
-        )
-        .select(
-            "id_a",
-            "id_b",
-            (F.col("n_match") / F.lit(N_HASHES)).alias("jaccard_est"),
-        )
+            )
+            / F.lit(N_HASHES)
+        ).alias("jaccard_est"),
     )
     return est.filter(F.col("jaccard_est") >= 0.5).orderBy("id_a", "id_b")
 

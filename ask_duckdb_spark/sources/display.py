@@ -33,6 +33,32 @@ def result_preview(df: DataFrame, max_rows: int = 1000, count: bool = True):
     return total, pdf.iloc[:max_rows]
 
 
+def display_rows(df: DataFrame, max_rows: int = 1000, file=None) -> int:
+    """S7: row-iterator fallback sink (no pandas/Arrow dependency).
+
+    Parity with the reference's ``fetchall`` path (query_db.py:33-48):
+    manual header, ``|``-joined values, truncation notice. Uses
+    ``take(max_rows + 1)`` — never collects the full result.
+    """
+    file = file or sys.stdout
+    rows = df.take(max_rows + 1)
+    truncated = len(rows) > max_rows
+    rows = rows[:max_rows]
+    label = f">{max_rows}" if truncated else f"{len(rows)}"
+    print(f"=== Query result ({label} rows) ===", file=file)
+    if not rows:
+        print("(no rows)", file=file)
+        return 0
+    cols = df.columns
+    print(" | ".join(cols), file=file)
+    print("-" * (sum(len(c) for c in cols) + 3 * (len(cols) - 1)), file=file)
+    for r in rows:
+        print(" | ".join(str(v) for v in r), file=file)
+    if truncated:
+        print(f"... truncated to first {max_rows} rows ...", file=file)
+    return len(rows)
+
+
 def display_result(
     df: DataFrame, max_rows: int = 1000, count: bool = True, file=None
 ) -> int:

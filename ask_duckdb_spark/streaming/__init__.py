@@ -1,0 +1,9 @@
+"""Structured Streaming analytics over the events table.
+
+The reference has no streaming surface (SURVEY.md §2.9); these are the
+streaming twins of the batch sessionization/window operators in
+``operators.sessionize`` — same expressions, ``readStream`` source,
+watermarked state. See :mod:`.events`.
+"""
+
+from . import events  # noqa: F401

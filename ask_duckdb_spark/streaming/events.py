@@ -1,0 +1,91 @@
+"""Streaming twins of the batch event analytics (X5, SURVEY.md §2.9).
+
+Each builder takes a *streaming* DataFrame of events (``readStream``)
+and returns the transformed streaming frame; callers attach their own
+``writeStream`` sink. The transformations are exactly the batch
+operators' expressions — ``F.window`` / ``F.session_window`` are the
+same function in both modes, which is why the batch operators
+(operators/sessionize.py) deliberately used them instead of
+``date_trunc``.
+
+Scale/state posture (100 TB/day of events):
+- every aggregation is preceded by ``withWatermark`` so the state store
+  evicts closed windows — bounded state, no OOM-by-history;
+- session windows merge per (user_id, gap) in the state store — the
+  same single-shuffle shape as the batch window formulation;
+- ``foreachBatch``-free: sinks stay append/update-mode compatible.
+
+The micro-batch tests (tests/test_streaming.py) run these against a
+bounded memory source and assert parity with the batch operators on
+the same fixture slice — differential testing across execution modes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Late-data tolerance. Fixture events are in-order; production would
+#: size this from observed event-time skew.
+DEFAULT_WATERMARK = "10 minutes"
+SESSION_GAP = "30 minutes"  # matches operators.sessionize.SESSION_GAP_MIN
+
+
+def _with_event_time(events: DataFrame) -> DataFrame:
+    """Watermarkable event-time column (TIMESTAMP, not NTZ).
+
+    Watermarks require TimestampType; the batch catalog normalizes
+    ``ts`` to TIMESTAMP_NTZ, and under the pinned UTC session timezone
+    the cast is wall-clock identity (see sources/catalog.py).
+    """
+    return events.withColumn("event_time", F.col("ts").cast("timestamp"))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Streaming twin of x15: hourly tumbling counts per event type."""
+    return (
+        _with_event_time(events)
+        .withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", "1 hour"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Streaming twin of x16: 1-hour windows sliding every 30 minutes."""
+    return (
+        _with_event_time(events)
+        .withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", "1 hour", "30 minutes"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+    )
+
+
+def session_rollup(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Streaming twin of x14: gap-based sessions per user.
+
+    ``session_window`` merges overlapping [event, event+gap) intervals
+    in the state store; the watermark closes (and evicts) sessions once
+    event time passes start+gap+watermark.
+    """
+    return (
+        _with_event_time(events)
+        .withWatermark("event_time", watermark)
+        .groupBy("user_id", F.session_window("event_time", SESSION_GAP))
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )

@@ -41,6 +41,22 @@ def test_display_truncation_notice(spark):
     assert "... truncated to first 5 rows ..." in out
 
 
+def test_display_rows_fallback(spark):
+    from ask_duckdb_spark.sources.display import display_rows
+
+    buf = io.StringIO()
+    shown = display_rows(spark.range(3), max_rows=10, file=buf)
+    out = buf.getvalue()
+    assert shown == 3
+    assert "=== Query result (3 rows) ===" in out
+    assert "id" in out.splitlines()[1]
+
+    buf = io.StringIO()
+    display_rows(spark.range(30), max_rows=5, file=buf)
+    out = buf.getvalue()
+    assert "(>5 rows)" in out and "truncated to first 5" in out
+
+
 def test_display_empty(spark):
     buf = io.StringIO()
     shown = display_result(spark.range(0), max_rows=5, file=buf)

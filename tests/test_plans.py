@@ -1,0 +1,57 @@
+"""Physical-plan regression gates: pin the properties that make each
+operator scale (SURVEY.md §4.3). A failure here means a future edit
+broke pushdown/broadcast/top-k/pruning even if results stay correct."""
+
+from __future__ import annotations
+
+from ask_duckdb_spark.operators import QUERIES
+from ask_duckdb_spark.plans import checks
+from tests.conftest import SF_DIR
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = QUERIES["p4_like"](spark, SF_DIR)
+    pushed = " ".join(checks.pushed_filters(df))
+    assert "StringStartsWith(p_type" in pushed
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = QUERIES["p4_like"](spark, SF_DIR)
+    cols = checks.scan_read_schema(df)
+    # 2 projected columns + the filter column; NOT all 6 part columns
+    assert set(cols) == {"p_partkey", "p_name", "p_type"}
+
+
+def test_q1_prunes_unused_lineitem_columns(spark):
+    cols = set(checks.scan_read_schema(QUERIES["q1_pricing_summary"](spark, SF_DIR)))
+    assert "l_orderkey" not in cols  # q1 never touches the key columns
+    assert {"l_quantity", "l_extendedprice", "l_shipdate"} <= cols
+
+
+def test_dim_join_broadcasts(spark):
+    assert checks.has_broadcast_join(QUERIES["j1_inner_multihop"](spark, SF_DIR))
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    assert checks.has_take_ordered(QUERIES["o2_top_k"](spark, SF_DIR))
+    assert checks.has_take_ordered(QUERIES["x9_top_terms"](spark, SF_DIR))
+
+
+def test_aggregation_is_partial(spark):
+    assert checks.has_partial_aggregate(QUERIES["q1_pricing_summary"](spark, SF_DIR))
+
+
+def test_q1_single_shuffle(spark):
+    # filter+groupBy+orderBy: one aggregate exchange (+ the orderBy's
+    # range exchange) — anything more means a planning regression
+    assert checks.num_shuffles(QUERIES["q1_pricing_summary"](spark, SF_DIR)) <= 2
+
+
+def test_narrow_map_operators_shuffle_free(spark):
+    # per-doc stats and fingerprints must stay zero-shuffle narrow maps
+    assert checks.num_shuffles(QUERIES["x8_token_stats"](spark, SF_DIR)) == 0
+    assert checks.num_shuffles(QUERIES["x12_fingerprint"](spark, SF_DIR)) == 0
+
+
+def test_codegen_covers_flagship(spark):
+    assert checks.wholestage_codegen_count(QUERIES["q1_pricing_summary"](spark, SF_DIR)) >= 1

@@ -1,0 +1,99 @@
+"""Streaming twins: run each streaming transformation over the fixture
+events via a bounded stream and assert parity with the batch operator —
+differential testing across execution modes (SURVEY.md §2.9 X5)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ask_duckdb_spark.operators import QUERIES
+from ask_duckdb_spark.sources.catalog import load_table
+from ask_duckdb_spark.streaming import events as stream_ops
+from tests.conftest import SF_DIR
+
+
+def _stream_dir(tmp_path_factory) -> str:
+    """The parquet file source needs a DIRECTORY; expose the single
+    fixture file through a symlinked temp dir."""
+    import os
+
+    d = tmp_path_factory.mktemp("events_stream")
+    os.symlink(f"{SF_DIR}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def stream_path(tmp_path_factory):
+    return _stream_dir(tmp_path_factory)
+
+
+def _run_stream(spark, build, schema_src, stream_path):
+    """Drive a streaming query over a file source until exhaustion and
+    return the sink rows (complete mode → final aggregates)."""
+    stream = (
+        spark.readStream.schema(schema_src.schema)
+        .format("parquet")
+        .load(stream_path)
+    )
+    out = build(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table("sink")
+
+
+@pytest.fixture(scope="module")
+def raw_events(spark):
+    # the streaming source reads the parquet directly (ts arrives as
+    # bigint nanos under nanosAsLong) — apply the same catalog fixup
+    import pyspark.sql.functions as F
+
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    return df
+
+
+def _normalize(events):
+    import pyspark.sql.functions as F
+
+    if dict(events.dtypes).get("ts") == "bigint":
+        return events.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
+    return events
+
+
+def test_streaming_tumbling_matches_batch(spark, raw_events, stream_path):
+    got = _run_stream(
+        spark, lambda s: stream_ops.tumbling_counts(_normalize(s)), raw_events,
+        stream_path,
+    ).orderBy("window_start", "event_type")
+    want = QUERIES["x15_tumbling_window"](spark, SF_DIR)
+    assert [r.asDict() for r in got.collect()] == [
+        r.asDict() for r in want.collect()
+    ]
+
+
+def test_streaming_sessions_match_batch(spark, raw_events, stream_path):
+    got = _run_stream(
+        spark, lambda s: stream_ops.session_rollup(_normalize(s)), raw_events,
+        stream_path,
+    ).orderBy("user_id", "session_start")
+    want = QUERIES["x14_session_window"](spark, SF_DIR)
+    got_rows = [(r.user_id, r.n_events) for r in got.collect()]
+    want_rows = [(r.user_id, r.n_events) for r in want.collect()]
+    assert got_rows == want_rows
+
+
+def test_streaming_sliding_total(spark, raw_events, stream_path):
+    got = _run_stream(
+        spark, lambda s: stream_ops.sliding_counts(_normalize(s)), raw_events,
+        stream_path,
+    )
+    # every event lands in exactly 2 sliding windows
+    total = sum(r.n for r in got.collect())
+    assert total == 2 * raw_events.count()
