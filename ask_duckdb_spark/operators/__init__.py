@@ -10,6 +10,7 @@ from .registry import QUERIES, ORACLES, query  # noqa: F401
 
 # Importing the modules populates the registry.
 from . import relational  # noqa: F401,E402
+from . import dialect  # noqa: F401,E402
 from . import dedup  # noqa: F401,E402
 from . import similarity  # noqa: F401,E402
 from . import textstats  # noqa: F401,E402

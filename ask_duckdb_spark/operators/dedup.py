@@ -289,6 +289,26 @@ def x3_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x24_dedup_keep")  # derives from x2's LSH pairs: rows-only check
+def x24_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply near-dup pairs as an actual dedup filter: canonical corpus.
+
+    Keeps every document that is not the higher-id member of a near-dup
+    pair (one-round min-id propagation — for chains a full connected-
+    components iteration would run this to fixpoint). The left-anti
+    join shuffles only ids; document text never moves.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    dupes = x2_minhash_neardup(spark, sf_dir).select(
+        F.col("id_b").alias("doc_id")
+    ).distinct()
+    return (
+        d.join(dupes, "doc_id", "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # X2c SimHash (Spark-side only; rows-only check)
 # ---------------------------------------------------------------------------

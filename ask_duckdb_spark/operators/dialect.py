@@ -1,0 +1,419 @@
+"""Extended SQL-dialect surface: regex/array/math scalars, pivot,
+grouping sets, statistical aggregates, null ordering, multiset ops,
+window frames, and range/as-of joins.
+
+None of these appear in the reference's own vocabulary (SURVEY.md §2.5
+"absent" notes) — they are the Catalyst-native extras a user of an
+analytics engine reaches for next, each registered with a DuckDB oracle
+twin so the differential harness checks them like the core surface.
+
+Scale notes: everything here is expression-level (codegen) work except
+the joins; j8 shows the bucketed formulation that keeps a time-range
+self-join linear in events-per-bucket instead of O(n²) per user.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import query
+
+
+def t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f12_regexp",
+    oracle=r"""
+    SELECT c_custkey,
+           CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT) AS cust_num,
+           regexp_replace(c_name, 'Customer#', 'C-') AS short_name
+    FROM customer
+    WHERE regexp_matches(c_name, '00$')
+    """,
+)
+def f12_regexp(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    return c.filter(F.col("c_name").rlike("00$")).select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"Customer#(\d+)", 1)
+        .cast("bigint")
+        .alias("cust_num"),
+        F.regexp_replace("c_name", "Customer#", "C-").alias("short_name"),
+    )
+
+
+@query(
+    "f13_split_array",
+    oracle="""
+    SELECT p_partkey,
+           CAST(len(string_split(p_name, ' ')) AS INTEGER)   AS n_words,
+           string_split(p_name, ' ')[1]                       AS first_word,
+           CASE WHEN list_contains(string_split(p_name, ' '), 'red')
+                THEN 1 ELSE 0 END                             AS has_red,
+           array_to_string(list_sort(string_split(p_name, ' ')), '_')
+                                                              AS sorted_words
+    FROM part
+    """,
+)
+def f13_split_array(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    words = F.split("p_name", " ")
+    return p.select(
+        "p_partkey",
+        F.size(words).alias("n_words"),
+        words.getItem(0).alias("first_word"),
+        F.when(F.array_contains(words, "red"), 1).otherwise(0).alias("has_red"),
+        F.array_join(F.sort_array(words), "_").alias("sorted_words"),
+    )
+
+
+@query(
+    "f14_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05)                 AS abs_disc_delta,
+           ROUND(sqrt(l_extendedprice), 6)        AS sqrt_price,
+           CAST(ceil(l_quantity) AS BIGINT)       AS qty_ceil,
+           CAST(floor(l_tax * 100) AS BIGINT)     AS tax_pct_floor,
+           ROUND(ln(l_extendedprice), 6)          AS ln_price,
+           ROUND(power(1 + l_tax, 2), 6)          AS tax_sq
+    FROM lineitem
+    """,
+)
+def f14_math(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_disc_delta"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor(F.col("l_tax") * 100).alias("tax_pct_floor"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
+        F.round(F.pow(F.col("l_tax") + 1, 2), 6).alias("tax_sq"),
+    )
+
+
+@query(
+    "f16_nullsafe_eq",
+    oracle="""
+    SELECT count(*) FILTER (WHERE props IS NOT DISTINCT FROM NULL) AS n_null_props,
+           count(*) FILTER (WHERE event_type IS DISTINCT FROM 'click')
+             AS n_not_click
+    FROM events
+    """,
+)
+def f16_nullsafe_eq(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return e.agg(
+        F.count_if(F.col("props").eqNullSafe(F.lit(None))).alias("n_null_props"),
+        F.count_if(~F.col("event_type").eqNullSafe(F.lit("click"))).alias(
+            "n_not_click"
+        ),
+    )
+
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+@query(
+    "f17_pivot",
+    # Spark's pivot leaves empty cells NULL; NULLIF(count,0) mirrors that.
+    oracle=f"""
+    SELECT c_nationkey,
+           {", ".join(
+               f"NULLIF(CAST(count(*) FILTER (WHERE c_mktsegment = '{s}')"
+               f" AS BIGINT), 0) AS {s}"
+               for s in _SEGMENTS
+           )}
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def f17_pivot(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    # explicit pivot values: single-pass, no value-discovery job
+    return c.groupBy("c_nationkey").pivot("c_mktsegment", _SEGMENTS).agg(
+        F.count(F.lit(1))
+    )
+
+
+@query(
+    "f18_greatest_least",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           greatest(l_quantity, l_discount * 100, l_tax * 100) AS biggest,
+           least(l_quantity, l_discount * 100, l_tax * 100)    AS smallest
+    FROM lineitem
+    """,
+)
+def f18_greatest_least(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    q, d, x = F.col("l_quantity"), F.col("l_discount") * 100, F.col("l_tax") * 100
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.greatest(q, d, x).alias("biggest"),
+        F.least(q, d, x).alias("smallest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation extensions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "g11_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+           CAST(grouping(l_returnflag) AS INTEGER)  AS g_flag,
+           CAST(grouping(l_linestatus) AS INTEGER)  AS g_status
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def g11_grouping_sets(spark, sf_dir):
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "g12_stats_agg",
+    # statistical aggregates accumulate in double; ROUND both sides so
+    # summation-order noise (~1e-9 relative) can't flip the value hash
+    oracle="""
+    SELECT ROUND(stddev_samp(o_totalprice), 2) AS sd_price,
+           ROUND(avg(o_totalprice), 2)         AS mean_price,
+           ROUND(corr(o_totalprice, CAST(o_custkey AS DOUBLE)), 6) AS corr_pk,
+           ROUND(covar_samp(o_totalprice, CAST(o_custkey AS DOUBLE)), 2)
+             AS covar_pk
+    FROM orders
+    """,
+)
+def g12_stats_agg(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    ck = F.col("o_custkey").cast("double")
+    return o.agg(
+        F.round(F.stddev_samp("o_totalprice"), 2).alias("sd_price"),
+        F.round(F.avg("o_totalprice"), 2).alias("mean_price"),
+        F.round(F.corr(F.col("o_totalprice"), ck), 6).alias("corr_pk"),
+        F.round(F.covar_samp(F.col("o_totalprice"), ck), 2).alias("covar_pk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordering / multiset operators
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "o5_nulls_ordering",
+    # Spark asc = NULLS FIRST by default, DuckDB = NULLS LAST: both
+    # sides explicit (SURVEY.md §7.3 determinism rules)
+    oracle="""
+    SELECT event_id FROM events
+    ORDER BY props NULLS FIRST, event_id
+    LIMIT 50
+    """,
+)
+def o5_nulls_ordering(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return (
+        e.orderBy(F.col("props").asc_nulls_first(), "event_id")
+        .select("event_id")
+        .limit(50)
+    )
+
+
+@query(
+    "so4_intersect_all",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def so4_intersect_all(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersectAll(s)
+
+
+@query(
+    "so5_except_all",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def so5_except_all(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.exceptAll(s)
+
+
+# ---------------------------------------------------------------------------
+# Window frames
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w5_range_frame",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW
+           ), 2) AS nearby_sum
+    FROM orders
+    """,
+)
+def w5_range_frame(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("nearby_sum")
+    )
+
+
+@query(
+    "w6_first_last_nth",
+    oracle="""
+    SELECT o_orderkey,
+           first_value(o_orderkey) OVER w AS first_ok,
+           last_value(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_ok,
+           nth_value(o_orderkey, 2) OVER w AS second_ok
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def w6_first_last_nth(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(w_full).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join / as-of join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j8_event_range_join",
+    oracle="""
+    SELECT a.event_id AS id_a, b.event_id AS id_b
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+     AND (b.ts > a.ts OR b.event_id > a.event_id)
+     AND a.event_id <> b.event_id
+    ORDER BY id_a, id_b
+    """,
+)
+def j8_event_range_join(spark, sf_dir):
+    """Time-range self-join via 5-minute bucketing.
+
+    A naive range self-join is O(n²) per user; bucketing ts to the
+    range width and joining (bucket, bucket+1) makes it linear in
+    events-per-bucket — the standard interval-join decomposition
+    (Spark has no native range-join optimizer rule; this IS the plan
+    you'd want it to produce at 100 TB).
+    """
+    e = t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    width = 300 * 1_000_000  # 5 minutes in microseconds
+    base = e.select(
+        F.col("event_id"), "user_id", "ts", (us / width).cast("bigint").alias("bkt")
+    )
+    # probe side: each event also probes the previous bucket, so a pair
+    # spanning a bucket boundary is still found exactly once
+    a = base.select(
+        F.col("event_id").alias("id_a"),
+        F.col("user_id"),
+        F.col("ts").alias("ts_a"),
+        F.explode(F.array(F.col("bkt"), F.col("bkt") + 1)).alias("bkt"),
+    )
+    b = base.select(
+        F.col("event_id").alias("id_b"),
+        F.col("user_id"),
+        F.col("ts").alias("ts_b"),
+        "bkt",
+    )
+    return (
+        a.join(b, ["user_id", "bkt"])
+        .filter(
+            (F.col("ts_b") >= F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTE"))
+            & (
+                (F.col("ts_b") > F.col("ts_a"))
+                | (F.col("id_b") > F.col("id_a"))
+            )
+            & (F.col("id_a") != F.col("id_b"))
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "j9_asof_last_purchase",
+    oracle="""
+    SELECT event_id,
+           last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_ts
+    FROM events
+    """,
+)
+def j9_asof_last_purchase(spark, sf_dir):
+    """As-of join expressed as a running last-non-null window.
+
+    For every event: the timestamp of the same user's most recent
+    purchase at or before it. This windowed formulation is the
+    single-shuffle as-of join — the union-sort trick that scales where
+    a per-row backward probe cannot.
+    """
+    e = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    purchase_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    return e.select(
+        "event_id",
+        F.last(purchase_ts, ignorenulls=True).over(w).alias("last_purchase_ts"),
+    )

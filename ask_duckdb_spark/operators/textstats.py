@@ -19,6 +19,7 @@ Everything is JVM-side expression code — ``F.split`` / ``explode`` /
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
@@ -225,6 +226,126 @@ def x11_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_docs"))
         .orderBy("lang", "pred_lang")
     )
+
+
+#: BPE-ish pre-tokenizer: letter runs, single digits, punctuation marks.
+#: Simplified from the GPT-2 pattern to the RE2/Java-common subset so
+#: Spark and DuckDB segment identically.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+@query(
+    "x21_token_count_bpe",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(len(list_distinct(regexp_extract_all(text, '{BPE_PATTERN}')))
+             AS BIGINT) AS n_unique_bpe
+    FROM documents
+    """,
+)
+def x21_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style token counting (pre-tokenizer segmentation).
+
+    The standard "how many tokens will this cost" estimator of an LLM
+    data pipeline: a regex pre-tokenization pass (letter runs / digits /
+    punctuation), counted per document. Narrow map, zero shuffle; the
+    regex runs inside codegen via ``regexp_extract_all``.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    # pattern passed as a Column literal — routing it through a SQL
+    # string literal would eat the backslash in \s (Spark SQL escaping)
+    toks = F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique_bpe"),
+    )
+
+
+@query(
+    "x22_tfidf_top_term",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                t -> t <> '')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), df AS (
+      SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok AS top_term, tfidf FROM (
+      SELECT doc_id, tok, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, tok) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def x22_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF scoring; most characteristic term per document.
+
+    Two map-side-combinable shuffles (tf keyed on (doc, tok), df keyed
+    on tok) + a broadcast of the tiny df/N side back onto tf — the
+    canonical scalable TF-IDF shape. ROUND(…, 6) keeps the ln() values
+    hash-stable across engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar; one cheap count-only scan
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "tok").select(
+        "doc_id",
+        "tok",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("tok").alias("top_term"), "tfidf")
+    )
+
+
+#: Knuth multiplicative hash constant (2654435761 = 2^32 * golden ratio).
+_SAMPLE_MULT = 2654435761
+_SAMPLE_MOD = 4294967296  # 2^32
+_SAMPLE_KEEP = 429496729  # ~10%
+
+
+@query(
+    "x23_hash_sample",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE (doc_id * {_SAMPLE_MULT}) % {_SAMPLE_MOD} < {_SAMPLE_KEEP}
+    ORDER BY doc_id
+    """,
+)
+def x23_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample via multiplicative hashing.
+
+    ``TABLESAMPLE``/``rand()`` are engine- and partitioning-dependent;
+    keyed multiplicative hashing gives the reproducible, resumable
+    sample a 100 TB pipeline needs (same rows selected on every engine,
+    every run, any partitioning). Pure integer arithmetic — hashes
+    identically on the oracle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    keep = (F.col("doc_id") * _SAMPLE_MULT) % _SAMPLE_MOD < _SAMPLE_KEEP
+    return d.filter(keep).select("doc_id", "lang").orderBy("doc_id")
 
 
 @query(
