@@ -318,35 +318,36 @@ def x24_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document, computed entirely with JVM expressions.
 
-    For each bit position: majority vote of token-hash bits. The
-    explode/agg shape is one shuffle keyed by doc_id; at scale this is
-    the standard map-side-combinable form.
+    For each bit position: majority vote of token-hash bits, evaluated
+    ARRAY-WISE inside the row (``size(filter(hashes, bit set)) * 2 >
+    n``) — a pure narrow map with ZERO shuffles. An earlier formulation
+    exploded tokens and groupBy'd 64 conditional sums back per doc
+    (one keyed shuffle of every token occurrence); bit-identical
+    output, no shuffle, and the hashing parallelizes with the same
+    core-count repartition rule as minhash.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
-    ).filter(F.col("tok") != "")
-    h = toks.select("doc_id", F.xxhash64("tok").alias("h"))
-    # Sum +1/-1 per bit, then reassemble the sign bits into a long.
-    bit_sums = h.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"b{b}")
-            for b in range(64)
-        ]
+    target = d.sparkSession.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < target:
+        d = d.repartition(target)
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # project _h first so the split+hash runs once; _n derives from it
+    d = d.select("doc_id", hashes.alias("_h")).select(
+        "doc_id", "_h", F.size("_h").alias("_n")
     )
-    simhash = bit_sums.select(
-        "doc_id",
-        sum(
-            [
-                F.when(
-                    F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
-                ).otherwise(F.lit(0).cast("long"))
-                for b in range(64)
-            ],
-            F.lit(0).cast("long"),
-        ).alias("simhash"),
-    )
-    return simhash.orderBy("doc_id")
+
+    def bit(b: int):
+        ones = F.size(
+            F.filter(
+                F.col("_h"),
+                lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+            )
+        )
+        # majority of ±1 votes > 0  <=>  2*ones > n
+        return F.when(
+            ones * 2 > F.col("_n"), F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+
+    simhash = sum([bit(b) for b in range(64)], F.lit(0).cast("long"))
+    return d.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")

@@ -387,6 +387,49 @@ def j8_event_range_join(spark, sf_dir):
     )
 
 
+N_SALTS = 8  # fan-out factor for the skew-spreading partial phase
+
+
+@query(
+    "x26_salted_user_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(sum(value), 6) AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY total_value DESC, user_id
+    LIMIT 25
+    """,
+)
+def x26_salted_user_totals(spark, sf_dir):
+    """Two-phase salted aggregation — the hot-key survival pattern.
+
+    A plain ``groupBy(user_id)`` sends every record of a viral key to
+    ONE reducer; salting splits each key across N_SALTS partial groups
+    (map-side combinable), then a second tiny aggregation merges the
+    partials. Results are identical to the direct groupBy (the oracle
+    IS the direct groupBy); only the shuffle distribution changes.
+    AQE's skew handling covers joins — aggregation skew needs this.
+    """
+    e = load_table(spark, sf_dir, "events")
+    salt = F.pmod(F.xxhash64("event_id"), F.lit(N_SALTS)).alias("_salt")
+    partial = (
+        e.withColumn("_salt", salt)
+        .groupBy("user_id", "_salt")
+        .agg(F.count("*").alias("pn"), F.sum("value").alias("pv"))
+    )
+    return (
+        partial.groupBy("user_id")
+        .agg(
+            F.sum("pn").cast("bigint").alias("n_events"),
+            F.round(F.sum("pv"), 6).alias("total_value"),
+        )
+        .orderBy(F.col("total_value").desc(), "user_id")
+        .limit(25)
+    )
+
+
 @query(
     "j9_asof_last_purchase",
     oracle="""

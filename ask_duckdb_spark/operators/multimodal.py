@@ -223,5 +223,11 @@ def x20_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (byte value == codepoint); a real decoder wouldn't care.
     """
     d = load_table(spark, sf_dir, "documents")
+    # media decode is CPU-bound: make its parallelism match the cores
+    # even when the scan is a single small parquet footer (at 100 TB the
+    # scan already has >> cores partitions and this no-ops)
+    target = d.sparkSession.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < target:
+        d = d.repartition(target)
     payload = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     return payload.mapInPandas(_decode_batches, DECODE_SCHEMA).orderBy("doc_id")

@@ -1,0 +1,60 @@
+"""Sink/source roundtrips: parquet (partitioned), CSV, JSON lines."""
+
+from __future__ import annotations
+
+import os
+
+from ask_duckdb_spark.sources.catalog import load_table
+from ask_duckdb_spark.sources.sinks import (
+    read_csv,
+    read_jsonl,
+    write_csv,
+    write_jsonl,
+    write_parquet,
+)
+from tests.conftest import SF_DIR
+
+
+def _docs(spark):
+    return load_table(spark, SF_DIR, "documents").select("doc_id", "lang", "n_chars")
+
+
+def test_parquet_roundtrip_partitioned(spark, tmp_path):
+    path = str(tmp_path / "docs_parquet")
+    src = _docs(spark)
+    write_parquet(src, path, partition_by=["lang"])
+    # partition directories exist -> pruning-capable layout
+    assert any(d.startswith("lang=") for d in os.listdir(path))
+    back = spark.read.parquet(path)
+    assert back.count() == src.count()
+    assert {r.doc_id for r in back.filter("lang = 'en'").collect()} == {
+        r.doc_id for r in src.filter("lang = 'en'").collect()
+    }
+
+
+def test_parquet_partition_pruning_on_reread(spark, tmp_path):
+    from ask_duckdb_spark.plans.checks import formatted_plan
+
+    path = str(tmp_path / "docs_pruned")
+    write_parquet(_docs(spark), path, partition_by=["lang"])
+    df = spark.read.parquet(path).filter("lang = 'en'")
+    assert "PartitionFilters: [isnotnull(lang" in formatted_plan(df)
+
+
+def test_csv_roundtrip_explicit_schema(spark, tmp_path):
+    path = str(tmp_path / "docs_csv")
+    src = _docs(spark)
+    write_csv(src, path)
+    back = read_csv(spark, path, "doc_id bigint, lang string, n_chars bigint")
+    assert back.schema == src.schema
+    assert back.count() == src.count()
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "docs_jsonl")
+    src = _docs(spark)
+    write_jsonl(src, path)
+    back = read_jsonl(spark, path, "doc_id bigint, lang string, n_chars bigint")
+    assert sorted(r.doc_id for r in back.collect()) == sorted(
+        r.doc_id for r in src.collect()
+    )
