@@ -16,3 +16,4 @@ from . import similarity  # noqa: F401,E402
 from . import textstats  # noqa: F401,E402
 from . import sessionize  # noqa: F401,E402
 from . import multimodal  # noqa: F401,E402
+from . import nl_queries  # noqa: F401,E402

@@ -83,16 +83,6 @@ SHINGLE_K = 5  # word-shingle width... chosen for short synthetic docs
 MAX_BUCKET = 50  # skew guard: drop degenerate buckets
 
 
-def _shingles(col, k: int = SHINGLE_K):
-    """Word k-shingles as an array<string> column (JVM-side, no UDF)."""
-    toks = F.split(F.lower(col), r"\s+")
-    n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
-    )
-
-
 def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """doc -> array<long> minhash signature of length N_HASHES.
 
@@ -111,12 +101,38 @@ def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     target = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < target:
         docs = docs.repartition(target)
-    sh = F.array_distinct(_shingles(F.col(text_col)))
-    docs = docs.select(id_col, sh.alias("_shingles"))
+    # Shingle in HASH space: hash each token once, then fold every k
+    # consecutive token hashes into a shingle hash (polynomial combine)
+    # — no shingle strings are ever built or re-hashed. Permutations
+    # are then cheap integer mixes h*A_i + B_i of that base hash (the
+    # standard "one hash + linear permutations" minhash construction).
+    # Per token this is 1 string hash + O(k + N_HASHES) multiply-adds,
+    # versus building k-word strings and string-hashing them N_HASHES
+    # times.
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    docs = docs.select(id_col, th.alias("_th"))
+    n = F.greatest(F.size(F.col("_th")) - F.lit(SHINGLE_K - 1), F.lit(1))
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.aggregate(
+            F.slice(F.col("_th"), i, SHINGLE_K),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc * 1000003 + x,
+        ),
+    )
+    docs = docs.select(id_col, F.array_distinct(shingle_hashes).alias("_bh"))
     sig = F.array(
         *[
             F.array_min(
-                F.transform(F.col("_shingles"), lambda s: F.xxhash64(F.lit(i), s))
+                F.transform(
+                    F.col("_bh"),
+                    # odd multiplier + offset per permutation, derived
+                    # from splitmix-style constants; Long overflow wraps
+                    # (mod 2^64), which is exactly what we want
+                    lambda h: h * F.lit(2 * i + 1) * F.lit(-7046029254386353131)
+                    + F.lit(i * 7046029254386353)
+                )
             )
             for i in range(N_HASHES)
         ]

@@ -1,0 +1,97 @@
+"""Driver-visible NL-layer queries: the repair pipeline in the gate.
+
+Each operator feeds a deliberately broken SQL string (the way real LLM
+output breaks — fenced, aliased, typo'd, wrong-case literals) through
+``nl.repair.repair_sql`` and executes the result on the TPC-H views;
+the oracle is the SQL a correct LLM would have produced. A pass proves
+the repair stage rewrites the break into exactly that statement —
+putting R1/R2/R4/R5 behavior under the driver's differential hash, not
+just pytest.
+"""
+
+from __future__ import annotations
+
+from ..nl.repair import repair_sql
+from ..sources.catalog import load_table
+from .registry import query
+
+
+def _run(spark, sf_dir, tables, broken, meta=None, synonym_map=None):
+    cols: set[str] = set()
+    for t in tables:
+        df = load_table(spark, sf_dir, t)
+        df.createOrReplaceTempView(t)
+        cols |= set(df.columns)
+    return spark.sql(repair_sql(broken, cols, meta=meta, synonym_map=synonym_map))
+
+
+@query(
+    "nl1_fence_extraction",
+    # R1: the LLM wrapped its answer in a markdown fence
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def nl1_fence_extraction(spark, sf_dir):
+    broken = (
+        "```sql\n"
+        "SELECT c_mktsegment, count(*) AS n FROM customer\n"
+        "GROUP BY c_mktsegment\n"
+        "```"
+    )
+    return _run(spark, sf_dir, ["customer"], broken)
+
+
+@query(
+    "nl2_fuzzy_identifier_repair",
+    # R4: typo'd identifiers fuzzy-matched back to real columns
+    # (difflib ratio >= 0.86: c_custky->c_custkey, c_acctbl->c_acctbal)
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE c_acctbal > 9000
+    """,
+)
+def nl2_fuzzy_identifier_repair(spark, sf_dir):
+    broken = "SELECT c_custky, c_acctbl FROM customer WHERE c_acctbl > 9000"
+    return _run(spark, sf_dir, ["customer"], broken)
+
+
+@query(
+    "nl3_alias_substitution",
+    # R2: dictionary aliases rewritten to canonical columns (word-
+    # bounded, only because the alias is NOT a real column)
+    oracle="""
+    SELECT l_orderkey, l_quantity FROM lineitem
+    WHERE l_quantity > 45
+    """,
+)
+def nl3_alias_substitution(spark, sf_dir):
+    broken = "SELECT l_orderkey, qty FROM lineitem WHERE qty > 45"
+    synonym_map = {"qty": "l_quantity", "orderid": "l_orderkey"}
+    return _run(spark, sf_dir, ["lineitem"], broken, synonym_map=synonym_map)
+
+
+@query(
+    "nl4_literal_canonicalization",
+    # R5+R6: case rule lowercases the literal; map_values rewrites the
+    # colloquial value — both before execution
+    oracle="""
+    SELECT count(*) AS n FROM customer
+    WHERE c_mktsegment='BUILDING'
+    """,
+)
+def nl4_literal_canonicalization(spark, sf_dir):
+    broken = "SELECT count(*) AS n FROM customer WHERE c_mktsegment = 'bldg'"
+    meta = {
+        "columns": [
+            {
+                "name": "c_mktsegment",
+                "canonicalization": {
+                    "case": "upper",
+                    "map_values": {"bldg": "BUILDING"},
+                },
+            }
+        ]
+    }
+    return _run(spark, sf_dir, ["customer"], broken, meta=meta)

@@ -6,4 +6,4 @@ streaming twins of the batch sessionization/window operators in
 watermarked state. See :mod:`.events`.
 """
 
-from . import events  # noqa: F401
+from . import events, stateful  # noqa: F401

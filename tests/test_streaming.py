@@ -89,6 +89,54 @@ def test_streaming_sessions_match_batch(spark, raw_events, stream_path):
     assert got_rows == want_rows
 
 
+def test_stateful_totals_carry_across_microbatches(spark, raw_events, tmp_path):
+    """applyInPandasWithState: state must survive batch boundaries.
+
+    The fixture is split into 4 files streamed one per micro-batch; the
+    final emitted totals per user must equal the batch groupBy — which
+    can only happen if per-key state carried across all 4 batches."""
+    import pyspark.sql.functions as F
+
+    from ask_duckdb_spark.streaming.stateful import running_user_totals
+
+    src = _normalize(raw_events)
+    chunks = str(tmp_path / "chunks")
+    src.repartition(4).write.parquet(chunks)
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(chunks)
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.lastProgress["batchId"] >= 3  # really ran multiple batches
+
+    # n_events grows monotonically per user -> max() is the final state
+    got = (
+        spark.table("stateful_sink")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+        )
+    )
+    want = src.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.sum("value").alias("total_value")
+    )
+    got_m = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in got.collect()}
+    want_m = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in want.collect()}
+    assert got_m == want_m
+
+
 def test_streaming_sliding_total(spark, raw_events, stream_path):
     got = _run_stream(
         spark, lambda s: stream_ops.sliding_counts(_normalize(s)), raw_events,
