@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import char_ngrams
 from ..sources.catalog import load_table
 from .registry import query
 
@@ -267,17 +268,8 @@ def x3_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is decidedly non-vacuous.
     """
     d = load_table(spark, sf_dir, "documents")
-    k = 8
     grams = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(
-                    F.lit(1), F.greatest(F.length("text") - F.lit(k - 1), F.lit(1))
-                ),
-                lambda i: F.col("text").substr(i, F.lit(k)),
-            )
-        ).alias("g"),
+        "doc_id", F.explode(char_ngrams(F.col("text"), 8)).alias("g")
     ).dropDuplicates(["doc_id", "g"])
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = grams.select(F.col("doc_id").alias("id_a"), "g")

@@ -38,9 +38,7 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 FP_MOD = 1_000_000_007  # rolling-hash modulus (fits BIGINT at 31x steps)
 
 
-def tokens(col):
-    """Whitespace tokens of a lowercased text column (array<string>)."""
-    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+from ..functions.text import tokens  # shared tokenizer  # noqa: E402
 
 
 @query(
