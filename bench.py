@@ -27,7 +27,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
     "q10_returned_items",
+    "q18_large_orders",
     "w1_row_number_topk_per_group",
     "w2_running_sum",
     "x1b_dedup_hash_key",
@@ -41,6 +43,9 @@ HEADLINE = [
     "x15_tumbling_window",
     "x18_props_schema_on_read",
     "x20_decode_features",
+    "x22_tfidf_top_term",
+    "x25_batch_ann_topk",
+    "x26_salted_user_totals",
 ]
 
 
