@@ -26,6 +26,8 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--query", required=True, help="SQL query to execute")
     ap.add_argument("--max-rows", type=int, default=1000,
                     help="Max rows to print (default: 1000)")
+    ap.add_argument("--explain", action="store_true",
+                    help="Print the formatted physical plan instead of rows")
     args = ap.parse_args(argv)
 
     spark = open_source(args.sf_dir, "ask_duckdb_spark.sql")
@@ -34,6 +36,11 @@ def main(argv: list[str] | None = None) -> None:
     try:
         ensure_readonly(args.query)  # the reference's read_only=True analogue
         df = spark.sql(args.query)
+        if args.explain:
+            from ..plans.checks import formatted_plan
+
+            print(formatted_plan(df))
+            return
         display_result(df, max_rows=args.max_rows)
     except SystemExit:
         raise

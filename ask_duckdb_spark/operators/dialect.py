@@ -387,6 +387,68 @@ def j8_event_range_join(spark, sf_dir):
     )
 
 
+@query(
+    "w7_percent_rank_cume",
+    oracle="""
+    SELECT c_custkey,
+           ROUND(percent_rank() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal, c_custkey), 6) AS pr,
+           ROUND(cume_dist() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY c_acctbal, c_custkey), 6) AS cd
+    FROM customer
+    """,
+)
+def w7_percent_rank_cume(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@query(
+    "f20_array_agg_sorted",
+    # collect_list order is nondeterministic under parallelism: sort the
+    # result array so both engines agree (SURVEY.md §7.3 determinism)
+    oracle="""
+    SELECT n_regionkey,
+           list_sort(list(n_name)) AS nations,
+           CAST(len(list(n_name)) AS INTEGER) AS n
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def f20_array_agg_sorted(spark, sf_dir):
+    n = t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.sort_array(F.collect_list("n_name")).alias("nations"),
+        F.size(F.collect_list("n_name")).alias("n"),
+    )
+
+
+@query(
+    "so6_union_by_name",
+    oracle="""
+    SELECT nk, src FROM (
+      SELECT c_nationkey AS nk, 'cust' AS src FROM customer
+      UNION ALL
+      SELECT s_nationkey AS nk, 'supp' AS src FROM supplier
+    )
+    """,
+)
+def so6_union_by_name(spark, sf_dir):
+    # columns deliberately in different orders: unionByName aligns on
+    # names where unionAll would silently mis-zip positions
+    c = t(spark, sf_dir, "customer").select(
+        F.lit("cust").alias("src"), F.col("c_nationkey").alias("nk")
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk"), F.lit("supp").alias("src")
+    )
+    return c.unionByName(s).select("nk", "src")
+
+
 N_SALTS = 8  # fan-out factor for the skew-spreading partial phase
 
 

@@ -133,6 +133,29 @@ def f5_json_array_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "f19_json_tuple",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k')   AS k,
+           json_extract_string(props, '$.tag') AS tag
+    FROM events
+    WHERE props IS NOT NULL
+    """,
+)
+def f19_json_tuple(spark, sf_dir):
+    """Multi-key JSON extraction in one pass (``json_tuple``).
+
+    One parse yields every requested key — the cheaper plan when a
+    query reads several fields of the same JSON column (vs N
+    ``get_json_object`` calls, each reparsing the document).
+    """
+    e = load_table(spark, sf_dir, "events")
+    return e.filter(F.col("props").isNotNull()).select(
+        "event_id", F.json_tuple("props", "k", "tag").alias("k", "tag")
+    )
+
+
+@query(
     "x19_binary_metadata",
     oracle="""
     SELECT doc_id,
