@@ -134,6 +134,91 @@ def x6_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CELLS = 8  # IVF coarse-quantizer codebook size
+N_PROBE = 3  # cells searched per query
+
+
+def _ivf_centroids(emb: DataFrame) -> DataFrame:
+    """K-means-lite codebook: deterministic seeds + one Lloyd step.
+
+    Seeds are the first N_CELLS vectors (deterministic, no RNG); one
+    refinement assigns every vector to its nearest seed and re-averages
+    per cell element-wise. Entirely DataFrame ops: the element-wise
+    mean is posexplode → groupBy(cell, pos) → avg → rebuilt into an
+    ordered array — the distributed iterative-algorithm shape (more
+    Lloyd iterations would repeat this block).
+    """
+    seeds = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cv")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(seeds))
+        .withColumn("sim", cosine_similarity(F.col("embedding"), F.col("cv")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cell")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("cell", "embedding")
+    )
+    per_dim = (
+        assigned.select(
+            "cell", F.posexplode("embedding").alias("pos", "v")
+        )
+        .groupBy("cell", "pos")
+        .agg(F.avg("v").alias("m"))
+    )
+    return per_dim.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+        ).alias("cv")
+    )
+
+
+@query("x27_ivf_topk")  # iterative codebook: not oracle-expressible
+def x27_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10: coarse quantize, probe N_PROBE cells.
+
+    The inverted-file layout: every vector belongs to its nearest
+    centroid's cell; a query scores only the vectors in its N_PROBE
+    nearest cells (~N_PROBE/N_CELLS of the corpus). At 100 TB the
+    assignment is a write-time partitioning (cell = partition column →
+    partition pruning does the probe for free). Recall vs x5's exact
+    top-10 is gated >= 0.8 in tests/test_similarity.py.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(emb).persist()
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "csim", cosine_similarity(F.col("embedding"), F.col("cv"))
+    )
+    assign_rank = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cell")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(assign_rank))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+    probes = (
+        assigned.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qv"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("csim", cosine_similarity(F.col("qv"), F.col("cv")))
+        .orderBy(F.col("csim").desc(), "cell")
+        .limit(N_PROBE)
+        .select("qv", "cell")
+    )
+    cands = assigned.filter(F.col("vec_id") != 0).join(F.broadcast(probes), "cell")
+    return (
+        cands.select(
+            "vec_id", cosine_similarity(F.col("embedding"), F.col("qv")).alias("sim")
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", "sim")
+    )
+
+
 _BATCH_COS = """
     list_reduce(list_transform(range(1, len(e.embedding) + 1),
                 i -> e.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE),

@@ -25,6 +25,13 @@ def test_x6_ann_recall_against_exact(spark, exact_top10):
     assert recall >= 0.8, f"ANN recall {recall} below floor"
 
 
+def test_x27_ivf_recall_against_exact(spark, exact_top10):
+    approx = {r.vec_id for r in QUERIES["x27_ivf_topk"](spark, SF_DIR_001).collect()}
+    assert len(approx) == 10
+    recall = len(exact_top10 & approx) / len(exact_top10)
+    assert recall >= 0.8, f"IVF recall {recall} below floor"
+
+
 def test_x2_minhash_pairs_nonempty_and_thresholded(spark):
     rows = QUERIES["x2_minhash_neardup"](spark, SF_DIR_001).collect()
     assert rows, "minhash near-dup found nothing at sf0.01"
