@@ -297,6 +297,57 @@ def x3_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x29_dedup_clusters")  # iterative fixpoint: not SQL-expressible
+def x29_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over x2's pair graph.
+
+    Iterative min-label propagation (each vertex takes the minimum
+    label in its neighborhood) run to fixpoint — the distributed
+    connected-components algorithm that turns pairwise near-dup edges
+    into transitive clusters, so chains a→b→c dedup to ONE canonical
+    doc where pair-based filtering (x24) would keep two. Each round is
+    one join + one aggregate on (vertex, label) pairs; convergence is
+    checked with a cheap count. The fixture graph converges in ≤3
+    rounds; the iteration cap bounds worst-case chains.
+    """
+    pairs = x2_minhash_neardup(spark, sf_dir).select("id_a", "id_b")
+    # symmetric edge list (+ self-loops keep isolated pair-members)
+    edges = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("id_a").alias("v"))
+        .distinct()
+        .withColumn("label", F.col("v"))
+    )
+    for _ in range(6):  # cap; fixture converges in <= 3
+        neighbor_min = (
+            edges.join(labels, edges.id_b == labels.v)
+            .groupBy("id_a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.v == neighbor_min.id_a, "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("v").alias("doc_id"), F.col("label").alias("cluster")
+    ).orderBy("doc_id")
 @query("x24_dedup_keep")  # derives from x2's LSH pairs: rows-only check
 def x24_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply near-dup pairs as an actual dedup filter: canonical corpus.

@@ -188,6 +188,56 @@ def x19_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+TREND_SCHEMA = "user_id bigint, n bigint, slope double"
+
+
+def _user_trend(pdf: pd.DataFrame) -> pd.DataFrame:
+    """OLS slope of value over event time for one user (pure pandas)."""
+    x = pdf["ts"].astype("int64") / 1e9  # seconds since epoch
+    y = pdf["value"]
+    n = len(pdf)
+    denom = ((x - x.mean()) ** 2).sum()
+    slope = float(((x - x.mean()) * (y - y.mean())).sum() / denom) if denom else None
+    return pd.DataFrame(
+        {
+            "user_id": [pdf["user_id"].iloc[0]],
+            "n": [n],
+            "slope": [round(slope, 6) if slope is not None else None],
+        }
+    )
+
+
+@query(
+    "x28_user_value_trend",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(regr_slope(value, epoch(ts)), 6) AS slope
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def x28_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user regression slope via grouped-map ``applyInPandas``.
+
+    The grouped-map Pandas path: one shuffle keys events by user, then
+    each group becomes a pandas frame (Arrow transfer) for arbitrary
+    python math — the pattern for per-entity model fitting that SQL
+    aggregates can't express. Here the math IS SQL-expressible
+    (regr_slope), which is exactly why it makes a good differential
+    test of the grouped-map machinery itself. State is bounded by the
+    largest single group, not the corpus.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select("user_id", F.col("ts").cast("timestamp"), "value")
+        .groupBy("user_id")
+        .applyInPandas(_user_trend, TREND_SCHEMA)
+        .orderBy("user_id")
+    )
+
+
 #: Output schema of the fake decoder — what a real image decode would
 #: produce (dimensions + channel stats), minus the actual pixels.
 DECODE_SCHEMA = (

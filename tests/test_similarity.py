@@ -47,3 +47,33 @@ def test_x3_ngram_jaccard_nonvacuous(spark):
 def test_x7_neardup_nonvacuous(spark):
     rows = QUERIES["x7_embedding_neardup"](spark, SF_DIR_001).collect()
     assert rows, "x7 became vacuous again"
+
+
+def test_x29_clusters_equal_union_find(spark):
+    """Distributed label propagation must produce exactly the connected
+    components a sequential union-find finds on the same edges."""
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in QUERIES["x2_minhash_neardup"](spark, SF_DIR_001).collect()
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    want = {v: find(v) for v in parent}
+    got = {
+        r.doc_id: r.cluster
+        for r in QUERIES["x29_dedup_clusters"](spark, SF_DIR_001).collect()
+    }
+    assert got == want
+    assert len(set(got.values())) > 1  # real multi-cluster structure
