@@ -449,6 +449,78 @@ def so6_union_by_name(spark, sf_dir):
     return c.unionByName(s).select("nk", "src")
 
 
+@query(
+    "f21_map_functions",
+    # DuckDB: json_keys on the raw JSON; Spark: map_keys on the parsed
+    # map — the differential check proves schema-on-read parity
+    oracle="""
+    SELECT event_id,
+           list_sort(json_keys(props))                       AS keys,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    WHERE props IS NOT NULL
+    """,
+)
+def f21_map_functions(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return e.filter(F.col("props").isNotNull()).select(
+        "event_id",
+        F.sort_array(F.map_keys(m)).alias("keys"),
+        F.element_at(m, "k").cast("bigint").alias("k_val"),
+    )
+
+
+@query(
+    "d4_format_epoch",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m')          AS order_month,
+           CAST(epoch(o_orderdate) AS BIGINT)      AS epoch_sec,
+           CAST(date_part('dow', o_orderdate) AS INTEGER) AS dow
+    FROM orders
+    """,
+)
+def d4_format_epoch(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    ts = F.col("o_orderdate").cast("timestamp")  # NTZ→UTC identity
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        F.unix_timestamp(ts).alias("epoch_sec"),
+        # Spark dayofweek: 1=Sunday..7; DuckDB dow: 0=Sunday..6
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+    )
+
+
+@query(
+    "sq5_lateral_join",
+    oracle="""
+    SELECT r.r_name, top_n.n_name
+    FROM region r, LATERAL (
+      SELECT n_name FROM nation n
+      WHERE n.n_regionkey = r.r_regionkey
+      ORDER BY n_name LIMIT 2
+    ) top_n
+    ORDER BY r_name, n_name
+    """,
+)
+def sq5_lateral_join(spark, sf_dir):
+    t(spark, sf_dir, "region").createOrReplaceTempView("region")
+    t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT r.r_name, top_n.n_name
+        FROM region r, LATERAL (
+          SELECT n_name FROM nation n
+          WHERE n.n_regionkey = r.r_regionkey
+          ORDER BY n_name LIMIT 2
+        ) top_n
+        ORDER BY r_name, n_name
+        """
+    )
+
+
 N_SALTS = 8  # fan-out factor for the skew-spreading partial phase
 
 
