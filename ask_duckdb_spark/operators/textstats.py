@@ -346,6 +346,114 @@ def x23_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(keep).select("doc_id", "lang").orderBy("doc_id")
 
 
+SHARD_TOKEN_BUDGET = 4096
+
+
+@query(
+    "x30_pack_shards",
+    oracle=rf"""
+    WITH sized AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split_regex(lower(text), '\s+'),
+                             t -> t <> '')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens) / {SHARD_TOKEN_BUDGET}) AS BIGINT) AS shard_no
+    FROM sized
+    ORDER BY lang, doc_id
+    """,
+)
+def x30_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous packing of documents into token-budget shards.
+
+    The training-data step after cleaning: assign documents to output
+    shards of ~SHARD_TOKEN_BUDGET tokens each. ``shard_no`` is the
+    running token count BEFORE the doc, integer-divided by the budget —
+    a single partitioned window. Packing is per language so the cumsum
+    window is partitioned (parallel), never global: at 100 TB the
+    partition key would be (lang, date) or a hash bucket, same plan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens(F.col("text")))
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sized = d.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return sized.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.floor(cum_before / SHARD_TOKEN_BUDGET).cast("bigint").alias("shard_no"),
+    ).orderBy("lang", "doc_id")
+
+
+@query(
+    "x31_clean_corpus",
+    # the composed prep pipeline: quality gate -> exact dedup by
+    # content hash -> deterministic sample -> per-lang counts
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, lang, text,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ), quality AS (
+      SELECT doc_id, lang, text FROM toks
+      WHERE len(tk) >= 20
+        AND CAST(len(list_filter(tk, t -> t IN ('the','a','of','and','is')))
+                 AS DOUBLE) / greatest(len(tk), 1) BETWEEN 0.01 AND 0.5
+        AND CAST(len(list_distinct(tk)) AS DOUBLE) / greatest(len(tk), 1) >= 0.2
+    ), deduped AS (
+      SELECT min(doc_id) AS doc_id, min(lang) AS lang
+      FROM quality GROUP BY md5(text)
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM deduped
+    WHERE (doc_id * 2654435761) % 4294967296 < 3865470566
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def x31_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM-data prep pipeline in one plan.
+
+    quality gate (x10's rules) → exact dedup on content hash keeping
+    the lowest doc_id (x1's rule, one digest-keyed shuffle) →
+    deterministic 90% hash sample (x23's construction) → per-language
+    counts. Every stage is the scale-safe form of its standalone
+    operator; Catalyst fuses the narrow stages into the scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    n = F.size(tk)
+    safe_n = F.greatest(n, F.lit(1))
+    stop_ratio = (
+        F.size(F.filter(tk, lambda t: t.isin(*LANG_STOPWORDS["en"]))).cast("double")
+        / safe_n
+    )
+    uniq_ratio = F.size(F.array_distinct(tk)).cast("double") / safe_n
+    quality = d.filter(
+        (n >= 20) & stop_ratio.between(0.01, 0.5) & (uniq_ratio >= 0.2)
+    )
+    deduped = quality.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("doc_id"), F.min("lang").alias("lang")
+    )
+    sampled = deduped.filter(
+        (F.col("doc_id") * 2654435761) % 4294967296 < 3865470566
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
 @query(
     "x12_fingerprint",
     oracle=f"""
