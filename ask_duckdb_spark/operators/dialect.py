@@ -521,6 +521,29 @@ def sq5_lateral_join(spark, sf_dir):
     )
 
 
+@query(
+    "sq6_values_inline",
+    oracle="""
+    SELECT t.region_code, r.r_name
+    FROM (VALUES (0, 'AFR'), (2, 'ASI'), (3, 'EUR')) AS t(rk, region_code)
+    JOIN region r ON r.r_regionkey = t.rk
+    ORDER BY region_code
+    """,
+)
+def sq6_values_inline(spark, sf_dir):
+    """Inline VALUES table joined against a real table — the literal
+    lookup-table pattern (a broadcast of a 3-row relation)."""
+    t(spark, sf_dir, "region").createOrReplaceTempView("region")
+    return spark.sql(
+        """
+        SELECT t.region_code, r.r_name
+        FROM (VALUES (0, 'AFR'), (2, 'ASI'), (3, 'EUR')) AS t(rk, region_code)
+        JOIN region r ON r.r_regionkey = t.rk
+        ORDER BY region_code
+        """
+    )
+
+
 N_SALTS = 8  # fan-out factor for the skew-spreading partial phase
 
 

@@ -53,5 +53,24 @@ def test_narrow_map_operators_shuffle_free(spark):
     assert checks.num_shuffles(QUERIES["x12_fingerprint"](spark, SF_DIR)) == 0
 
 
+def test_sql_broadcast_hint_respected(spark):
+    from ask_duckdb_spark.sources.catalog import load_table
+
+    load_table(spark, SF_DIR, "orders").createOrReplaceTempView("orders")
+    load_table(spark, SF_DIR, "lineitem").createOrReplaceTempView("lineitem")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = spark.sql(
+            """
+            SELECT /*+ BROADCAST(o) */ count(*) AS n
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            """
+        )
+        assert checks.has_broadcast_join(hinted)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_codegen_covers_flagship(spark):
     assert checks.wholestage_codegen_count(QUERIES["q1_pricing_summary"](spark, SF_DIR)) >= 1
