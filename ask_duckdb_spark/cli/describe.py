@@ -21,9 +21,18 @@ def main(argv: list[str] | None = None) -> None:
     # The reference hard-codes 'queuedata' (describe_table.py:17); we
     # default to it but allow any registered table.
     ap.add_argument("--table", default="queuedata", help="Table name")
+    ap.add_argument("--list", action="store_true",
+                    help="List every registered table instead of describing one")
     args = ap.parse_args(argv)
 
     spark = open_source(args.sf_dir, "ask_duckdb_spark.describe")
+
+    if args.list:  # S3 breadth: the catalog enumeration the reference
+        # does through information_schema.tables (query_db.py:9-18)
+        for tbl in sorted(t.name for t in spark.catalog.listTables()):
+            print(tbl)
+        return
+
     require_table(spark, args.table, args.sf_dir)
 
     print("\n=== tbl_schema (for template) ===")

@@ -28,6 +28,9 @@ def main(argv: list[str] | None = None) -> None:
                     help="Max rows to print (default: 1000)")
     ap.add_argument("--explain", action="store_true",
                     help="Print the formatted physical plan instead of rows")
+    ap.add_argument("--params",
+                    help="JSON list/dict of parameters for ?/:name placeholders"
+                         " (S4; injection-safe server-side binding)")
     args = ap.parse_args(argv)
 
     spark = open_source(args.sf_dir, "ask_duckdb_spark.sql")
@@ -35,7 +38,14 @@ def main(argv: list[str] | None = None) -> None:
 
     try:
         ensure_readonly(args.query)  # the reference's read_only=True analogue
-        df = spark.sql(args.query)
+        if args.params:
+            import json
+
+            from ..introspect import run_param_sql
+
+            df = run_param_sql(spark, args.query, json.loads(args.params))
+        else:
+            df = spark.sql(args.query)
         if args.explain:
             from ..plans.checks import formatted_plan
 

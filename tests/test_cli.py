@@ -78,6 +78,24 @@ def test_sql_truncation(spark, capsys):
     assert "... truncated to first 5 rows ..." in capsys.readouterr().out
 
 
+def test_sql_params_positional(spark, capsys):
+    code = exit_code(
+        cli_sql.main,
+        ["--sf-dir", SF_DIR, "--table", "region",
+         "--query", "SELECT r_name FROM region WHERE r_regionkey = ?",
+         "--params", "[2]"],
+    )
+    assert code == 0
+    assert "=== Query result (1 rows) ===" in capsys.readouterr().out
+
+
+def test_describe_list_tables(spark, capsys):
+    code = exit_code(cli_describe.main, ["--sf-dir", SF_DIR, "--list"])
+    assert code == 0
+    out = capsys.readouterr().out
+    assert "lineitem" in out and "region" in out
+
+
 # --- describe -------------------------------------------------------------
 
 

@@ -55,6 +55,17 @@ def test_valid_tokens_never_rewritten(tokens):
     assert fix_common_mistakes(sql, COLS, SYN) == sql
 
 
+@given(st.text(alphabet=st.characters(codec="ascii", exclude_characters="'\x00"),
+               max_size=100))
+@settings(max_examples=200, deadline=None)
+def test_canonicalize_preserves_quoteless_text(raw):
+    """R5/R6 only rewrite quoted literals: SQL containing no single
+    quotes passes through canonicalize_literals byte-identical."""
+    from ask_duckdb_spark.nl.repair import canonicalize_literals
+
+    assert canonicalize_literals(raw, META) == raw
+
+
 @given(ident)
 @settings(max_examples=200, deadline=None)
 def test_fuzzy_repair_output_tokens_are_known(tok):
