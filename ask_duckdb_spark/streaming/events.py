@@ -71,6 +71,23 @@ def sliding_counts(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> Dat
     )
 
 
+def dedup_events(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon.
+
+    The streaming twin of X1: ``dropDuplicatesWithinWatermark`` keeps
+    one row per key and — unlike plain ``dropDuplicates`` on a stream —
+    EVICTS each key's state once the watermark passes it, so state is
+    bounded by the duplicate-arrival horizon instead of growing with
+    the whole stream. This is the ingest-side dedup of a training-data
+    pipeline (re-delivered events, at-least-once sources).
+    """
+    return (
+        _with_event_time(events)
+        .withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+
+
 def session_rollup(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
     """Streaming twin of x14: gap-based sessions per user.
 

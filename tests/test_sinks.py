@@ -50,6 +50,21 @@ def test_csv_roundtrip_explicit_schema(spark, tmp_path):
     assert back.count() == src.count()
 
 
+def test_shard_layout_write_and_prune(spark, tmp_path):
+    """x30's shard assignment written as the physical layout: partition
+    by (lang, shard_no), then prove a shard read prunes partitions."""
+    from ask_duckdb_spark.operators import QUERIES
+    from ask_duckdb_spark.plans.checks import formatted_plan
+
+    path = str(tmp_path / "shards")
+    shards = QUERIES["x30_pack_shards"](spark, SF_DIR)
+    write_parquet(shards, path, partition_by=["lang", "shard_no"])
+    one = spark.read.parquet(path).filter("lang = 'en' AND shard_no = 0")
+    plan = formatted_plan(one)
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    assert one.count() > 0
+
+
 def test_jsonl_roundtrip(spark, tmp_path):
     path = str(tmp_path / "docs_jsonl")
     src = _docs(spark)

@@ -89,6 +89,31 @@ def test_streaming_sessions_match_batch(spark, raw_events, stream_path):
     assert got_rows == want_rows
 
 
+def test_streaming_dedup_drops_redelivered_events(spark, raw_events, tmp_path):
+    """Duplicate the whole input (at-least-once redelivery) across two
+    files; streaming dedup must emit each event_id exactly once."""
+    src = _normalize(raw_events)
+    d = str(tmp_path / "dup_stream")
+    src.write.parquet(d)
+    src.write.mode("append").parquet(d)  # redelivery
+
+    stream = (
+        spark.readStream.schema(src.schema).format("parquet").load(d)
+    )
+    q = (
+        stream_ops.dedup_events(_normalize(stream))
+        .writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("dedup_sink")
+    assert out.count() == src.count()
+    assert out.select("event_id").distinct().count() == src.count()
+
+
 def test_stateful_totals_carry_across_microbatches(spark, raw_events, tmp_path):
     """applyInPandasWithState: state must survive batch boundaries.
 
