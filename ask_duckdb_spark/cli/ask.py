@@ -69,7 +69,9 @@ def main(argv: list[str] | None = None) -> None:
         meta = queuedata_dictionary()
     require_table(spark, args.table, args.sf_dir)
 
-    if meta is None and args.schema_meta and os.path.exists(args.schema_meta):
+    # an explicit on-disk dictionary always wins (reference semantics:
+    # --schema-meta is THE dictionary, query_llm.py:429-430,458-462)
+    if args.schema_meta and os.path.exists(args.schema_meta):
         meta = load_dictionary(args.schema_meta)
 
     if args.generate_schema:

@@ -140,6 +140,28 @@ def test_ask_stub_end_to_end(spark, capsys):
     assert "=== Query result (" in out
 
 
+def test_ask_schema_meta_file_drives_repair(spark, tmp_path, capsys):
+    """A dictionary loaded from --schema-meta powers R2/R5/R6: the
+    stub emits an aliased, colloquial query and the on-disk dictionary
+    rewrites it."""
+    import json
+
+    from ask_duckdb_spark.sources.queuedata_fixture import queuedata_dictionary
+
+    meta_path = str(tmp_path / "queuedata.schema.json")
+    json.dump(queuedata_dictionary(), open(meta_path, "w"))
+    code = exit_code(
+        cli_ask.main,
+        ["--sf-dir", SF_DIR, "--with-queuedata-fixture", "--llm", "stub",
+         "--schema-meta", meta_path,
+         "--stub-sql", "SELECT name FROM queuedata WHERE country = 'usa'",
+         "--question", "list all american queues"],
+    )
+    assert code == 0
+    out = capsys.readouterr().out
+    assert "SELECT queue FROM queuedata WHERE country = 'United States'" in out
+
+
 def test_ask_generate_schema(spark, tmp_path, capsys):
     out_path = str(tmp_path / "skel.json")
     code = exit_code(
