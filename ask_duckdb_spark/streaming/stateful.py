@@ -45,6 +45,76 @@ def _update_totals(
     )
 
 
+SESSION_OUTPUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp,"
+    " n_events bigint"
+)
+SESSION_STATE_SCHEMA = "start long, last long, n bigint"
+SESSION_GAP_SEC = 30 * 60
+
+
+def _session_machine(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Gap-based session state machine with an event-time timeout.
+
+    Open session = (start_us, last_us, count) in the state store. Each
+    batch merges its events; a session CLOSES (emits one row) either
+    when the watermark passes last+gap (timeout fires with no new
+    data) or when a new event arrives more than the gap after ``last``.
+    """
+    (user_id,) = key
+
+    def emit(start_us: int, last_us: int, n: int) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(last_us, unit="us")],
+                "n_events": [n],
+            }
+        )
+
+    if state.hasTimedOut:  # watermark passed last+gap: close the session
+        start_us, last_us, n = state.get
+        state.remove()
+        yield emit(start_us, last_us, n)
+        return
+
+    ts_us = pd.concat([pdf["event_time"] for pdf in pdfs]).astype("int64") // 1000
+    ts_us = ts_us.sort_values()
+    start_us, last_us, n = state.get if state.exists else (None, None, 0)
+    for t in ts_us:
+        t = int(t)
+        if start_us is None:
+            start_us, last_us, n = t, t, 1
+        elif t - last_us >= SESSION_GAP_SEC * 1_000_000:
+            yield emit(start_us, last_us, n)  # gap inside the batch
+            start_us, last_us, n = t, t, 1
+        else:
+            last_us, n = t, n + 1
+    state.update((start_us, last_us, n))
+    state.setTimeoutTimestamp(last_us // 1000 + SESSION_GAP_SEC * 1000)
+
+
+def sessionize_stateful(events: DataFrame) -> DataFrame:
+    """Custom gap-sessionization via ``applyInPandasWithState`` +
+    EventTimeTimeout — the hand-rolled equivalent of
+    ``session_window`` (events.py), for session rules the built-in
+    operator can't express (per-user gaps, value-dependent splits...).
+    Requires an ``event_time`` TIMESTAMP column and a watermark.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _session_machine,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Per-user running (count, sum) maintained in the state store.
 

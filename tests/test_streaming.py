@@ -162,6 +162,62 @@ def test_stateful_totals_carry_across_microbatches(spark, raw_events, tmp_path):
     assert got_m == want_m
 
 
+def test_stateful_sessionizer_matches_batch_closed_sessions(
+    spark, raw_events, stream_path
+):
+    """Custom EventTimeTimeout session machine vs batch sessionization.
+
+    Sessions still OPEN at end-of-stream can only close via a
+    watermark-driven timeout that availableNow may never fire, so the
+    exact expectation is: emitted == batch sessions minus each user's
+    final session (all of which provably closed in-batch)."""
+    import pyspark.sql.functions as F
+
+    from ask_duckdb_spark.operators import QUERIES
+    from ask_duckdb_spark.streaming.stateful import sessionize_stateful
+
+    stream = (
+        spark.readStream.schema(raw_events.schema)
+        .format("parquet")
+        .load(stream_path)
+    )
+    src = _normalize(stream).withColumn(
+        "event_time", F.col("ts").cast("timestamp")
+    ).withWatermark("event_time", "10 minutes")
+    q = (
+        sessionize_stateful(src)
+        .writeStream.format("memory")
+        .queryName("sess_machine")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in spark.table("sess_machine").collect()
+    }
+
+    batch = QUERIES["x13_sessionize"](spark, SF_DIR).collect()
+    last_per_user = {}
+    for r in batch:
+        cur = last_per_user.get(r.user_id)
+        if cur is None or r.sess_no > cur.sess_no:
+            last_per_user[r.user_id] = r
+    want = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in batch
+        if last_per_user[r.user_id].sess_no != r.sess_no
+    }
+    # emitted must cover every provably-closed session; a final no-data
+    # batch MAY additionally close some end-of-stream sessions
+    assert want <= got
+    extras = got - want
+    all_sessions = {(r.user_id, r.session_start, r.n_events) for r in batch}
+    assert extras <= all_sessions - want
+    assert len(want) > 100  # substantive comparison, not vacuous
+
+
 def test_streaming_sliding_total(spark, raw_events, stream_path):
     got = _run_stream(
         spark, lambda s: stream_ops.sliding_counts(_normalize(s)), raw_events,
