@@ -126,6 +126,24 @@ def test_ask_llm_failure_is_exit_3(spark):
     ) == 3
 
 
+def test_ask_gemini_without_key_is_exit_3(spark, monkeypatch):
+    monkeypatch.delenv("GEMINI_API_KEY", raising=False)
+    assert exit_code(
+        cli_ask.main,
+        ["--sf-dir", SF_DIR, "--with-queuedata-fixture", "--llm", "gemini",
+         "--question", "anything"],
+    ) == 3
+
+
+def test_ask_mistral_without_key_is_exit_3(spark, monkeypatch):
+    monkeypatch.delenv("MISTRAL_API_KEY", raising=False)
+    assert exit_code(
+        cli_ask.main,
+        ["--sf-dir", SF_DIR, "--with-queuedata-fixture", "--llm", "mistral",
+         "--question", "anything"],
+    ) == 3
+
+
 def test_ask_stub_end_to_end(spark, capsys):
     code = exit_code(
         cli_ask.main,
