@@ -544,6 +544,122 @@ def sq6_values_inline(spark, sf_dir):
     )
 
 
+@query(
+    "g13_mode",
+    # mode() with ties is engine-nondeterministic; the CASE collapses
+    # ~60% of rows to 0, guaranteeing a unique mode in every group
+    oracle="""
+    SELECT l_returnflag,
+           CAST(mode(CASE WHEN l_quantity < 30 THEN 0 ELSE l_linenumber END)
+                AS INTEGER) AS mode_line
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def g13_mode(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    v = F.when(F.col("l_quantity") < 30, 0).otherwise(F.col("l_linenumber"))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.mode(v).alias("mode_line"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "g14_string_agg_ordered",
+    # deterministic ordered concatenation: DuckDB string_agg with ORDER
+    # BY == Spark sort_array(collect_list) + array_join
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, '|' ORDER BY n_name) AS all_nations
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def g14_string_agg_ordered(spark, sf_dir):
+    n = t(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), "|").alias(
+                "all_nations"
+            )
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@query(
+    "f22_pad_reverse",
+    # DuckDB has no initcap: the oracle capitalizes per word manually,
+    # matching Spark's initcap semantics on space-separated words
+    oracle="""
+    SELECT r_regionkey,
+           lpad(r_name, 15, '.')  AS padded,
+           reverse(r_name)        AS reversed,
+           array_to_string(
+             list_transform(string_split(lower(r_name), ' '),
+                            w -> upper(substr(w, 1, 1)) || substr(w, 2)),
+             ' ') AS capped
+    FROM region
+    """,
+)
+def f22_pad_reverse(spark, sf_dir):
+    r = t(spark, sf_dir, "region")
+    return r.select(
+        "r_regionkey",
+        F.lpad("r_name", 15, ".").alias("padded"),
+        F.reverse("r_name").alias("reversed"),
+        F.initcap(F.lower("r_name")).alias("capped"),
+    )
+
+
+@query(
+    "f23_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255            AS low_byte,
+           o_orderkey | 1              AS odd_key,
+           xor(o_orderkey, 21845)      AS xored,
+           o_orderkey << 2             AS shifted
+    FROM orders
+    """,
+)
+def f23_bitwise(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(1)).alias("odd_key"),
+        k.bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.shiftleft(k, 2).alias("shifted"),
+    )
+
+
+@query(
+    "d5_month_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3mo,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(date_diff('month', TIMESTAMP '1995-01-01', o_orderdate)
+                AS INTEGER) AS months_since
+    FROM orders
+    """,
+)
+def d5_month_arith(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.add_months(d, 3).alias("plus_3mo"),
+        F.last_day(d).alias("month_end"),
+        (
+            (F.year(d) - 1995) * 12 + F.month(d) - 1
+        ).cast("int").alias("months_since"),
+    )
+
+
 N_SALTS = 8  # fan-out factor for the skew-spreading partial phase
 
 

@@ -49,6 +49,18 @@ def test_x7_neardup_nonvacuous(spark):
     assert rows, "x7 became vacuous again"
 
 
+def test_x24_keep_is_consistent_with_x29_canonicals(spark):
+    """Cluster canonicals (x29 minimum ids) must all survive x24's
+    pair-based filter: the minimum of a cluster is never the id_b of
+    any pair (pairs are ordered id_a < id_b), so x24 keeps it."""
+    kept = {r.doc_id for r in QUERIES["x24_dedup_keep"](spark, SF_DIR_001).collect()}
+    canonicals = {
+        r.cluster
+        for r in QUERIES["x29_dedup_clusters"](spark, SF_DIR_001).collect()
+    }
+    assert canonicals <= kept
+
+
 def test_x29_clusters_equal_union_find(spark):
     """Distributed label propagation must produce exactly the connected
     components a sequential union-find finds on the same edges."""
