@@ -73,6 +73,57 @@ def nl3_alias_substitution(spark, sf_dir):
 
 
 @query(
+    "nl5_full_ask_lifecycle",
+    # the end-to-end §3.1 lifecycle: question -> dictionary context ->
+    # prompt -> (stub) LLM -> repair -> execute; the stub returns SQL
+    # broken three ways (fence + alias + typo) and the oracle is what a
+    # correct LLM+clean schema would have produced
+    oracle="""
+    SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS total_qty
+    FROM lineitem
+    WHERE l_quantity > 30
+    GROUP BY l_returnflag
+    """,
+)
+def nl5_full_ask_lifecycle(spark, sf_dir):
+    from ..nl.ask import answer_question
+    from ..nl.llm import StubLLM
+
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    meta = {
+        "columns": [
+            {
+                "name": "l_returnflag",
+                "type": "VARCHAR",
+                "description": "Return status flag.",
+                "aliases": ["flag"],
+                "importance": 8,
+            },
+            {
+                "name": "l_quantity",
+                "type": "DOUBLE",
+                "description": "Quantity ordered.",
+                "aliases": ["qty", "quantity"],
+                "importance": 9,
+            },
+        ],
+        "rules": [],
+    }
+    stub = StubLLM(
+        default=(
+            "```sql\n"
+            "SELECT flag, count(*) AS n, sum(l_quantty) AS total_qty\n"
+            "FROM lineitem WHERE qty > 30 GROUP BY flag\n"
+            "```"
+        )
+    )
+    result = answer_question(
+        spark, "lineitem", "quantities over 30 by return flag", stub, meta=meta
+    )
+    return result.df
+
+
+@query(
     "nl4_literal_canonicalization",
     # R5+R6: case rule lowercases the literal; map_values rewrites the
     # colloquial value — both before execution

@@ -218,6 +218,56 @@ def test_stateful_sessionizer_matches_batch_closed_sessions(
     assert len(want) > 100  # substantive comparison, not vacuous
 
 
+def test_checkpoint_restart_resumes_exactly_once(spark, raw_events, tmp_path):
+    """Durability: a watermarked aggregation stopped mid-stream and
+    restarted from its checkpoint must process the remaining files
+    exactly once — final counts equal the batch result."""
+    import pyspark.sql.functions as F
+
+    src = _normalize(raw_events)
+    data_dir = str(tmp_path / "data")
+    ckpt = str(tmp_path / "ckpt")
+    half1 = src.filter(F.col("event_id") % 2 == 0)
+    half2 = src.filter(F.col("event_id") % 2 == 1)
+    half1.write.parquet(data_dir)
+
+    def start():
+        stream = (
+            spark.readStream.schema(src.schema).format("parquet").load(data_dir)
+        )
+        agg = (
+            stream_ops.tumbling_counts(_normalize(stream))
+            .select("window_start", "event_type", "n")
+        )
+        return (
+            agg.writeStream.format("memory")
+            .queryName("ckpt_sink")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = start()
+    q1.awaitTermination(120)
+    first_total = sum(r.n for r in spark.table("ckpt_sink").collect())
+    assert first_total == half1.count()
+
+    half2.write.mode("append").parquet(data_dir)  # late-arriving files
+    q2 = start()  # same checkpoint -> resumes, reads ONLY the new files
+    q2.awaitTermination(120)
+    out = spark.table("ckpt_sink")
+    assert sum(r.n for r in out.collect()) == src.count()
+
+    want = (
+        QUERIES["x15_tumbling_window"](spark, SF_DIR)
+        .select("window_start", "event_type", "n")
+        .collect()
+    )
+    got = {(r.window_start, r.event_type): r.n for r in out.collect()}
+    assert got == {(r.window_start, r.event_type): r.n for r in want}
+
+
 def test_streaming_sliding_total(spark, raw_events, stream_path):
     got = _run_stream(
         spark, lambda s: stream_ops.sliding_counts(_normalize(s)), raw_events,
