@@ -241,11 +241,17 @@ def x2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                )) AS g
         FROM documents
       )
+    ), kept AS (
+      -- stop-gram skew guard: drop grams present in > 25% of docs
+      SELECT g FROM grams GROUP BY g
+      HAVING count(*) <= (SELECT count(*) FROM documents) / 4
+    ), pruned AS (
+      SELECT doc_id, g FROM grams WHERE g IN (SELECT g FROM kept)
     ), sizes AS (
-      SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+      SELECT doc_id, count(*) AS n FROM pruned GROUP BY doc_id
     ), overlap AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      FROM pruned a JOIN pruned b ON a.g = b.g AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT id_a, id_b,
@@ -260,17 +266,25 @@ def x3_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact character-8-gram Jaccard over the full corpus.
 
     The inverted-index join touches only pairs sharing a gram — the
-    relational formulation of similarity self-join (at 100 TB the
-    gram postings would additionally be df-filtered to drop stop-grams,
-    the same skew guard as x2's MAX_BUCKET). Jaccard is a ratio of
-    exact ints, so it hashes identically against the oracle. Threshold
-    0.05 yields tens of thousands of true pairs at sf0.01 — the result
-    is decidedly non-vacuous.
+    relational formulation of similarity self-join — and boilerplate
+    grams (document frequency > 25%) are pruned before the join, the
+    posting-list skew guard that keeps the join linear in true-overlap
+    pairs at 100 TB. Jaccard is a ratio of exact ints over the pruned
+    gram sets, so it hashes identically against the oracle (which
+    applies the same pruning). Threshold 0.05 yields tens of thousands
+    of true pairs at sf0.01 — the result is decidedly non-vacuous.
     """
     d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
     grams = d.select(
         "doc_id", F.explode(char_ngrams(F.col("text"), 8)).alias("g")
     ).dropDuplicates(["doc_id", "g"])
+    # Stop-gram skew guard: a gram occurring in >25% of documents is
+    # boilerplate; its posting list would dominate the self-join
+    # (quadratic in list length). Same document-frequency pruning as
+    # x2's MAX_BUCKET, expressed on the inverted index.
+    kept = grams.groupBy("g").count().filter(F.col("count") <= n_docs / 4)
+    grams = grams.join(kept.select("g"), "g")
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = grams.select(F.col("doc_id").alias("id_a"), "g")
     b = grams.select(F.col("doc_id").alias("id_b"), "g")
