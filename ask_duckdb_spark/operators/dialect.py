@@ -660,6 +660,34 @@ def d5_month_arith(spark, sf_dir):
     )
 
 
+@query(
+    "f24_cast_matrix",
+    # Cross-engine-safe casts only: double->int is EXCLUDED on purpose
+    # (DuckDB rounds, Spark truncates — a genuine dialect divergence,
+    # documented here rather than papered over)
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT)  AS roundtrip_int,
+           CAST(o_orderkey AS DOUBLE)                   AS as_double,
+           CAST(o_orderdate AS DATE)                    AS as_date,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR)   AS date_str,
+           CAST(o_totalprice > 100000 AS INTEGER)       AS bool_int
+    FROM orders
+    """,
+)
+def f24_cast_matrix(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.cast("string").cast("bigint").alias("roundtrip_int"),
+        k.cast("double").alias("as_double"),
+        F.col("o_orderdate").cast("date").alias("as_date"),
+        F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
+        (F.col("o_totalprice") > 100000).cast("int").alias("bool_int"),
+    )
+
+
 N_SALTS = 8  # fan-out factor for the skew-spreading partial phase
 
 

@@ -50,6 +50,16 @@ def test_bad_sql_is_exit_4(spark, capsys):
     assert "[SQL execution failed]" in capsys.readouterr().err
 
 
+def test_multi_statement_injection_rejected(spark):
+    """'SELECT 1; DROP TABLE x' passes the prefix gate but must still
+    fail: spark.sql is single-statement, so the parser rejects it."""
+    assert exit_code(
+        cli_sql.main,
+        ["--sf-dir", SF_DIR, "--table", "region",
+         "--query", "SELECT 1 AS x; DROP TABLE region"],
+    ) == 4
+
+
 def test_mutation_rejected_exit_4(spark):
     assert exit_code(
         cli_sql.main,
