@@ -688,6 +688,89 @@ def f24_cast_matrix(spark, sf_dir):
     )
 
 
+@query(
+    "g15_group_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.50) AS p50,
+           quantile_cont(l_extendedprice, 0.75) AS p75
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def g15_group_percentiles(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
+            F.expr("percentile(l_extendedprice, 0.50)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.75)").alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "f25_width_bucket_histogram",
+    # DuckDB has no width_bucket: the oracle spells out its contract
+    # (underflow bucket 0, overflow bucket n+1, else floor-division)
+    oracle="""
+    SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                     WHEN o_totalprice >= 500000 THEN 11
+                     ELSE floor(o_totalprice / 50000) + 1 END AS BIGINT)
+             AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def f25_width_bucket_histogram(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(500000), F.lit(10))
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "d6_generate_days",
+    # generator functions: a date spine LEFT-joined to the fact so
+    # zero-order days still appear (the gap-filling reporting pattern)
+    oracle="""
+    WITH spine AS (
+      SELECT CAST(unnest(generate_series(DATE '1996-03-01',
+                                         DATE '1996-03-31',
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+    )
+    SELECT spine.d, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+    FROM spine LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = spine.d
+    GROUP BY spine.d ORDER BY spine.d
+    """,
+)
+def d6_generate_days(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1996-03-01").cast("date"),
+                F.lit("1996-03-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d")
+    )
+    return (
+        spine.join(o, o.o_orderdate.cast("date") == spine.d, "left")
+        .groupBy("d")
+        .agg(F.count("o_orderkey").cast("bigint").alias("n_orders"))
+        .orderBy("d")
+    )
+
+
 N_SALTS = 8  # fan-out factor for the skew-spreading partial phase
 
 

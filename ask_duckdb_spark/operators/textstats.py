@@ -38,7 +38,7 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 FP_MOD = 1_000_000_007  # rolling-hash modulus (fits BIGINT at 31x steps)
 
 
-from ..functions.text import tokens  # shared tokenizer  # noqa: E402
+from ..functions.text import char_ngrams, tokens  # noqa: E402
 
 
 @query(
@@ -451,6 +451,109 @@ def x31_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         sampled.groupBy("lang")
         .agg(F.count("*").cast("bigint").alias("n_docs"))
         .orderBy("lang")
+    )
+
+
+#: Per-language keep rates for corpus rebalancing (10000ths of 2^32).
+REBALANCE_RATES: dict[str, float] = {
+    "en": 0.5,   # downsample the dominant language
+    "zh": 1.0,   # keep all of the under-represented ones
+    "de": 1.0,
+    "fr": 1.0,
+    "es": 1.0,
+}
+
+
+@query(
+    "x32_rebalance_sample",
+    oracle=f"""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
+    FROM documents
+    WHERE (doc_id * 2654435761) % 4294967296 <
+          CASE lang WHEN 'en' THEN {int(0.5 * 4294967296)}
+                    ELSE 4294967296 END
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def x32_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language rebalancing: per-stratum deterministic downsampling.
+
+    The corpus-mixing step of LLM data prep — each language keeps a
+    configured fraction, selected by the same multiplicative hash as
+    x23 so the choice is reproducible across engines, runs, and
+    partitionings (``sampleBy`` would not be). Narrow map + one
+    combinable count shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * 2654435761) % 4294967296
+    threshold = (
+        F.when(F.col("lang") == "en", F.lit(int(0.5 * 4294967296)))
+        .otherwise(F.lit(4294967296))
+    )
+    return (
+        d.filter(h < threshold)
+        .groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("n_kept"))
+        .orderBy("lang")
+    )
+
+
+@query(
+    "x33_decontamination",
+    # benchmark set = src0 docs; training set = the rest; a training doc
+    # is CONTAMINATED when it shares any 8-gram with a benchmark doc
+    oracle="""
+    WITH bench AS (
+      SELECT DISTINCT g FROM (
+        SELECT unnest(list_transform(
+                 range(1, greatest(length(text) - 7, 1) + 1),
+                 i -> substr(text, CAST(i AS INTEGER), 8))) AS g
+        FROM documents WHERE source = 'src0'
+      )
+    ), train_grams AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(length(text) - 7, 1) + 1),
+                 i -> substr(text, CAST(i AS INTEGER), 8))) AS g
+        FROM documents WHERE source <> 'src0'
+      )
+    )
+    SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_contaminated,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents
+            WHERE source <> 'src0') AS n_train
+    FROM train_grams WHERE g IN (SELECT g FROM bench)
+    """,
+)
+def x33_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing an 8-gram with
+    the held-out set.
+
+    The eval-leakage check every training pipeline needs: benchmark
+    grams (the small side) broadcast against the training corpus's
+    gram stream; contaminated docs counted distinct. At 100 TB the
+    benchmark gram set is millions of rows — still broadcastable — and
+    the training side is a narrow scan + semi-join, no self-join.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bench_grams = (
+        d.filter(F.col("source") == "src0")
+        .select(F.explode(char_ngrams(F.col("text"), 8)).alias("g"))
+        .distinct()
+    )
+    train = d.filter(F.col("source") != "src0")
+    n_train = train.count()
+    train_grams = train.select(
+        "doc_id", F.explode(char_ngrams(F.col("text"), 8)).alias("g")
+    )
+    contaminated = (
+        train_grams.join(F.broadcast(bench_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return contaminated.agg(
+        F.count("*").cast("bigint").alias("n_contaminated"),
+        F.lit(n_train).cast("bigint").alias("n_train"),
     )
 
 
