@@ -771,6 +771,59 @@ def d6_generate_days(spark, sf_dir):
     )
 
 
+@query(
+    "f26_posexplode_ordinality",
+    # DuckDB has no WITH ORDINALITY; an indexed list_transform builds
+    # (pos, word) structs that unnest to the same rows
+    oracle="""
+    SELECT p_partkey, CAST(x.pos AS INTEGER) AS pos, x.word AS word
+    FROM (
+      SELECT p_partkey,
+             unnest(list_transform(string_split(p_name, ' '),
+                                   (w, i) -> {'pos': i - 1, 'word': w})) AS x
+      FROM part
+    )
+    ORDER BY p_partkey, pos
+    """,
+)
+def f26_posexplode_ordinality(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey", F.posexplode(F.split("p_name", " ")).alias("pos", "word")
+        )
+        .orderBy("p_partkey", "pos")
+    )
+
+
+@query(
+    "f27_unpivot",
+    oracle="""
+    SELECT c_custkey, metric, value FROM (
+      UNPIVOT (SELECT c_custkey,
+                      c_acctbal AS acctbal,
+                      CAST(c_nationkey AS DOUBLE) AS nationkey
+               FROM customer)
+      ON acctbal, nationkey
+      INTO NAME metric VALUE value
+    )
+    """,
+)
+def f27_unpivot(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    wide = c.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    )
+    return wide.unpivot(
+        ids=["c_custkey"],
+        values=["acctbal", "nationkey"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
 N_SALTS = 8  # fan-out factor for the skew-spreading partial phase
 
 

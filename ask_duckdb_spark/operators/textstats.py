@@ -558,6 +558,46 @@ def x33_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x34_train_val_test_split",
+    # hash ranges: [0, .8) train, [.8, .9) val, [.9, 1) test
+    oracle=f"""
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs
+    FROM (
+      SELECT CASE
+               WHEN (doc_id * 2654435761) % 4294967296
+                    < {int(0.8 * 4294967296)} THEN 'train'
+               WHEN (doc_id * 2654435761) % 4294967296
+                    < {int(0.9 * 4294967296)} THEN 'val'
+               ELSE 'test' END AS split
+      FROM documents
+    )
+    GROUP BY split ORDER BY split
+    """,
+)
+def x34_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by key hash.
+
+    The canonical ML split: hash RANGES (not modulo classes) so the
+    split survives corpus growth — a doc's assignment never changes
+    when new docs arrive, and the same doc lands in the same split on
+    every engine (``randomSplit`` guarantees neither).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * 2654435761) % 4294967296
+    split = (
+        F.when(h < int(0.8 * 4294967296), "train")
+        .when(h < int(0.9 * 4294967296), "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"))
+        .groupBy("split")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("split")
+    )
+
+
+@query(
     "x12_fingerprint",
     oracle=f"""
     SELECT doc_id,
