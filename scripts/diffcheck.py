@@ -80,7 +80,19 @@ def main() -> int:
     args = ap.parse_args()
 
     names = args.names or sorted(QUERIES)
-    spark = get_spark("diffcheck")
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # Driver-simulation mode: a bare session with NONE of our tuned
+        # confs, exactly what the correctness harness might hand us.
+        # Operators must survive via apply_runtime_conf in load_table.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("diffcheck-vanilla")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("diffcheck")
     con = duck_conn(args.sf)
     n_pass = n_fail = n_rows_only = 0
     for name in names:
