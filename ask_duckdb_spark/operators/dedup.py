@@ -74,6 +74,46 @@ def x1b_dedup_hash_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x35_dedup_normalized",
+    # normalization: casefold, strip non-alphanumerics to spaces,
+    # collapse whitespace — the "fuzzy-exact" dedup between exact (x1)
+    # and minhash (x2): catches reformatted copies at exact-dedup cost
+    oracle=r"""
+    SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_variants
+    FROM (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS norm_h
+      FROM documents
+    )
+    GROUP BY norm_h
+    """,
+)
+def x35_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-text dedup: casefold + punctuation/whitespace collapse.
+
+    Practical middle ground between byte-exact (x1) and near-dup (x2):
+    catches re-encoded, re-punctuated, re-wrapped copies with the same
+    single digest-keyed shuffle as exact dedup — 16 B/row at 100 TB.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "), " +", " "
+        )
+    )
+    return (
+        d.select("doc_id", F.md5(norm).alias("norm_h"))
+        .groupBy("norm_h")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").cast("bigint").alias("n_variants"),
+        )
+        .select("doc_id", "n_variants")
+    )
+
+
 # ---------------------------------------------------------------------------
 # X2 MinHash + LSH near-dup
 # ---------------------------------------------------------------------------

@@ -53,6 +53,23 @@ def test_narrow_map_operators_shuffle_free(spark):
     assert checks.num_shuffles(QUERIES["x12_fingerprint"](spark, SF_DIR)) == 0
 
 
+def test_aqe_coalesces_small_shuffles(spark):
+    """32 configured shuffle partitions over tiny data must coalesce at
+    runtime (AQEShuffleRead coalesced) — the other half of the AQE
+    promise beside skew splitting."""
+    from ask_duckdb_spark.sources.catalog import load_table
+
+    df = (
+        load_table(spark, SF_DIR, "customer")
+        .groupBy("c_nationkey")
+        .count()
+    )
+    df.collect()  # materialize THIS plan (AQE finalizes on execution)
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert "coalesced" in final, final[:1500]
+
+
 def test_sql_broadcast_hint_respected(spark):
     from ask_duckdb_spark.sources.catalog import load_table
 

@@ -65,6 +65,15 @@ def test_shard_layout_write_and_prune(spark, tmp_path):
     assert one.count() > 0
 
 
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC is the other columnar interchange format Spark ships."""
+    path = str(tmp_path / "docs_orc")
+    src = _docs(spark)
+    src.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == src.schema and back.count() == src.count()
+
+
 def test_jsonl_roundtrip(spark, tmp_path):
     path = str(tmp_path / "docs_jsonl")
     src = _docs(spark)
