@@ -270,6 +270,78 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_len bigint, frame_sha string"
+FRAME_STRIDE = 2  # sample every 2nd frame
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic FAKE frame sampler (real codec stubbed, like x20).
+
+    A real implementation would seek keyframes with ``av``; here the
+    payload is divided into ``n_frames`` contiguous byte ranges and
+    every FRAME_STRIDE-th range is emitted — a one-to-many Pandas
+    stage: one input row fans out to multiple frame rows.
+    """
+    import hashlib
+
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [], "frame_idx": [], "frame_len": [], "frame_sha": []
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            n_frames = n % 7 + 1  # same fake frame count as x20
+            size = n // n_frames
+            for i in range(0, n_frames, FRAME_STRIDE):
+                chunk = payload[i * size : (i + 1) * size]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(i)
+                out["frame_len"].append(len(chunk))
+                out["frame_sha"].append(hashlib.sha256(chunk).hexdigest())
+        yield pd.DataFrame(out)
+
+
+@query(
+    "x36_frame_sample",
+    # the oracle reproduces the fake frame arithmetic on the text
+    # (fixture text is pure ASCII, so char slices == byte slices and
+    # sha256(varchar) hashes the same bytes; DuckDB substring does not
+    # accept BLOBs)
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, text,
+             length(text) % 7 + 1 AS n_frames,
+             length(text) // (length(text) % 7 + 1) AS fsize
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           CAST(fsize AS BIGINT) AS frame_len,
+           lower(sha256(substring(text, CAST(i * fsize + 1 AS INTEGER),
+                                  CAST(fsize AS INTEGER)))) AS frame_sha
+    FROM sized, unnest(range(0, n_frames, {FRAME_STRIDE})) AS t(i)
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def x36_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling via one-to-many ``mapInPandas`` (stub codec).
+
+    Completes the multimodal plumbing set (decode x20 / features /
+    frame-sample): binary in, MULTIPLE typed rows out per input —
+    bounded per-batch memory, parallel across the corpus. The oracle
+    replays the byte-slicing arithmetic so the fan-out, ordering, and
+    digests are all differentially verified.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    target = d.sparkSession.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < target:
+        d = d.repartition(target)
+    payload = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return payload.mapInPandas(_sample_frames, FRAME_SCHEMA).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
 @query(
     "x20_decode_features",
     oracle="""
