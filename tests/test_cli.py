@@ -34,6 +34,18 @@ def test_open_fail_is_exit_1(spark):
     ) == 1
 
 
+def test_corrupt_source_is_exit_1(spark, tmp_path):
+    """A directory with an unreadable 'parquet' file is an open failure
+    (the reference's duckdb.connect failure, exit 1)."""
+    bad = tmp_path / "badsf"
+    bad.mkdir()
+    (bad / "region.parquet").write_bytes(b"this is not parquet")
+    assert exit_code(
+        cli_sql.main,
+        ["--sf-dir", str(bad), "--table", "region", "--query", "SELECT 1"],
+    ) == 1
+
+
 def test_missing_table_is_exit_2(spark):
     assert exit_code(
         cli_sql.main,

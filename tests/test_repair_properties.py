@@ -66,6 +66,45 @@ def test_canonicalize_preserves_quoteless_text(raw):
     assert canonicalize_literals(raw, META) == raw
 
 
+question = st.text(
+    alphabet=st.characters(codec="ascii", exclude_characters="\x00"), max_size=60
+)
+columns = st.lists(
+    st.fixed_dictionaries(
+        {
+            "name": ident,
+            "importance": st.integers(min_value=0, max_value=10),
+            "aliases": st.lists(ident, max_size=3),
+        }
+    ),
+    max_size=15,
+)
+
+
+@given(question, columns, st.integers(min_value=1, max_value=12))
+@settings(max_examples=200, deadline=None)
+def test_context_selection_properties(q, cols, top_k):
+    """C1 invariants: ≤ top_k columns, all from the dictionary, any
+    name/alias-mentioned column outranks every unmentioned one unless
+    importance closes the 100-point boost."""
+    from ask_duckdb_spark.nl.context import select_relevant_context
+
+    ctx = select_relevant_context(q, {"columns": cols}, top_k=top_k)
+    chosen = ctx["columns"]
+    assert len(chosen) <= top_k
+    assert all(c in cols for c in chosen)
+
+    def score(col):
+        names = [col["name"]] + col["aliases"]
+        boost = 100 if any(n and n.lower() in q.lower() for n in names) else 0
+        return col["importance"] + boost
+
+    if chosen:
+        floor = min(score(c) for c in chosen)
+        left_out = [c for c in cols if all(c is not k for k in chosen)]
+        assert all(score(c) <= floor for c in left_out)
+
+
 @given(ident)
 @settings(max_examples=200, deadline=None)
 def test_fuzzy_repair_output_tokens_are_known(tok):
