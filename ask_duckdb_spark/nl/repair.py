@@ -62,8 +62,13 @@ _IDENT_RE = re.compile(r"\b([A-Za-z_][A-Za-z0-9_]*)\b")
 
 
 def is_fenced(text: str) -> bool:
-    """True when the text contains a fenced markdown code block."""
-    return bool(_FENCE_RE.search(text))
+    """True when the text contains an extractable fenced code block.
+
+    Detection uses the same regex as extraction, so the two can never
+    disagree (a ``[^`]*``-style detector would miss fences whose body
+    contains backtick-quoted identifiers — which R7 itself produces).
+    """
+    return bool(_FENCE_EXTRACT_RE.search(text))
 
 
 def extract_fenced_code(text: str) -> str | None:
@@ -159,9 +164,26 @@ def fix_common_mistakes(
     nor a real column is fuzzy-matched against the real columns
     (``difflib.get_close_matches``, n=1, cutoff 0.86) and, on a hit,
     replaced word-bounded and case-SENSITIVELY (query_llm.py:251-263).
+
+    Two deliberate hardenings over the reference's regexes:
+    - string literals are masked first, so R2/R3/R4 can never rewrite
+      words INSIDE a quoted value (``LIKE '%state%'`` stays intact);
+    - candidate/token iteration is sorted, so difflib ratio ties break
+      identically on every run (a raw set order would make repaired
+      SQL vary across interpreter processes).
     """
-    fixed = sql
-    for alias_lc, canonical in (synonym_map or {}).items():
+    # mask string literals: placeholders use \x01<digits>\x01, which the
+    # identifier regexes cannot match, then restore at the end
+    literals: list[str] = []
+
+    def _mask(m: re.Match) -> str:
+        literals.append(m.group(0))
+        return f"\x01{len(literals) - 1}\x01"
+
+    fixed = re.sub(r"'[^']*'", _mask, sql)
+
+    for alias_lc in sorted(synonym_map or {}):
+        canonical = synonym_map[alias_lc]
         if alias_lc not in actual_cols and canonical in actual_cols:
             fixed = re.sub(
                 rf"\b{re.escape(alias_lc)}\b",
@@ -170,18 +192,20 @@ def fix_common_mistakes(
                 flags=re.IGNORECASE,
             )
 
-    fixed = re.sub(r"=\s*'ONLINE'", "='online'", fixed, flags=re.IGNORECASE)
-
     tokens = set(_IDENT_RE.findall(fixed))
     unknowns = [
         tok
-        for tok in tokens
+        for tok in sorted(tokens)
         if tok.lower() not in SQL_KEYWORDS and tok not in actual_cols
     ]
     for tok in unknowns:
-        best = difflib.get_close_matches(tok, list(actual_cols), n=1, cutoff=0.86)
+        best = difflib.get_close_matches(tok, sorted(actual_cols), n=1, cutoff=0.86)
         if best:
             fixed = re.sub(rf"\b{re.escape(tok)}\b", best[0], fixed)
+
+    fixed = re.sub(r"\x01(\d+)\x01", lambda m: literals[int(m.group(1))], fixed)
+    # R3 runs on the restored text: its target IS a quoted literal
+    fixed = re.sub(r"=\s*'ONLINE'", "='online'", fixed, flags=re.IGNORECASE)
     return fixed
 
 
@@ -210,15 +234,44 @@ def repair_sql(
 #: the statement level (SURVEY.md §4.2).
 _READONLY_PREFIXES = ("select", "with", "values", "explain", "describe", "show", "(")
 
+#: Tokens that mutate data/metadata — rejected anywhere in the
+#: statement (outside string literals), so a ``WITH cte AS (...)
+#: INSERT INTO ...`` can't slip past the prefix check.
+#: ``set`` and ``replace`` are deliberately absent: bare SET is already
+#: stopped by the prefix gate, ``replace()`` is a legitimate SELECT
+#: string function, and CREATE OR REPLACE trips on ``create``.
+_MUTATION_RE = re.compile(
+    r"\b(insert|update|delete|merge|drop|create|alter|truncate"
+    r"|grant|revoke|copy|call|vacuum|refresh|uncache)\b",
+    re.IGNORECASE,
+)
+
+_COMMENT_RE = re.compile(r"--[^\n]*|/\*.*?\*/", re.DOTALL)
+
 
 def ensure_readonly(sql: str) -> None:
-    """Raise ValueError unless the statement is a read-only query."""
-    head = sql.lstrip().split(None, 1)
+    """Raise ValueError unless the statement is a read-only query.
+
+    Two layers: (1) the first token (comments stripped) must be a query
+    prefix; (2) no mutation keyword may appear ANYWHERE outside string
+    literals — catching WITH-prefixed DML. Biased toward safety: a
+    SELECT whose *identifier* is literally named ``update`` is rejected
+    (rename it); string literals are masked first so data values never
+    trip the gate.
+    """
+    stripped = _COMMENT_RE.sub(" ", sql)
+    head = stripped.lstrip().split(None, 1)
     first = head[0].lower() if head else ""
     if not first.startswith(_READONLY_PREFIXES):
         raise ValueError(
             f"read-only violation: statement starts with {first!r}; "
             "only SELECT/WITH/VALUES/EXPLAIN/DESCRIBE/SHOW are allowed"
+        )
+    no_literals = re.sub(r"'[^']*'", "''", stripped)
+    m = _MUTATION_RE.search(no_literals)
+    if m:
+        raise ValueError(
+            f"read-only violation: statement contains {m.group(0)!r}"
         )
 
 

@@ -20,8 +20,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import char_ngrams
+from ..functions.text import char_ngrams, tokens
 from ..sources.catalog import load_table
+from ._util import widen
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -79,13 +80,20 @@ def x1b_dedup_hash_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     # normalization: casefold, strip non-alphanumerics to spaces,
     # collapse whitespace — the "fuzzy-exact" dedup between exact (x1)
     # and minhash (x2): catches reformatted copies at exact-dedup cost
+    # non-[a-z0-9] scripts (CJK etc.) normalize to '' — those docs fall
+    # back to their RAW text hash so distinct non-Latin documents are
+    # never falsely collapsed into one group
     oracle=r"""
     SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_variants
     FROM (
       SELECT doc_id,
-             md5(trim(regexp_replace(regexp_replace(lower(text),
-                    '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS norm_h
-      FROM documents
+             CASE WHEN norm = '' THEN md5(text) ELSE md5(norm) END AS norm_h
+      FROM (
+        SELECT doc_id, text,
+               trim(regexp_replace(regexp_replace(lower(text),
+                      '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        FROM documents
+      )
     )
     GROUP BY norm_h
     """,
@@ -103,8 +111,9 @@ def x35_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "), " +", " "
         )
     )
+    norm_h = F.when(norm == "", F.md5("text")).otherwise(F.md5(norm))
     return (
-        d.select("doc_id", F.md5(norm).alias("norm_h"))
+        d.select("doc_id", norm_h.alias("norm_h"))
         .groupBy("norm_h")
         .agg(
             F.min("doc_id").alias("doc_id"),
@@ -139,9 +148,7 @@ def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     # shingle). A small input can arrive as 1-2 scan partitions (one
     # parquet footer), serializing the work; widen to the core count.
     # At 100 TB the scan already has >> cores partitions and this no-ops.
-    target = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        docs = docs.repartition(target)
+    docs = widen(docs)
     # Shingle in HASH space: hash each token once, then fold every k
     # consecutive token hashes into a shingle hash (polynomial combine)
     # — no shingle strings are ever built or re-hashed. Permutations
@@ -150,8 +157,7 @@ def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     # Per token this is 1 string hash + O(k + N_HASHES) multiply-adds,
     # versus building k-word strings and string-hashing them N_HASHES
     # times.
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
-    th = F.transform(toks, lambda t: F.xxhash64(t))
+    th = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
     docs = docs.select(id_col, th.alias("_th"))
     n = F.greatest(F.size(F.col("_th")) - F.lit(SHINGLE_K - 1), F.lit(1))
     shingle_hashes = F.transform(
@@ -361,8 +367,9 @@ def x29_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     into transitive clusters, so chains a→b→c dedup to ONE canonical
     doc where pair-based filtering (x24) would keep two. Each round is
     one join + one aggregate on (vertex, label) pairs; convergence is
-    checked with a cheap count. The fixture graph converges in ≤3
-    rounds; the iteration cap bounds worst-case chains.
+    checked with a cheap count, and an unconverged exit RAISES instead
+    of silently returning split components (the cap only bounds
+    pathological chains — the fixture converges in ≤3 rounds).
     """
     pairs = x2_minhash_neardup(spark, sf_dir).select("id_a", "id_b")
     # symmetric edge list (+ self-loops keep isolated pair-members)
@@ -374,7 +381,8 @@ def x29_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("label", F.col("v"))
     )
-    for _ in range(6):  # cap; fixture converges in <= 3
+    converged = False
+    for _ in range(25):  # label propagation needs one round per hop
         neighbor_min = (
             edges.join(labels, edges.id_b == labels.v)
             .groupBy("id_a")
@@ -396,9 +404,18 @@ def x29_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels = new_labels
+        prev, labels = labels, new_labels
+        prev.unpersist()  # the count above materialized new_labels
         if changed == 0:
+            converged = True
             break
+    edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            "x29 label propagation did not converge in 25 rounds —"
+            " a component with diameter > 25 (pathological chain);"
+            " raise the cap or pre-contract the graph"
+        )
     return labels.select(
         F.col("v").alias("doc_id"), F.col("label").alias("cluster")
     ).orderBy("doc_id")
@@ -439,12 +456,8 @@ def x4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     output, no shuffle, and the hashing parallelizes with the same
     core-count repartition rule as minhash.
     """
-    d = load_table(spark, sf_dir, "documents")
-    target = d.sparkSession.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < target:
-        d = d.repartition(target)
-    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    d = widen(load_table(spark, sf_dir, "documents"))
+    hashes = F.transform(tokens(F.col("text")), lambda t: F.xxhash64(t))
     # project _h first so the split+hash runs once; _n derives from it
     d = d.select("doc_id", hashes.alias("_h")).select(
         "doc_id", "_h", F.size("_h").alias("_n")

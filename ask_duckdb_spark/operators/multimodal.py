@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
+from ._util import widen
 from .registry import query
 
 
@@ -332,10 +333,7 @@ def x36_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the byte-slicing arithmetic so the fan-out, ordering, and
     digests are all differentially verified.
     """
-    d = load_table(spark, sf_dir, "documents")
-    target = d.sparkSession.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < target:
-        d = d.repartition(target)
+    d = widen(load_table(spark, sf_dir, "documents"))
     payload = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     return payload.mapInPandas(_sample_frames, FRAME_SCHEMA).orderBy(
         "doc_id", "frame_idx"
@@ -367,12 +365,6 @@ def x20_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified end to end. Works because fixture text is pure ASCII
     (byte value == codepoint); a real decoder wouldn't care.
     """
-    d = load_table(spark, sf_dir, "documents")
-    # media decode is CPU-bound: make its parallelism match the cores
-    # even when the scan is a single small parquet footer (at 100 TB the
-    # scan already has >> cores partitions and this no-ops)
-    target = d.sparkSession.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < target:
-        d = d.repartition(target)
+    d = widen(load_table(spark, sf_dir, "documents"))
     payload = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     return payload.mapInPandas(_decode_batches, DECODE_SCHEMA).orderBy("doc_id")

@@ -454,7 +454,9 @@ def x31_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Per-language keep rates for corpus rebalancing (10000ths of 2^32).
+#: Per-language keep FRACTIONS for corpus rebalancing. Both the Spark
+#: operator and its oracle derive their hash thresholds from this one
+#: dict, so editing a rate here changes both sides in lockstep.
 REBALANCE_RATES: dict[str, float] = {
     "en": 0.5,   # downsample the dominant language
     "zh": 1.0,   # keep all of the under-represented ones
@@ -463,33 +465,44 @@ REBALANCE_RATES: dict[str, float] = {
     "es": 1.0,
 }
 
+_HASH_MOD = 4294967296  # 2^32
+
+
+def _rate_threshold(rate: float) -> int:
+    return int(rate * _HASH_MOD)
+
+
+_RATES_SQL_CASE = "CASE lang " + " ".join(
+    f"WHEN '{lang}' THEN {_rate_threshold(rate)}"
+    for lang, rate in REBALANCE_RATES.items()
+) + " ELSE 0 END"  # unknown language: drop (explicit policy)
+
 
 @query(
     "x32_rebalance_sample",
     oracle=f"""
     SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
     FROM documents
-    WHERE (doc_id * 2654435761) % 4294967296 <
-          CASE lang WHEN 'en' THEN {int(0.5 * 4294967296)}
-                    ELSE 4294967296 END
+    WHERE (doc_id * 2654435761) % {_HASH_MOD} < {_RATES_SQL_CASE}
     GROUP BY lang ORDER BY lang
     """,
 )
 def x32_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language rebalancing: per-stratum deterministic downsampling.
 
-    The corpus-mixing step of LLM data prep — each language keeps a
-    configured fraction, selected by the same multiplicative hash as
-    x23 so the choice is reproducible across engines, runs, and
+    The corpus-mixing step of LLM data prep — each language keeps its
+    REBALANCE_RATES fraction, selected by the same multiplicative hash
+    as x23 so the choice is reproducible across engines, runs, and
     partitionings (``sampleBy`` would not be). Narrow map + one
     combinable count shuffle.
     """
     d = load_table(spark, sf_dir, "documents")
-    h = (F.col("doc_id") * 2654435761) % 4294967296
-    threshold = (
-        F.when(F.col("lang") == "en", F.lit(int(0.5 * 4294967296)))
-        .otherwise(F.lit(4294967296))
-    )
+    h = (F.col("doc_id") * 2654435761) % _HASH_MOD
+    threshold = F.lit(0)
+    for lang, rate in REBALANCE_RATES.items():
+        threshold = F.when(
+            F.col("lang") == lang, F.lit(_rate_threshold(rate))
+        ).otherwise(threshold)
     return (
         d.filter(h < threshold)
         .groupBy("lang")

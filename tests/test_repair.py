@@ -196,8 +196,43 @@ def test_readonly_allows_queries():
 @pytest.mark.parametrize(
     "sql",
     ["DROP TABLE t", "INSERT INTO t VALUES (1)", "UPDATE t SET a=1",
-     "DELETE FROM t", "CREATE TABLE t (a int)", "SET spark.x=1"],
+     "DELETE FROM t", "CREATE TABLE t (a int)", "SET spark.x=1",
+     # WITH-prefixed DML must not slip past the prefix gate
+     "WITH x AS (SELECT 1) INSERT INTO t SELECT * FROM x",
+     "WITH x AS (SELECT 1) DELETE FROM t WHERE a IN (SELECT * FROM x)"],
 )
 def test_readonly_rejects_mutations(sql):
     with pytest.raises(ValueError):
         ensure_readonly(sql)
+
+
+def test_readonly_allows_comment_prefix_and_literals():
+    # leading comments are stripped before the prefix check; mutation
+    # words inside string literals never trip the deep scan
+    ensure_readonly("-- top customers\nSELECT c_name FROM customer")
+    ensure_readonly("/* note */ SELECT 1")
+    ensure_readonly("SELECT * FROM t WHERE note = 'please drop table x'")
+    ensure_readonly("SELECT * FROM t WHERE v LIKE '%insert%'")
+
+
+def test_readonly_allows_select_with_replace_function():
+    ensure_readonly("SELECT replace(c_name, 'a', 'b') FROM customer")
+    ensure_readonly("SELECT 1 OFFSET 0")  # 'set' inside 'offset'
+
+
+def test_r1_fence_with_backtick_identifiers():
+    raw = "```sql\nSELECT `c_name` FROM customer\n```"
+    assert is_fenced(raw)
+    assert extract_fenced_code(raw) == "SELECT `c_name` FROM customer"
+
+
+def test_r2_r4_never_rewrite_inside_string_literals():
+    cols = {"queue", "status", "c_acctbal"}
+    syn = {"state": "status"}
+    # alias word inside a literal stays; typo-like token inside a
+    # literal stays; identifiers outside literals still repaired
+    sql = "SELECT queue FROM t WHERE note LIKE '%state%' AND x = 'c_acctbl'"
+    out = fix_common_mistakes(sql, cols, syn)
+    assert "'%state%'" in out and "'c_acctbl'" in out
+    out2 = fix_common_mistakes("SELECT state FROM t WHERE c_acctbl > 1", cols, syn)
+    assert out2 == "SELECT status FROM t WHERE c_acctbal > 1"
