@@ -51,9 +51,24 @@ SQL_KEYWORDS: frozenset[str] = frozenset(
     }
 )
 
-_FENCE_RE = re.compile(r"```[^`]*```", re.DOTALL)
 _FENCE_EXTRACT_RE = re.compile(r"```(.*?)\n(?P<code>.*?)\n```", re.DOTALL)
 _IDENT_RE = re.compile(r"\b([A-Za-z_][A-Za-z0-9_]*)\b")
+
+#: ONE left-to-right scan over string literals and comments. A single
+#: alternation is essential: separate literal/comment passes compose
+#: wrongly in either order (a ``--`` INSIDE a quoted literal would eat
+#: the rest of the statement, or a quote inside a comment would open a
+#: phantom literal).
+_LITERAL_OR_COMMENT_RE = re.compile(
+    r"'[^']*'|--[^\n]*|/\*.*?\*/", re.DOTALL
+)
+
+
+def _blank_literals_and_comments(sql: str) -> str:
+    """SQL with literals emptied ('') and comments removed (space)."""
+    return _LITERAL_OR_COMMENT_RE.sub(
+        lambda m: "''" if m.group(0).startswith("'") else " ", sql
+    )
 
 
 # --------------------------------------------------------------------------
@@ -173,14 +188,16 @@ def fix_common_mistakes(
       SQL vary across interpreter processes).
     """
     # mask string literals: placeholders use \x01<digits>\x01, which the
-    # identifier regexes cannot match, then restore at the end
+    # identifier regexes cannot match, then restore at the end. Any
+    # pre-existing \x01 in the input is dropped first (never legitimate
+    # SQL) so a crafted payload can't address the placeholder table.
     literals: list[str] = []
 
     def _mask(m: re.Match) -> str:
         literals.append(m.group(0))
         return f"\x01{len(literals) - 1}\x01"
 
-    fixed = re.sub(r"'[^']*'", _mask, sql)
+    fixed = re.sub(r"'[^']*'", _mask, sql.replace("\x01", ""))
 
     for alias_lc in sorted(synonym_map or {}):
         canonical = synonym_map[alias_lc]
@@ -198,8 +215,9 @@ def fix_common_mistakes(
         for tok in sorted(tokens)
         if tok.lower() not in SQL_KEYWORDS and tok not in actual_cols
     ]
+    candidates = sorted(actual_cols)
     for tok in unknowns:
-        best = difflib.get_close_matches(tok, sorted(actual_cols), n=1, cutoff=0.86)
+        best = difflib.get_close_matches(tok, candidates, n=1, cutoff=0.86)
         if best:
             fixed = re.sub(rf"\b{re.escape(tok)}\b", best[0], fixed)
 
@@ -246,29 +264,33 @@ _MUTATION_RE = re.compile(
     re.IGNORECASE,
 )
 
-_COMMENT_RE = re.compile(r"--[^\n]*|/\*.*?\*/", re.DOTALL)
+#: Prefixes whose statements may legitimately CONTAIN mutation words
+#: without executing them (SHOW CREATE TABLE, EXPLAIN INSERT analyzes
+#: but never runs the write).
+_INTROSPECTION_PREFIXES = ("show", "describe", "explain")
 
 
 def ensure_readonly(sql: str) -> None:
     """Raise ValueError unless the statement is a read-only query.
 
-    Two layers: (1) the first token (comments stripped) must be a query
-    prefix; (2) no mutation keyword may appear ANYWHERE outside string
-    literals — catching WITH-prefixed DML. Biased toward safety: a
+    Two layers over ONE literal/comment-aware scan: (1) the first real
+    token must be a query prefix; (2) for executable query prefixes, no
+    mutation keyword may appear anywhere outside string literals and
+    comments — catching WITH-prefixed DML. Biased toward safety: a
     SELECT whose *identifier* is literally named ``update`` is rejected
-    (rename it); string literals are masked first so data values never
-    trip the gate.
+    (rename it); data values and comments never trip the gate.
     """
-    stripped = _COMMENT_RE.sub(" ", sql)
-    head = stripped.lstrip().split(None, 1)
+    cleaned = _blank_literals_and_comments(sql)
+    head = cleaned.lstrip().split(None, 1)
     first = head[0].lower() if head else ""
     if not first.startswith(_READONLY_PREFIXES):
         raise ValueError(
             f"read-only violation: statement starts with {first!r}; "
             "only SELECT/WITH/VALUES/EXPLAIN/DESCRIBE/SHOW are allowed"
         )
-    no_literals = re.sub(r"'[^']*'", "''", stripped)
-    m = _MUTATION_RE.search(no_literals)
+    if first.startswith(_INTROSPECTION_PREFIXES):
+        return  # SHOW CREATE TABLE etc: mutation words are display-only
+    m = _MUTATION_RE.search(cleaned)
     if m:
         raise ValueError(
             f"read-only violation: statement contains {m.group(0)!r}"

@@ -411,6 +411,7 @@ def x29_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     edges.unpersist()
     if not converged:
+        labels.unpersist()  # don't leak the last round's cache on error
         raise RuntimeError(
             "x29 label propagation did not converge in 25 rounds —"
             " a component with diameter > 25 (pathological chain);"

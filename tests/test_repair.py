@@ -220,6 +220,37 @@ def test_readonly_allows_select_with_replace_function():
     ensure_readonly("SELECT 1 OFFSET 0")  # 'set' inside 'offset'
 
 
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # comment-opener INSIDE a literal must not eat the DML after it
+        "WITH x AS (SELECT '--' AS c) INSERT INTO t SELECT 1",
+        "WITH x AS (SELECT 'a/*' AS c) DELETE FROM t WHERE y = '*/'",
+    ],
+)
+def test_readonly_comment_in_literal_cannot_smuggle_dml(sql):
+    with pytest.raises(ValueError):
+        ensure_readonly(sql)
+
+
+def test_readonly_literal_then_comment_no_false_positive():
+    ensure_readonly(
+        "SELECT * FROM t WHERE a = 'x--1'\nAND note = 'drop me a line'"
+    )
+
+
+def test_readonly_show_create_table_allowed():
+    # introspection statements may CONTAIN mutation words harmlessly
+    ensure_readonly("SHOW CREATE TABLE t")
+    ensure_readonly("DESCRIBE TABLE t")
+
+
+def test_repair_survives_placeholder_injection():
+    # \x01<digits>\x01 in the raw input must not crash the restore
+    out = fix_common_mistakes("SELECT a\x015\x01b FROM t", COLS, {})
+    assert isinstance(out, str)
+
+
 def test_r1_fence_with_backtick_identifiers():
     raw = "```sql\nSELECT `c_name` FROM customer\n```"
     assert is_fenced(raw)
