@@ -610,6 +610,100 @@ def x34_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x37_quantile_sketch")  # sketch estimates differ per engine: rows-only
+def x37_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language approximate quantiles (Greenwald-Khanna sketch).
+
+    ``approx_percentile`` with accuracy 100 — the mergeable-sketch
+    aggregation whose state is O(accuracy), not O(rows): the shape that
+    computes quantiles over 100 TB in one combinable pass where exact
+    ``percentile`` would shuffle every value. tests/test_sketches.py
+    bounds the estimates against the exact quantiles.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.expr("approx_percentile(n_chars, 0.5, 100)").alias("p50_est"),
+            F.expr("approx_percentile(n_chars, 0.9, 100)").alias("p90_est"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .orderBy("lang")
+    )
+
+
+CMS_DEPTH = 4  # independent hash rows
+CMS_WIDTH = 1024  # counters per row
+
+
+def cms_sketch(tokens_df: DataFrame, token_col: str = "tok") -> DataFrame:
+    """Count-min sketch of a token stream as a (depth, bucket, cnt) table.
+
+    The classic streaming frequency sketch composed from DataFrame ops:
+    each token increments one counter per hash row; the sketch is
+    DEPTH×WIDTH counters regardless of stream size, and the groupBy is
+    map-side combinable — O(sketch) shuffle for any corpus.
+    """
+    rows = [
+        tokens_df.select(
+            F.lit(d).alias("depth"),
+            F.pmod(F.xxhash64(F.lit(d), F.col(token_col)), F.lit(CMS_WIDTH)).alias(
+                "bucket"
+            ),
+        )
+        for d in range(CMS_DEPTH)
+    ]
+    stream = rows[0]
+    for r in rows[1:]:
+        stream = stream.unionAll(r)
+    return stream.groupBy("depth", "bucket").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+
+
+@query("x38_cms_heavy_hitters")  # hash-seeded sketch: rows-only check
+def x38_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter frequencies estimated from a count-min sketch.
+
+    Builds the CMS over the whole token stream, then reads the top-20
+    true terms back through it: estimate = min over hash rows of the
+    addressed counters. CMS guarantees est >= true (one-sided error);
+    tests/test_sketches.py asserts that bound and the error ceiling.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    sketch = cms_sketch(toks).persist()
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("true_freq"))
+        .orderBy(F.col("true_freq").desc(), "tok")
+        .limit(20)
+    )
+    probes = top.select(
+        "tok",
+        "true_freq",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(dd).alias("depth"),
+                        F.pmod(
+                            F.xxhash64(F.lit(dd), F.col("tok")), F.lit(CMS_WIDTH)
+                        ).alias("bucket"),
+                    )
+                    for dd in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("p"),
+    ).select("tok", "true_freq", "p.depth", "p.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["depth", "bucket"])
+        .groupBy("tok", "true_freq")
+        .agg(F.min("cnt").alias("est_freq"))
+        .orderBy(F.col("true_freq").desc(), "tok")
+    )
+
+
 @query(
     "x12_fingerprint",
     oracle=f"""
