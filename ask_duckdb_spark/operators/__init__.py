@@ -43,6 +43,7 @@ _VERIFY_FIRST = [
     "x5_cosine_topk",
     "x25_batch_ann_topk",
     "x7_embedding_neardup",
+    "x7b_embedding_neardup_lsh",  # rows-only by design (LSH blocking)
     "x6_ann_lsh_topk",  # rows-only by design (ANN)
     # text-analysis family
     "x8_token_stats",

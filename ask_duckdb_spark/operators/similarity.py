@@ -307,12 +307,16 @@ _DUCK_COS = """
     """,
 )
 def x7_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by label.
+    """Embedding-cosine near-dup pairs, blocked by label (oracle twin).
 
-    Blocking on `label` keeps the self-join from being O(n^2) over the
-    whole corpus — the relational analogue of IVF cells. At 100 TB the
-    blocking key would be an LSH band key (x6's ``_band_keys``) instead
-    of a label, bounding every block independently of corpus size.
+    This is the ORACLE-CHECKABLE twin that pins the cosine-verification
+    arithmetic bit-for-bit against DuckDB (the double left-fold trick
+    above). It is NOT the scale path: with a bounded label vocabulary
+    the within-label self-join grows O(n^2/|labels|). The production
+    shape is ``x7b_embedding_neardup_lsh`` below, which blocks on LSH
+    band keys so block sizes stay bounded independent of corpus size;
+    tests/test_similarity.py proves x7b recovers every same-label pair
+    this twin emits plus the cross-label ones the label blocking hides.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     a = emb.select(
@@ -329,6 +333,49 @@ def x7_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "lbl")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(cosine_similarity(F.col("ea"), F.col("eb")) > NEARDUP_T)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query("x7b_embedding_neardup_lsh")  # hash-seeded hyperplanes: no SQL oracle
+def x7b_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over the WHOLE corpus, LSH-blocked.
+
+    The scale path x7's docstring promises: candidates are pairs sharing
+    >=1 sign-random-projection band key (``_band_keys``, same banding as
+    x6), deduplicated across bands, then verified with the exact cosine
+    threshold — precision is 1.0 by construction, recall is the banding
+    recall (~0.99 at theta <= 66 deg with 16x3 banding). No label, no
+    all-pairs join: the only shuffle moves (band, bkey, id) triples and
+    every bucket is bounded by the hash, not by corpus size. At 100 TB
+    add a per-bucket cap exactly like x2's MAX_BUCKET if a degenerate
+    direction overloads one bucket.
+
+    Reference parity: near-dup detection family (SURVEY.md §2.9);
+    differential gates in tests/test_similarity.py (supersets x7's
+    same-label pairs; recall vs brute-force all-pairs at sf0.001).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    banded = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(_band_keys(F.col("embedding"))).alias("bk"),
+    ).select("vec_id", "embedding", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    a = banded.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "band", "bkey"
+    )
+    b = banded.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "band", "bkey"
+    )
+    cands = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        # a pair colliding in several bands must be scored once
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.filter(cosine_similarity(F.col("ea"), F.col("eb")) > NEARDUP_T)
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     )

@@ -49,6 +49,43 @@ def test_x7_neardup_nonvacuous(spark):
     assert rows, "x7 became vacuous again"
 
 
+def test_x7b_lsh_blocking_vs_brute_force_and_label_twin(spark):
+    """x7b (LSH band blocking, whole corpus) must (a) never emit a
+    false pair — candidates are cosine-verified, so precision is 1.0 by
+    construction; (b) recall >= 0.9 of the brute-force all-pairs truth;
+    (c) recover every pair the label-blocked oracle twin (x7) finds —
+    proving the banded join replaces the quadratic label join."""
+    from pyspark.sql import functions as F
+
+    from ask_duckdb_spark.functions.vectors import cosine_similarity
+    from ask_duckdb_spark.operators.similarity import NEARDUP_T
+    from ask_duckdb_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_DIR_001, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    exact = {
+        (r.id_a, r.id_b)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_similarity(F.col("ea"), F.col("eb")) > NEARDUP_T)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in QUERIES["x7b_embedding_neardup_lsh"](spark, SF_DIR_001).collect()
+    }
+    label = {
+        (r.id_a, r.id_b)
+        for r in QUERIES["x7_embedding_neardup"](spark, SF_DIR_001).collect()
+    }
+    assert lsh <= exact, "LSH emitted a pair below the cosine threshold"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.9, f"LSH blocking recall {recall} below floor"
+    assert label <= lsh, "banded blocking lost a same-label pair"
+
+
 def test_x24_keep_is_consistent_with_x29_canonicals(spark):
     """Cluster canonicals (x29 minimum ids) must all survive x24's
     pair-based filter: the minimum of a cluster is never the id_b of
