@@ -83,18 +83,42 @@ def _session_machine(
         yield emit(start_us, last_us, n)
         return
 
+    gap_us = SESSION_GAP_SEC * 1_000_000
     ts_us = pd.concat([pdf["event_time"] for pdf in pdfs]).astype("int64") // 1000
     ts_us = ts_us.sort_values()
-    start_us, last_us, n = state.get if state.exists else (None, None, 0)
+
+    # Merge the batch against state as INTERVALS, not an ordered scan:
+    # an event later than the watermark but older than the stored
+    # session end (out-of-order across batches) must extend the open
+    # session's interval (min start / max last), never drag its end
+    # backward — the bug an in-order fold has. ``sessions`` stays a
+    # gap-disjoint, start-sorted list of [start_us, last_us, n].
+    sessions: list[list[int]] = []
+    if state.exists:
+        sessions.append(list(state.get))
     for t in ts_us:
         t = int(t)
-        if start_us is None:
-            start_us, last_us, n = t, t, 1
-        elif t - last_us >= SESSION_GAP_SEC * 1_000_000:
-            yield emit(start_us, last_us, n)  # gap inside the batch
-            start_us, last_us, n = t, t, 1
+        for s in sessions:
+            if s[0] - gap_us < t < s[1] + gap_us:
+                s[0], s[1], s[2] = min(s[0], t), max(s[1], t), s[2] + 1
+                break
         else:
-            last_us, n = t, n + 1
+            sessions.append([t, t, 1])
+            sessions.sort(key=lambda s: s[0])
+        # an extension can bridge two neighbors: coalesce until disjoint
+        i = 0
+        while i < len(sessions) - 1:
+            a, b = sessions[i], sessions[i + 1]
+            if b[0] - a[1] < gap_us:
+                a[0], a[1], a[2] = min(a[0], b[0]), max(a[1], b[1]), a[2] + b[2]
+                del sessions[i + 1]
+            else:
+                i += 1
+    if not sessions:  # defensive: no state and an empty batch
+        return
+    for s in sessions[:-1]:  # gap-closed inside/behind the batch
+        yield emit(s[0], s[1], s[2])
+    start_us, last_us, n = sessions[-1]
     state.update((start_us, last_us, n))
     state.setTimeoutTimestamp(last_us // 1000 + SESSION_GAP_SEC * 1000)
 

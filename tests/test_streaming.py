@@ -276,3 +276,96 @@ def test_streaming_sliding_total(spark, raw_events, stream_path):
     # every event lands in exactly 2 sliding windows
     total = sum(r.n for r in got.collect())
     assert total == 2 * raw_events.count()
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-driving _session_machine."""
+
+    def __init__(self, value=None):
+        self._value = value
+        self.hasTimedOut = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = tuple(v)
+
+    def remove(self):
+        self._value = None
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
+
+
+def _drive_machine(batches, state):
+    """Feed timestamp batches (seconds) through _session_machine."""
+    import pandas as pd
+
+    from ask_duckdb_spark.streaming.stateful import _session_machine
+
+    emitted = []
+    for batch in batches:
+        pdf = pd.DataFrame(
+            {"event_time": pd.to_datetime(pd.Series(batch), unit="s")}
+        )
+        emitted.extend(_session_machine((1,), iter([pdf]), state))
+    return emitted
+
+
+def test_session_machine_late_event_within_watermark_extends_not_shrinks():
+    """ADVICE r2 (medium): an event OLDER than the stored session end —
+    but inside the 10-minute watermark the pipeline tolerates — must
+    extend the open session's interval, not drag session_end backward
+    (which set a premature timeout and could split one session in two).
+    """
+    state = _FakeState()
+    # batch 1: events at t=1000s and t=1200s -> open session [1000,1200]
+    # batch 2: late event at t=900s (within watermark, within gap)
+    emitted = _drive_machine([[1000, 1200], [900]], state)
+    assert emitted == []  # still one open session, nothing closed
+    start_us, last_us, n = state.get
+    assert start_us == 900 * 1_000_000  # start extended backward
+    assert last_us == 1200 * 1_000_000  # end NOT dragged backward
+    assert n == 3
+    # timeout must track the (unchanged) max event time
+    assert state.timeout_ms == 1200 * 1000 + 30 * 60 * 1000
+
+
+def test_session_machine_late_event_bridges_two_sessions():
+    """A late event landing in the gap between the open session and an
+    in-batch successor must merge them into ONE session, not let the
+    scan close the first half."""
+    gap = 30 * 60  # SESSION_GAP_SEC
+    state = _FakeState()
+    # batch 1: session A ends at t=0; batch 2 opens B at t=2*gap-100
+    # (beyond the gap, so A would close on an in-order scan) BUT the
+    # same batch carries a late bridge event at t=gap-50: A..bridge..B
+    # are each within the gap -> one merged session, zero emissions.
+    emitted = _drive_machine([[0], [2 * gap - 100, gap - 50]], state)
+    assert emitted == []
+    start_us, last_us, n = state.get
+    assert start_us == 0
+    assert last_us == (2 * gap - 100) * 1_000_000
+    assert n == 3
+
+
+def test_session_machine_in_order_gap_still_closes():
+    """Regression guard: the interval merge must keep the original
+    in-order behavior — a batch event a full gap after the open
+    session closes it and opens a new one."""
+    gap = 30 * 60
+    state = _FakeState()
+    emitted = _drive_machine([[100], [100 + gap + 1]], state)
+    assert len(emitted) == 1
+    row = emitted[0].iloc[0]
+    assert row["n_events"] == 1
+    assert int(row["session_start"].timestamp()) == 100
+    start_us, _, n = state.get
+    assert start_us == (100 + gap + 1) * 1_000_000 and n == 1
