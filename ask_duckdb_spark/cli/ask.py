@@ -20,7 +20,7 @@ import sys
 from ..introspect import describe_columns
 from ..nl.ask import generate_sql
 from ..nl.dictionary import load_dictionary, make_skeleton, write_dictionary
-from ..nl.llm import StubLLM, get_provider
+from ..nl.llm import LLMCallError, StubLLM, get_provider
 from ..nl.repair import ensure_readonly
 from ..sources.display import display_result
 from ..sources.queuedata_fixture import queuedata_df, queuedata_dictionary
@@ -92,12 +92,22 @@ def main(argv: list[str] | None = None) -> None:
         sys.exit(EXIT_MISSING)
 
     stub = StubLLM(default=args.stub_sql or "") if args.llm == "stub" else None
+    # The LLM-failure handler is scoped to the LLM boundary ONLY —
+    # provider construction (missing key / SDK) and the provider call
+    # itself, which generate_sql surfaces as LLMCallError (reference:
+    # query_llm.py:487-489 wraps just its API call). Context-selection
+    # or repair bugs propagate with their own traceback instead of
+    # hiding behind EXIT_LLM_FAIL (ADVICE r2).
     try:
         provider = get_provider(args.llm, stub=stub)
+    except Exception as e:
+        print(f"[{args.llm.capitalize()} call failed] {e}", file=sys.stderr)
+        sys.exit(EXIT_LLM_FAIL)
+    try:
         raw, sql = generate_sql(
             spark, args.table, args.question, provider, meta=meta, model=args.model
         )
-    except Exception as e:  # LLM boundary (reference: query_llm.py:487-489)
+    except LLMCallError as e:
         print(f"[{args.llm.capitalize()} call failed] {e}", file=sys.stderr)
         sys.exit(EXIT_LLM_FAIL)
 

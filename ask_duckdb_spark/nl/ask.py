@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..introspect import build_tbl_schema, list_columns
 from .context import build_prompts, render_context, select_relevant_context
 from .dictionary import build_synonym_map
-from .llm import Provider
+from .llm import LLMCallError, Provider
 from .repair import ensure_readonly, repair_sql
 
 __all__ = ["AskResult", "generate_sql", "answer_question"]
@@ -54,7 +54,10 @@ def generate_sql(
         select_relevant_context(question, meta or {}, top_k=top_k)
     )
     system, user = build_prompts(question, table, schema_ddl, context_str)
-    raw = provider(system, user, model=model)
+    try:
+        raw = provider(system, user, model=model)
+    except Exception as e:  # ONLY the provider call is the LLM boundary
+        raise LLMCallError(str(e)) from e
     sql = repair_sql(
         raw,
         actual_cols=set(list_columns(df)),

@@ -13,7 +13,24 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
-__all__ = ["StubLLM", "ask_gemini", "ask_mistral", "get_provider", "DEFAULT_MODELS"]
+__all__ = [
+    "LLMCallError",
+    "StubLLM",
+    "ask_gemini",
+    "ask_mistral",
+    "get_provider",
+    "DEFAULT_MODELS",
+]
+
+
+class LLMCallError(RuntimeError):
+    """A provider call (or provider construction) failed.
+
+    The CLI maps exactly this to EXIT_LLM_FAIL (reference:
+    query_llm.py:487-489 scopes its handler to the provider call);
+    bugs in context selection / dictionary parsing / repair must NOT
+    masquerade as LLM failures (ADVICE r2).
+    """
 
 #: Per-provider default models (reference: query_llm.py:485-486).
 DEFAULT_MODELS = {

@@ -246,11 +246,14 @@ def repair_sql(
     return fix_common_mistakes(sql, actual_cols, synonym_map=synonym_map)
 
 
-#: Statement prefixes allowed by the read-only gate. The reference gets
-#: read-only for free from duckdb.connect(read_only=True)
+#: Leading keywords allowed by the read-only gate (matched by EXACT
+#: equality on the first word after any opening parens). The reference
+#: gets read-only for free from duckdb.connect(read_only=True)
 #: (query_llm.py:443); Spark sessions are not read-only, so we gate at
 #: the statement level (SURVEY.md §4.2).
-_READONLY_PREFIXES = ("select", "with", "values", "explain", "describe", "show", "(")
+_READONLY_KEYWORDS = frozenset(
+    {"select", "with", "values", "explain", "describe", "show"}
+)
 
 #: Tokens that mutate data/metadata — rejected anywhere in the
 #: statement (outside string literals), so a ``WITH cte AS (...)
@@ -281,14 +284,19 @@ def ensure_readonly(sql: str) -> None:
     (rename it); data values and comments never trip the gate.
     """
     cleaned = _blank_literals_and_comments(sql)
-    head = cleaned.lstrip().split(None, 1)
-    first = head[0].lower() if head else ""
-    if not first.startswith(_READONLY_PREFIXES):
+    # First KEYWORD, not first whitespace token: skip opening parens
+    # (``(SELECT ...) UNION ...``) and compare by EQUALITY — a prefix
+    # match would wave through any token merely *beginning* with an
+    # allowed word (``selectivity_foo``) and let ``explain``-prefixed
+    # identifiers skip the mutation scan (ADVICE r2).
+    m = re.match(r"[\s(]*([a-zA-Z_]*)", cleaned)
+    first = m.group(1).lower() if m else ""
+    if first not in _READONLY_KEYWORDS:
         raise ValueError(
             f"read-only violation: statement starts with {first!r}; "
             "only SELECT/WITH/VALUES/EXPLAIN/DESCRIBE/SHOW are allowed"
         )
-    if first.startswith(_INTROSPECTION_PREFIXES):
+    if first in _INTROSPECTION_PREFIXES:
         return  # SHOW CREATE TABLE etc: mutation words are display-only
     m = _MUTATION_RE.search(cleaned)
     if m:

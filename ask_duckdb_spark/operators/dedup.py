@@ -250,6 +250,9 @@ def x2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the skew-guard counts); persist it so the CPU-heavy hashing runs
     # once. ~100 B/doc (32 longs + id): memory at test SF, spills to
     # disk at 100 TB — either way far cheaper than 3x the hashing.
+    # Lifecycle: the cache must outlive this call (the returned plan
+    # reads it), so the CONSUMER owns cleanup — the harnesses
+    # (diffcheck/bench) clearCache after evaluating each operator.
     sig = minhash_signatures(d, "doc_id", "text").persist()
     pairs = lsh_candidate_pairs(sig, "doc_id")
     # Verify candidates with estimated Jaccard from the signatures that
@@ -321,15 +324,23 @@ def x3_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     of true pairs at sf0.01 — the result is decidedly non-vacuous.
     """
     d = load_table(spark, sf_dir, "documents")
-    n_docs = d.count()
     grams = d.select(
         "doc_id", F.explode(char_ngrams(F.col("text"), 8)).alias("g")
     ).dropDuplicates(["doc_id", "g"])
     # Stop-gram skew guard: a gram occurring in >25% of documents is
     # boilerplate; its posting list would dominate the self-join
     # (quadratic in list length). Same document-frequency pruning as
-    # x2's MAX_BUCKET, expressed on the inverted index.
-    kept = grams.groupBy("g").count().filter(F.col("count") <= n_docs / 4)
+    # x2's MAX_BUCKET, expressed on the inverted index. The corpus size
+    # rides in as a broadcast scalar aggregate (the DataFrame analogue
+    # of the oracle's scalar subquery) so the operator stays fully lazy
+    # — building it never triggers a job.
+    total = d.agg(F.count("*").alias("n_docs"))
+    kept = (
+        grams.groupBy("g")
+        .count()
+        .join(F.broadcast(total))
+        .filter(F.col("count") <= F.col("n_docs") / 4)
+    )
     grams = grams.join(kept.select("g"), "g")
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = grams.select(F.col("doc_id").alias("id_a"), "g")

@@ -81,6 +81,11 @@ def main() -> int:
         t0 = time.time()
         QUERIES[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
+        # Outside the timing: release frames the operator persist()ed
+        # for intra-plan reuse (caches never carry between headline
+        # queries — each builds a distinct plan — but they would
+        # accumulate memory across the loop).
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

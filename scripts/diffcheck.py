@@ -104,6 +104,12 @@ def main() -> int:
             print(f"FAIL {name}: spark raised {type(e).__name__}: {e}")
             n_fail += 1
             continue
+        finally:
+            # Operators that persist() intermediates feeding multiple
+            # consumers (x2's signatures, x27's centroids, x29's labels,
+            # x38's sketch) cannot unpersist before their result is
+            # consumed; the long-lived harness is the owner of cleanup.
+            spark.catalog.clearCache()
         dt = time.time() - t0
         if name not in ORACLES:
             tag = "ROWS-ONLY" if len(sdf) > 0 else "ROWS-ONLY(EMPTY!)"

@@ -239,6 +239,28 @@ def test_readonly_literal_then_comment_no_false_positive():
     )
 
 
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # a token merely BEGINNING with an allowed keyword is not a query
+        "selectivity_foo",
+        "selective update t set a=1",
+        # 'explain'-prefixed identifiers must not skip the mutation scan
+        "explainer drop table t",
+        "showme secrets",
+    ],
+)
+def test_readonly_prefix_lookalikes_rejected(sql):
+    """ADVICE r2: first-token comparison is equality, not startswith."""
+    with pytest.raises(ValueError):
+        ensure_readonly(sql)
+
+
+def test_readonly_parenthesized_query_allowed():
+    ensure_readonly("((SELECT 1))")
+    ensure_readonly("( WITH x AS (SELECT 1) SELECT * FROM x )")
+
+
 def test_readonly_show_create_table_allowed():
     # introspection statements may CONTAIN mutation words harmlessly
     ensure_readonly("SHOW CREATE TABLE t")
