@@ -74,7 +74,6 @@ _VERIFY_FIRST = [
     "x28_user_value_trend",
     "x28b_user_value_trend_sql",
     "x36_frame_sample",
-    "f19_json_tuple",
     # TPC-H shapes + as-of join
     "q3_shipping_priority",
     "q4_order_priority",
