@@ -489,3 +489,61 @@ def x4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     simhash = sum([bit(b) for b in range(64)], F.lit(0).cast("long"))
     return d.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
+
+
+#: Max Hamming distance for a SimHash near-dup pair (standard radius).
+SIMHASH_K = 3
+#: 64-bit signature split into 4 x 16-bit tables: any pair within
+#: Hamming<=3 differs in at most 3 of the 4 bands, so at least one band
+#: matches EXACTLY (pigeonhole) — candidate recall is 1.0, not
+#: probabilistic like minhash banding.
+SIMHASH_BANDS = 4
+
+
+@query("x4b_simhash_neardup_pairs")  # signature pairing: rows-only check
+def x4b_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs by Hamming radius — x4's pairing half.
+
+    The classic table-rotation trick (Manku et al., WWW'07) expressed
+    relationally: each 64-bit signature is cut into 4 x 16-bit band
+    keys; by pigeonhole any pair with Hamming distance <= 3 collides in
+    >=1 band, so the band equi-join enumerates a candidate superset
+    with recall 1.0, and ``bit_count(a XOR b) <= 3`` verifies exactly —
+    all JVM expressions. The only shuffle moves (band, key, id,
+    signature) tuples; each 16-bit table has 65k buckets, so bucket
+    sizes stay ~n/65k per band at any corpus size (plus a skew cap like
+    x2's MAX_BUCKET if one signature dominates, e.g. empty documents).
+    """
+    sig = x4_simhash(spark, sf_dir)
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("bkey"),
+            )
+            for i in range(SIMHASH_BANDS)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", "simhash", F.explode(keys).alias("bk")
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    a = banded.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sig_a"), "band", "bkey"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sig_b"), "band", "bkey"
+    )
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))),
+        )
+        .filter(F.col("hamming") <= SIMHASH_K)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )

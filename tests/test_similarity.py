@@ -126,3 +126,38 @@ def test_x29_clusters_equal_union_find(spark):
     }
     assert got == want
     assert len(set(got.values())) > 1  # real multi-cluster structure
+
+
+def test_x4b_simhash_pairing_exact_within_radius_and_x2_overlap(spark):
+    """x4b's band join is pigeonhole-EXACT for candidates (any pair
+    within Hamming<=3 differs in at most 3 of 4 bands, so >=1 band key
+    matches) — the banded join + bit_count verification must therefore
+    equal the BRUTE-FORCE set of signature pairs within the radius,
+    with the reported distances. Separately, a substantial fraction of
+    x2's Jaccard>=0.5 pairs must reappear (different sketch, so overlap
+    < 1 is expected, but ~0 would mean a broken signature)."""
+    sigs = {
+        r.doc_id: r.simhash
+        for r in QUERIES["x4_simhash"](spark, SF_DIR_001).collect()
+    }
+    want = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in QUERIES["x4b_simhash_neardup_pairs"](spark, SF_DIR_001).collect()
+    }
+    assert got, "x4b found no pairs at sf0.01"
+    assert got == want, "banded pairing != brute force within Hamming radius"
+
+    x2_pairs = {
+        (r.id_a, r.id_b)
+        for r in QUERIES["x2_minhash_neardup"](spark, SF_DIR_001).collect()
+    }
+    overlap = len(x2_pairs & set(got)) / len(x2_pairs)
+    assert overlap >= 0.4, f"x4b/x2 overlap collapsed: {overlap}"
