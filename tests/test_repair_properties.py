@@ -114,3 +114,112 @@ def test_fuzzy_repair_output_tokens_are_known(tok):
     produced = out.split()[1]
     if produced != tok:
         assert produced in COLS
+
+
+# --- full loop against a LIVE engine (VERDICT r2 next-6) ------------------
+#
+# The pure-function properties above can't prove the loop: Catalyst's
+# AnalysisException is the repair trigger, so these drive
+# execute_with_repair against a real session + the queuedata fixture
+# with generated corruptions of valid queries.
+
+import pytest
+
+#: columns long enough that a one-char deletion stays above the 0.86
+#: difflib cutoff the fuzzy repair uses
+LONG_COLS = ("corecount", "corepower", "harvester", "country")
+ALIAS_MAP = {"name": "queue", "state": "status", "ncores": "corecount"}
+
+
+@st.composite
+def corrupted_case(draw):
+    col = draw(st.sampled_from(LONG_COLS))
+    base = f"SELECT queue, {col} FROM queuedata WHERE {col} IS NOT NULL"
+    kind = draw(st.sampled_from(["typo", "alias", "fence", "literal", "none"]))
+    if kind == "typo":
+        cut = draw(st.integers(min_value=1, max_value=len(col) - 2))
+        bad = col[:cut] + col[cut + 1:]
+        return kind, base.replace(col, bad), col
+    if kind == "alias":
+        alias = draw(st.sampled_from(sorted(ALIAS_MAP)))
+        want = ALIAS_MAP[alias]
+        return kind, f"SELECT {alias} FROM queuedata WHERE {alias} IS NOT NULL", want
+    if kind == "fence":
+        fenced = f"```sql\n{base}\n```"
+        return kind, fenced, col
+    if kind == "literal":
+        lit = draw(st.sampled_from(["'ONLINE'", "'Online'", "'OnLiNe'"]))
+        return kind, f"SELECT queue FROM queuedata WHERE status = {lit}", "status"
+    return kind, base, col
+
+
+@given(corrupted_case())
+@settings(max_examples=40, deadline=None)
+def test_execute_with_repair_full_loop(spark, queuedata, case):
+    """Every generated corruption must end in a successfully analyzed,
+    read-only SELECT over real columns — typos and aliases via the
+    AnalysisException-triggered retry, fences and literal casing via
+    the unconditional pre-pass (as generate_sql composes them)."""
+    from ask_duckdb_spark.nl.dictionary import build_synonym_map
+    from ask_duckdb_spark.nl.repair import execute_with_repair, repair_sql
+
+    df, meta = queuedata
+    cols = set(df.columns)
+    syn = build_synonym_map(meta)
+    kind, sql, want_col = case
+
+    if kind in ("fence", "literal"):
+        # generate_sql always runs the regex pass before execution
+        sql = repair_sql(sql, cols, meta=meta, synonym_map=syn)
+
+    out, final_sql, repaired = execute_with_repair(
+        spark, sql, cols, meta=meta, synonym_map=syn
+    )
+    assert want_col in final_sql
+    assert want_col in out.columns or kind == "literal"
+    if kind in ("typo", "alias"):
+        assert repaired, f"{kind} corruption analyzed clean?: {sql}"
+    if kind == "none":
+        assert not repaired and final_sql == sql
+    if kind == "literal":
+        # canonicalized literal must actually HIT fixture rows
+        assert "'online'" in final_sql
+        assert out.limit(1).count() == 1
+
+
+@given(
+    st.sampled_from(
+        [
+            "INSERT INTO queuedata VALUES (1)",
+            "UPDATE queuedata SET status = 'x'",
+            "DELETE FROM queuedata WHERE id = 1",
+            "DROP TABLE queuedata",
+            "CREATE TABLE sneaky AS SELECT * FROM queuedata",
+            "MERGE INTO queuedata USING queuedata b ON 1=1",
+            "TRUNCATE TABLE queuedata",
+            "WITH c AS (SELECT 1) INSERT INTO queuedata SELECT * FROM c",
+        ]
+    ),
+    st.sampled_from(["plain", "fenced", "upper", "padded"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_execute_with_repair_never_admits_dml(spark, queuedata, stmt, disguise):
+    """ensure_readonly must reject mutation statements BEFORE any
+    execution, through every disguise the pipeline could see — raw,
+    fence-wrapped (post repair_sql), uppercased, whitespace-padded."""
+    from ask_duckdb_spark.nl.dictionary import build_synonym_map
+    from ask_duckdb_spark.nl.repair import execute_with_repair, repair_sql
+
+    df, meta = queuedata
+    cols = set(df.columns)
+    syn = build_synonym_map(meta)
+
+    if disguise == "fenced":
+        stmt = repair_sql(f"```sql\n{stmt}\n```", cols, meta=meta, synonym_map=syn)
+    elif disguise == "upper":
+        stmt = stmt.upper()
+    elif disguise == "padded":
+        stmt = f"   \n\t{stmt}"
+
+    with pytest.raises(ValueError, match="read-only violation"):
+        execute_with_repair(spark, stmt, cols, meta=meta, synonym_map=syn)
