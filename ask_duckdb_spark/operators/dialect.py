@@ -41,6 +41,7 @@ def t(spark, sf_dir, name):
     """,
 )
 def f12_regexp(spark, sf_dir):
+    """regexp_extract of the customer number plus regexp_replace renaming."""
     c = t(spark, sf_dir, "customer")
     return c.filter(F.col("c_name").rlike("00$")).select(
         "c_custkey",
@@ -65,6 +66,7 @@ def f12_regexp(spark, sf_dir):
     """,
 )
 def f13_split_array(spark, sf_dir):
+    """Split part names into word arrays: count, first element, membership test."""
     p = t(spark, sf_dir, "part")
     words = F.split("p_name", " ")
     return p.select(
@@ -90,6 +92,7 @@ def f13_split_array(spark, sf_dir):
     """,
 )
 def f14_math(spark, sf_dir):
+    """Scalar math surface: abs, sqrt, ceil, floor, pmod over lineitem measures."""
     li = t(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
@@ -113,6 +116,7 @@ def f14_math(spark, sf_dir):
     """,
 )
 def f16_nullsafe_eq(spark, sf_dir):
+    """Null-safe (IS [NOT] DISTINCT FROM) comparisons counted with agg filters."""
     e = t(spark, sf_dir, "events")
     return e.agg(
         F.count_if(F.col("props").eqNullSafe(F.lit(None))).alias("n_null_props"),
@@ -139,6 +143,7 @@ _SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
     """,
 )
 def f17_pivot(spark, sf_dir):
+    """Pivot customer counts per nation into one column per market segment."""
     c = t(spark, sf_dir, "customer")
     # explicit pivot values: single-pass, no value-discovery job
     return c.groupBy("c_nationkey").pivot("c_mktsegment", _SEGMENTS).agg(
@@ -156,6 +161,7 @@ def f17_pivot(spark, sf_dir):
     """,
 )
 def f18_greatest_least(spark, sf_dir):
+    """Row-wise greatest/least across three scaled lineitem measures."""
     li = t(spark, sf_dir, "lineitem")
     q, d, x = F.col("l_quantity"), F.col("l_discount") * 100, F.col("l_tax") * 100
     return li.select(
@@ -182,6 +188,7 @@ def f18_greatest_least(spark, sf_dir):
     """,
 )
 def g11_grouping_sets(spark, sf_dir):
+    """GROUPING SETS aggregation with grouping() indicator columns."""
     t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(
         """
@@ -208,6 +215,7 @@ def g11_grouping_sets(spark, sf_dir):
     """,
 )
 def g12_stats_agg(spark, sf_dir):
+    """Statistical aggregates: sample stddev, mean, and correlation."""
     o = t(spark, sf_dir, "orders")
     ck = F.col("o_custkey").cast("double")
     return o.agg(
@@ -234,6 +242,7 @@ def g12_stats_agg(spark, sf_dir):
     """,
 )
 def o5_nulls_ordering(spark, sf_dir):
+    """NULLS FIRST ordering over a nullable JSON column."""
     e = t(spark, sf_dir, "events")
     return (
         e.orderBy(F.col("props").asc_nulls_first(), "event_id")
@@ -251,6 +260,7 @@ def o5_nulls_ordering(spark, sf_dir):
     """,
 )
 def so4_intersect_all(spark, sf_dir):
+    """Bag-semantics INTERSECT ALL (duplicates kept up to min multiplicity)."""
     c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
     s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
     return c.intersectAll(s)
@@ -265,6 +275,7 @@ def so4_intersect_all(spark, sf_dir):
     """,
 )
 def so5_except_all(spark, sf_dir):
+    """Bag-semantics EXCEPT ALL (multiplicity-aware difference)."""
     c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
     s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
     return c.exceptAll(s)
@@ -287,6 +298,7 @@ def so5_except_all(spark, sf_dir):
     """,
 )
 def w5_range_frame(spark, sf_dir):
+    """RANGE frame (value-based 10k window) running sum per customer."""
     o = t(spark, sf_dir, "orders")
     w = (
         W.partitionBy("o_custkey")
@@ -313,6 +325,7 @@ def w5_range_frame(spark, sf_dir):
     """,
 )
 def w6_first_last_nth(spark, sf_dir):
+    """first_value/last_value/nth_value over a full-partition frame."""
     o = t(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
@@ -399,6 +412,7 @@ def j8_event_range_join(spark, sf_dir):
     """,
 )
 def w7_percent_rank_cume(spark, sf_dir):
+    """percent_rank and cume_dist per market segment."""
     c = t(spark, sf_dir, "customer")
     w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
     return c.select(
@@ -420,6 +434,7 @@ def w7_percent_rank_cume(spark, sf_dir):
     """,
 )
 def f20_array_agg_sorted(spark, sf_dir):
+    """Per-region sorted collect_list of nation names with its length."""
     n = t(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
         F.sort_array(F.collect_list("n_name")).alias("nations"),
@@ -438,6 +453,7 @@ def f20_array_agg_sorted(spark, sf_dir):
     """,
 )
 def so6_union_by_name(spark, sf_dir):
+    """Union by column name with a source-tag column."""
     # columns deliberately in different orders: unionByName aligns on
     # names where unionAll would silently mis-zip positions
     c = t(spark, sf_dir, "customer").select(
@@ -462,6 +478,7 @@ def so6_union_by_name(spark, sf_dir):
     """,
 )
 def f21_map_functions(spark, sf_dir):
+    """JSON props as a map: sorted key list plus one extracted value."""
     e = t(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,string>")
     return e.filter(F.col("props").isNotNull()).select(
@@ -482,6 +499,7 @@ def f21_map_functions(spark, sf_dir):
     """,
 )
 def d4_format_epoch(spark, sf_dir):
+    """strftime-style date formatting, epoch seconds, and day-of-week extraction."""
     o = t(spark, sf_dir, "orders")
     ts = F.col("o_orderdate").cast("timestamp")  # NTZ→UTC identity
     return o.select(
@@ -506,6 +524,7 @@ def d4_format_epoch(spark, sf_dir):
     """,
 )
 def sq5_lateral_join(spark, sf_dir):
+    """LATERAL join: top-2 nations by name per region."""
     t(spark, sf_dir, "region").createOrReplaceTempView("region")
     t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     return spark.sql(
@@ -556,6 +575,7 @@ def sq6_values_inline(spark, sf_dir):
     """,
 )
 def g13_mode(spark, sf_dir):
+    """Per-flag modal value with an engine-deterministic tie-break."""
     li = t(spark, sf_dir, "lineitem")
     v = F.when(F.col("l_quantity") < 30, 0).otherwise(F.col("l_linenumber"))
     return (
@@ -576,6 +596,7 @@ def g13_mode(spark, sf_dir):
     """,
 )
 def g14_string_agg_ordered(spark, sf_dir):
+    """Ordered string_agg of nation names per region."""
     n = t(spark, sf_dir, "nation")
     return (
         n.groupBy("n_regionkey")
@@ -604,6 +625,7 @@ def g14_string_agg_ordered(spark, sf_dir):
     """,
 )
 def f22_pad_reverse(spark, sf_dir):
+    """lpad, string reverse, and per-word initcap via transform+array_join."""
     r = t(spark, sf_dir, "region")
     return r.select(
         "r_regionkey",
@@ -625,6 +647,7 @@ def f22_pad_reverse(spark, sf_dir):
     """,
 )
 def f23_bitwise(spark, sf_dir):
+    """Bitwise AND/OR/XOR and left-shift over order keys."""
     o = t(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
     return o.select(
@@ -648,6 +671,7 @@ def f23_bitwise(spark, sf_dir):
     """,
 )
 def d5_month_arith(spark, sf_dir):
+    """Add-months and last-day-of-month arithmetic on order dates."""
     o = t(spark, sf_dir, "orders")
     d = F.col("o_orderdate").cast("date")
     return o.select(
@@ -676,6 +700,7 @@ def d5_month_arith(spark, sf_dir):
     """,
 )
 def f24_cast_matrix(spark, sf_dir):
+    """Round-trip and cross-type CAST matrix (int<->string, double, date)."""
     o = t(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
     return o.select(
@@ -699,6 +724,7 @@ def f24_cast_matrix(spark, sf_dir):
     """,
 )
 def g15_group_percentiles(spark, sf_dir):
+    """Per-group continuous quartiles (p25/p50/p75) of extended price."""
     li = t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
@@ -725,6 +751,7 @@ def g15_group_percentiles(spark, sf_dir):
     """,
 )
 def f25_width_bucket_histogram(spark, sf_dir):
+    """Fixed-width price histogram (width_bucket semantics built from floor())."""
     o = t(spark, sf_dir, "orders")
     return (
         o.groupBy(
@@ -753,6 +780,7 @@ def f25_width_bucket_histogram(spark, sf_dir):
     """,
 )
 def d6_generate_days(spark, sf_dir):
+    """March-1996 day spine (sequence/explode) left-joined to per-day order counts."""
     o = t(spark, sf_dir, "orders")
     spine = spark.range(1).select(
         F.explode(
@@ -787,6 +815,7 @@ def d6_generate_days(spark, sf_dir):
     """,
 )
 def f26_posexplode_ordinality(spark, sf_dir):
+    """posexplode of part-name words: WITH ORDINALITY positions per word."""
     p = t(spark, sf_dir, "part")
     return (
         p.select(
@@ -810,6 +839,7 @@ def f26_posexplode_ordinality(spark, sf_dir):
     """,
 )
 def f27_unpivot(spark, sf_dir):
+    """UNPIVOT two customer measures into (metric, value) rows."""
     c = t(spark, sf_dir, "customer")
     wide = c.select(
         "c_custkey",

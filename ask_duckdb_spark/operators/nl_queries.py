@@ -34,6 +34,7 @@ def _run(spark, sf_dir, tables, broken, meta=None, synonym_map=None):
     """,
 )
 def nl1_fence_extraction(spark, sf_dir):
+    """R1 end-to-end: fenced LLM output stripped then executed."""
     broken = (
         "```sql\n"
         "SELECT c_mktsegment, count(*) AS n FROM customer\n"
@@ -53,6 +54,7 @@ def nl1_fence_extraction(spark, sf_dir):
     """,
 )
 def nl2_fuzzy_identifier_repair(spark, sf_dir):
+    """R4 end-to-end: typo'd identifiers fuzzy-repaired then executed."""
     broken = "SELECT c_custky, c_acctbl FROM customer WHERE c_acctbl > 9000"
     return _run(spark, sf_dir, ["customer"], broken)
 
@@ -67,6 +69,7 @@ def nl2_fuzzy_identifier_repair(spark, sf_dir):
     """,
 )
 def nl3_alias_substitution(spark, sf_dir):
+    """R2 end-to-end: dictionary aliases mapped to canonical columns then executed."""
     broken = "SELECT l_orderkey, qty FROM lineitem WHERE qty > 45"
     synonym_map = {"qty": "l_quantity", "orderid": "l_orderkey"}
     return _run(spark, sf_dir, ["lineitem"], broken, synonym_map=synonym_map)
@@ -86,6 +89,7 @@ def nl3_alias_substitution(spark, sf_dir):
     """,
 )
 def nl5_full_ask_lifecycle(spark, sf_dir):
+    """Full ask pipeline: context, stub LLM, repair, execution (C1-C7+R1-R7)."""
     from ..nl.ask import answer_question
     from ..nl.llm import StubLLM
 
@@ -133,6 +137,7 @@ def nl5_full_ask_lifecycle(spark, sf_dir):
     """,
 )
 def nl4_literal_canonicalization(spark, sf_dir):
+    """R5/R6 end-to-end: literal case/value canonicalization then executed."""
     broken = "SELECT count(*) AS n FROM customer WHERE c_mktsegment = 'bldg'"
     meta = {
         "columns": [

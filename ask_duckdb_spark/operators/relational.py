@@ -58,6 +58,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: grouped sums/averages over filtered lineitem."""
     li = t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
@@ -84,11 +85,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("p1_projection", oracle="SELECT c_name FROM customer")
 def p1_projection(spark, sf_dir):
+    """Single-column projection from customer."""
     return t(spark, sf_dir, "customer").select("c_name")
 
 
 @query("p2_select_star", oracle="SELECT * FROM supplier")
 def p2_select_star(spark, sf_dir):
+    """SELECT * passthrough of the supplier table."""
     return t(spark, sf_dir, "supplier").select("*")
 
 
@@ -100,6 +103,7 @@ def p2_select_star(spark, sf_dir):
     """,
 )
 def p3_filter_eq(spark, sf_dir):
+    """Equality filter on a lowercased market segment."""
     c = t(spark, sf_dir, "customer")
     return c.filter(F.lower("c_mktsegment") == "building").select("c_custkey", "c_name")
 
@@ -109,6 +113,7 @@ def p3_filter_eq(spark, sf_dir):
     oracle="SELECT p_partkey, p_name FROM part WHERE p_type LIKE 'S%'",
 )
 def p4_like(spark, sf_dir):
+    """Prefix LIKE pattern over part type."""
     p = t(spark, sf_dir, "part")
     return p.filter(F.col("p_type").like("S%")).select("p_partkey", "p_name")
 
@@ -118,6 +123,7 @@ def p4_like(spark, sf_dir):
     oracle="SELECT p_partkey, p_type FROM part WHERE p_type ILIKE '%med%'",
 )
 def p5_ilike(spark, sf_dir):
+    """Case-insensitive ILIKE containment over part type."""
     p = t(spark, sf_dir, "part")
     return p.filter(F.col("p_type").ilike("%med%")).select("p_partkey", "p_type")
 
@@ -131,6 +137,7 @@ def p5_ilike(spark, sf_dir):
     """,
 )
 def p6_null_checks(spark, sf_dir):
+    """IS NULL / IS NOT NULL counts with aggregate filters."""
     e = t(spark, sf_dir, "events")
     return e.agg(
         F.count_if(F.col("props").isNull()).alias("n_null"),
@@ -147,6 +154,7 @@ def p6_null_checks(spark, sf_dir):
     """,
 )
 def p7_bool_connectives(spark, sf_dir):
+    """AND/OR/NOT connective combination over customer predicates."""
     c = t(spark, sf_dir, "customer")
     cond = ((F.col("c_acctbal") > 1000) & (F.col("c_mktsegment") == "BUILDING")) | ~(
         F.col("c_nationkey") < 20
@@ -162,6 +170,7 @@ def p7_bool_connectives(spark, sf_dir):
     """,
 )
 def p8_in_list(spark, sf_dir):
+    """IN-list membership filter on market segment."""
     c = t(spark, sf_dir, "customer")
     return c.filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")).select(
         "c_custkey", "c_mktsegment"
@@ -177,6 +186,7 @@ def p8_in_list(spark, sf_dir):
     """,
 )
 def p9_alias_expr(spark, sf_dir):
+    """Aliased computed projection (scaled account balance)."""
     c = t(spark, sf_dir, "customer")
     return c.select(
         F.col("c_custkey").alias("customer_id"),
@@ -202,6 +212,7 @@ def p9_alias_expr(spark, sf_dir):
     """,
 )
 def p10_empty_vs_null(spark, sf_dir):
+    """Empty-string vs NULL discrimination in a derived marker column."""
     d = t(spark, sf_dir, "documents")
     marker = (
         F.when(F.col("lang") == "en", F.lit(None).cast("string"))
@@ -223,6 +234,7 @@ def p10_empty_vs_null(spark, sf_dir):
     """,
 )
 def p11_between(spark, sf_dir):
+    """BETWEEN range predicate count over lineitem quantity."""
     li = t(spark, sf_dir, "lineitem")
     return li.filter(F.col("l_quantity").between(10, 20)).agg(F.count("*").alias("n"))
 
@@ -243,6 +255,7 @@ def p11_between(spark, sf_dir):
     """,
 )
 def j1_inner_multihop(spark, sf_dir):
+    """Three-hop inner join customer->nation->region with per-region aggregates."""
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region")
@@ -270,6 +283,7 @@ def j1_inner_multihop(spark, sf_dir):
     """,
 )
 def j2_left_outer(spark, sf_dir):
+    """Left outer join keeping all orders, counting only high-quantity lines."""
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
     cond = (o.o_orderkey == li.l_orderkey) & (li.l_quantity > 45)
@@ -291,6 +305,7 @@ def j2_left_outer(spark, sf_dir):
     """,
 )
 def j3_right_outer(spark, sf_dir):
+    """Right outer join formulation equivalent to j2 (orders preserved)."""
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
     cond = (o.o_orderkey == li.l_orderkey) & (li.l_quantity > 45)
@@ -314,6 +329,7 @@ def j3_right_outer(spark, sf_dir):
     """,
 )
 def j4_full_outer(spark, sf_dir):
+    """Full outer join of per-nation customer and supplier counts."""
     c = t(spark, sf_dir, "customer")
     s = t(spark, sf_dir, "supplier")
     cn = c.groupBy(F.col("c_nationkey").alias("nk")).agg(F.count("*").alias("n_cust"))
@@ -331,6 +347,7 @@ def j4_full_outer(spark, sf_dir):
     """,
 )
 def j5_left_semi(spark, sf_dir):
+    """Left semi join: customers having at least one order."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
     return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
@@ -351,6 +368,7 @@ def j5_left_semi(spark, sf_dir):
     """,
 )
 def j6_left_anti(spark, sf_dir):
+    """Left anti join: customers with no urgent-priority order."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
@@ -366,6 +384,7 @@ def j6_left_anti(spark, sf_dir):
     """,
 )
 def j7_cross(spark, sf_dir):
+    """Cross join of region with itself (all name pairs)."""
     r = t(spark, sf_dir, "region")
     a = r.select(F.col("r_name").alias("name_a"))
     b = r.select(F.col("r_name").alias("name_b"))
@@ -379,6 +398,7 @@ def j7_cross(spark, sf_dir):
 
 @query("g1_count_star", oracle="SELECT count(*) AS n FROM lineitem")
 def g1_count_star(spark, sf_dir):
+    """COUNT(*) over lineitem."""
     return t(spark, sf_dir, "lineitem").agg(F.count("*").alias("n"))
 
 
@@ -395,6 +415,7 @@ def g1_count_star(spark, sf_dir):
     """,
 )
 def g2_sum_avg_min_max(spark, sf_dir):
+    """Global SUM/AVG/MIN/MAX over order price and date."""
     o = t(spark, sf_dir, "orders")
     return o.agg(
         F.sum("o_totalprice").alias("sum_price"),
@@ -414,6 +435,7 @@ def g2_sum_avg_min_max(spark, sf_dir):
     """,
 )
 def g3_group_by(spark, sf_dir):
+    """GROUP BY order priority with count and average price."""
     o = t(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"), F.avg("o_totalprice").alias("avg_price")
@@ -428,6 +450,7 @@ def g3_group_by(spark, sf_dir):
     """,
 )
 def g4_having(spark, sf_dir):
+    """HAVING filter keeping customers with more than 12 orders."""
     o = t(spark, sf_dir, "orders")
     return (
         o.groupBy("o_custkey")
@@ -438,6 +461,7 @@ def g4_having(spark, sf_dir):
 
 @query("g5_distinct", oracle="SELECT DISTINCT c_mktsegment FROM customer")
 def g5_distinct(spark, sf_dir):
+    """DISTINCT projection of market segments."""
     return t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
 
 
@@ -450,6 +474,7 @@ def g5_distinct(spark, sf_dir):
     """,
 )
 def g6_count_distinct(spark, sf_dir):
+    """Two COUNT(DISTINCT) aggregates in one pass over lineitem."""
     li = t(spark, sf_dir, "lineitem")
     return li.agg(
         F.countDistinct("l_partkey").alias("n_parts"),
@@ -465,6 +490,7 @@ def g6_count_distinct(spark, sf_dir):
     """,
 )
 def g7_rollup(spark, sf_dir):
+    """ROLLUP subtotal hierarchy over returnflag and linestatus."""
     li = t(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.sum("l_quantity").alias("sum_qty")
@@ -479,6 +505,7 @@ def g7_rollup(spark, sf_dir):
     """,
 )
 def g8_cube(spark, sf_dir):
+    """CUBE over returnflag and linestatus with counts."""
     li = t(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
 
@@ -492,6 +519,7 @@ def g8_cube(spark, sf_dir):
     """,
 )
 def g9_median_percentile(spark, sf_dir):
+    """Exact continuous median and p90 via percentile interpolation."""
     li = t(spark, sf_dir, "lineitem")
     return li.agg(
         F.expr("percentile(l_quantity, 0.5)").alias("med_qty"),
@@ -501,6 +529,7 @@ def g9_median_percentile(spark, sf_dir):
 
 @query("g10_approx_count_distinct")  # estimator differs per engine: rows-only check
 def g10_approx_count_distinct(spark, sf_dir):
+    """HyperLogLog++ approx_count_distinct sketch (error-bound gated in tests)."""
     li = t(spark, sf_dir, "lineitem")
     return li.agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
 
@@ -518,6 +547,7 @@ def g10_approx_count_distinct(spark, sf_dir):
     """,
 )
 def o1_order_by(spark, sf_dir):
+    """Multi-key ORDER BY with a deterministic tie-break column."""
     c = t(spark, sf_dir, "customer")
     return c.select("c_custkey", "c_acctbal").orderBy(
         F.col("c_acctbal").desc(), F.col("c_custkey")
@@ -532,6 +562,7 @@ def o1_order_by(spark, sf_dir):
     """,
 )
 def o2_top_k(spark, sf_dir):
+    """Top-10 most expensive orders (TakeOrderedAndProject plan-gated)."""
     o = t(spark, sf_dir, "orders")
     # Catalyst plans this as TakeOrderedAndProject: no global sort at scale.
     return (
@@ -549,6 +580,7 @@ def o2_top_k(spark, sf_dir):
     """,
 )
 def o3_offset(spark, sf_dir):
+    """LIMIT with OFFSET pagination over ordered orders."""
     o = t(spark, sf_dir, "orders")
     return o.select("o_orderkey").orderBy("o_orderkey").offset(10).limit(5)
 
@@ -561,6 +593,7 @@ def o3_offset(spark, sf_dir):
     """,
 )
 def o4_limit_deterministic(spark, sf_dir):
+    """Deterministic LIMIT 100 under a total order."""
     li = t(spark, sf_dir, "lineitem")
     return (
         li.select("l_orderkey", "l_linenumber")
@@ -578,6 +611,7 @@ def o4_limit_deterministic(spark, sf_dir):
     """,
 )
 def so1_union_all(spark, sf_dir):
+    """UNION ALL of customer and supplier nation keys."""
     c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
     s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
     return c.unionAll(s)
@@ -592,6 +626,7 @@ def so1_union_all(spark, sf_dir):
     """,
 )
 def so2_intersect(spark, sf_dir):
+    """Set INTERSECT of customer and supplier nation keys."""
     c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
     s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
     return c.intersect(s)
@@ -609,6 +644,7 @@ def so2_intersect(spark, sf_dir):
     """,
 )
 def so3_except(spark, sf_dir):
+    """Set EXCEPT: orders with no lineitem rows."""
     o = t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("ok"))
     li = t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("ok"))
     # subtract == SQL EXCEPT (distinct); exceptAll would keep multiplicity.
@@ -629,6 +665,7 @@ def so3_except(spark, sf_dir):
     """,
 )
 def w1_row_number_topk_per_group(spark, sf_dir):
+    """row_number window: top-3 orders per customer by price."""
     o = t(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
@@ -652,6 +689,7 @@ def w1_row_number_topk_per_group(spark, sf_dir):
     """,
 )
 def w2_running_sum(spark, sf_dir):
+    """Per-user running sum over event time (ROWS UNBOUNDED PRECEDING)."""
     e = t(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
@@ -674,6 +712,7 @@ def w2_running_sum(spark, sf_dir):
     """,
 )
 def w3_lag_delta(spark, sf_dir):
+    """lag() delta of consecutive order prices per customer."""
     o = t(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return o.select(
@@ -697,6 +736,7 @@ def w3_lag_delta(spark, sf_dir):
     """,
 )
 def w4_rank_dense_ntile(spark, sf_dir):
+    """rank, dense_rank, and ntile quartiles per market segment."""
     # Windows are partitioned by segment: an unpartitioned ORDER BY
     # window funnels every row through one task — a scale-killer at
     # 100 TB (global ranks need a two-pass range-partitioned sort, which
@@ -727,6 +767,7 @@ def w4_rank_dense_ntile(spark, sf_dir):
     """,
 )
 def f1_lower_upper(spark, sf_dir):
+    """upper()/lower() case mapping of customer name and segment."""
     c = t(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
@@ -747,6 +788,7 @@ def f1_lower_upper(spark, sf_dir):
     """,
 )
 def f2_json_extract(spark, sf_dir):
+    """JSON path extraction from event props as string and as bigint."""
     e = t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k")
     return e.select(
@@ -763,6 +805,7 @@ def f2_json_extract(spark, sf_dir):
     """,
 )
 def f3_json_exists(spark, sf_dir):
+    """Existence counts for present vs missing JSON keys in event props."""
     e = t(spark, sf_dir, "events")
     return e.agg(
         F.count_if(F.get_json_object("props", "$.k").isNotNull()).alias("with_k"),
@@ -780,6 +823,7 @@ def f3_json_exists(spark, sf_dir):
     """,
 )
 def f4_json_text_like(spark, sf_dir):
+    """Substring LIKE over the raw JSON text of event props."""
     e = t(spark, sf_dir, "events")
     return e.filter(F.col("props").cast("string").like('%"k": 1%')).select("event_id")
 
@@ -792,6 +836,7 @@ def f4_json_text_like(spark, sf_dir):
     """,
 )
 def f6_struct_access(spark, sf_dir):
+    """Schema-on-read struct field access into event props."""
     # Schema-on-read: parse the JSON text into a typed struct, then use
     # native dotted field access (reference anticipates col.field for
     # STRUCT columns, query_llm.py:182-183).
@@ -808,6 +853,7 @@ def f6_struct_access(spark, sf_dir):
     """,
 )
 def f7_map_access(spark, sf_dir):
+    """Map-typed access of a JSON key in event props."""
     # Map-typed schema-on-read: col['key'] access (query_llm.py:184-185).
     e = t(spark, sf_dir, "events")
     parsed = F.from_json("props", "map<string,int>")
@@ -821,6 +867,7 @@ def f7_map_access(spark, sf_dir):
     """,
 )
 def f8_case_insensitive_eq(spark, sf_dir):
+    """Case-insensitive equality on event_type via lower()."""
     e = t(spark, sf_dir, "events")
     return e.filter(F.lower("event_type") == "click").select("event_id")
 
@@ -838,6 +885,7 @@ def f8_case_insensitive_eq(spark, sf_dir):
     """,
 )
 def f9_string_funcs(spark, sf_dir):
+    """substr/length/concat/replace string-function surface over customer."""
     c = t(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
@@ -862,6 +910,7 @@ def f9_string_funcs(spark, sf_dir):
     """,
 )
 def f10_case_when(spark, sf_dir):
+    """Three-way CASE WHEN price bucketing with per-bucket counts."""
     o = t(spark, sf_dir, "orders")
     bucket = (
         F.when(F.col("o_totalprice") >= 300000, "large")
@@ -881,6 +930,7 @@ def f10_case_when(spark, sf_dir):
     """,
 )
 def f11_coalesce_nullif(spark, sf_dir):
+    """coalesce(nullif(...)) defaulting: BUILDING segment maps to OTHER."""
     c = t(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
@@ -899,6 +949,7 @@ def f11_coalesce_nullif(spark, sf_dir):
     """,
 )
 def d1_date_trunc(spark, sf_dir):
+    """Monthly order counts and revenue via date_trunc('month') bucketing."""
     o = t(spark, sf_dir, "orders")
     return o.groupBy(
         F.date_trunc("month", "o_orderdate").cast("date").alias("order_month")
@@ -915,6 +966,7 @@ def d1_date_trunc(spark, sf_dir):
     """,
 )
 def d2_extract_parts(spark, sf_dir):
+    """Order counts grouped by extracted year and month parts of the order date."""
     o = t(spark, sf_dir, "orders")
     return o.groupBy(
         F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
@@ -932,6 +984,7 @@ def d2_extract_parts(spark, sf_dir):
     """,
 )
 def d3_date_arith(spark, sf_dir):
+    """Due dates via +30-day interval arithmetic and day-diffs from a fixed epoch."""
     o = t(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
@@ -957,6 +1010,7 @@ def d3_date_arith(spark, sf_dir):
     """,
 )
 def sq1_scalar_subquery(spark, sf_dir):
+    """Scalar subquery: customers above the average account balance."""
     t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(
         """
@@ -976,6 +1030,7 @@ def sq1_scalar_subquery(spark, sf_dir):
     """,
 )
 def sq2_in_subquery(spark, sf_dir):
+    """IN subquery: orders from MACHINERY-segment customers."""
     t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(
@@ -999,6 +1054,7 @@ def sq2_in_subquery(spark, sf_dir):
     """,
 )
 def sq3_correlated_exists(spark, sf_dir):
+    """Correlated EXISTS: parts with a quantity-49+ lineitem."""
     t(spark, sf_dir, "part").createOrReplaceTempView("part")
     t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(
@@ -1023,6 +1079,7 @@ def sq3_correlated_exists(spark, sf_dir):
     """,
 )
 def sq4_cte(spark, sf_dir):
+    """CTE over big orders, then grouped priority counts."""
     t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
         """
@@ -1057,6 +1114,7 @@ def sq4_cte(spark, sf_dir):
     """,
 )
 def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shipping priority: top unshipped-order revenue."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
@@ -1217,6 +1275,7 @@ def q18_large_orders(spark, sf_dir):
     """,
 )
 def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 local supplier volume: revenue where supplier and customer share a nation."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
@@ -1257,6 +1316,7 @@ def q5_local_supplier_volume(spark, sf_dir):
     """,
 )
 def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: top returned-item customers by lost revenue."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
