@@ -131,6 +131,7 @@ N_HASHES = 32  # minhash permutations
 BAND_SIZE = 4  # rows per LSH band -> 8 bands
 SHINGLE_K = 5  # word-shingle width... chosen for short synthetic docs
 MAX_BUCKET = 50  # skew guard: drop degenerate buckets
+MAX_POSTING = 1000  # x3 absolute df cap: bounds posting lists at scale
 
 
 def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -291,9 +292,10 @@ def x2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
       )
     ), kept AS (
-      -- stop-gram skew guard: drop grams present in > 25% of docs
+      -- stop-gram skew guard: drop grams present in > 25% of docs OR
+      -- in more than MAX_POSTING docs (absolute cap, see Spark twin)
       SELECT g FROM grams GROUP BY g
-      HAVING count(*) <= (SELECT count(*) FROM documents) / 4
+      HAVING count(*) <= least((SELECT count(*) FROM documents) / 4, 1000)
     ), pruned AS (
       SELECT doc_id, g FROM grams WHERE g IN (SELECT g FROM kept)
     ), sizes AS (
@@ -327,19 +329,26 @@ def x3_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = d.select(
         "doc_id", F.explode(char_ngrams(F.col("text"), 8)).alias("g")
     ).dropDuplicates(["doc_id", "g"])
-    # Stop-gram skew guard: a gram occurring in >25% of documents is
-    # boilerplate; its posting list would dominate the self-join
-    # (quadratic in list length). Same document-frequency pruning as
-    # x2's MAX_BUCKET, expressed on the inverted index. The corpus size
-    # rides in as a broadcast scalar aggregate (the DataFrame analogue
-    # of the oracle's scalar subquery) so the operator stays fully lazy
-    # — building it never triggers a job.
+    # Stop-gram skew guard, two layers. (1) Relative: a gram in >25% of
+    # documents is boilerplate. (2) Absolute (MAX_POSTING): the 100x
+    # scale trial (SCALE.md) showed the relative cap alone lets posting
+    # lists GROW WITH THE CORPUS — a gram in 10% of documents is 500
+    # rows at sf0.01 but 50k rows at 100x, and the self-join below is
+    # quadratic in list length, so join work grew ~N^2 while true pairs
+    # grew ~N. Capping document frequency absolutely bounds every
+    # posting list independent of corpus size (same role as x2's
+    # MAX_BUCKET); grams shared by >1000 documents carry no
+    # discriminative signal for a 0.05-Jaccard pair anyway (standard
+    # maxDF practice). Inactive below 4000 documents, so the oracle
+    # comparison at fixture SF is exact. The corpus size rides in as a
+    # broadcast scalar aggregate (the DataFrame analogue of the
+    # oracle's scalar subquery) so the operator stays fully lazy.
     total = d.agg(F.count("*").alias("n_docs"))
     kept = (
         grams.groupBy("g")
         .count()
         .join(F.broadcast(total))
-        .filter(F.col("count") <= F.col("n_docs") / 4)
+        .filter(F.col("count") <= F.least(F.col("n_docs") / 4, F.lit(MAX_POSTING)))
     )
     grams = grams.join(kept.select("g"), "g")
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))

@@ -52,6 +52,7 @@ HEADLINE = [
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    load_start = os.getloadavg()[0]
     spark = get_spark("bench")
     # Warm the JVM + parquet footers so per-query timings measure the
     # engine, not session startup (the driver compares sec/query).
@@ -96,6 +97,13 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # Diagnostics for run-to-run comparison: BENCH numbers
+                # are only comparable when the host was otherwise idle
+                # (r02: 29.1 s driver vs ~17 s uncontended local on an
+                # identical commit — a contention artifact, see
+                # BENCHLOG.md). load1 near 0 at start = trustworthy.
+                "load_avg_start": round(load_start, 2),
+                "load_avg_end": round(os.getloadavg()[0], 2),
             }
         )
     )

@@ -1,0 +1,126 @@
+"""Scale trial: replicate fixture tables Nx and re-time core operators.
+
+Usage::
+
+    python scripts/scale_trial.py --factor 100
+
+Builds an Nx corpus from sf0.1 (``documents`` replicated with per-
+replica word perturbation so the DUPLICATION RATE stays realistic
+instead of creating an N-way-duplicate pathology; ``events`` replicated
+into fresh user-id ranges so the corpus grows in users, the realistic
+100 TB shape) and times the four shuffle-bearing operator families the
+100 TB argument rests on: MinHash-LSH (x2), the n-gram inverted-index
+self-join (x3), sessionization (x13), and TF-IDF (x22).
+
+Results are recorded in SCALE.md. The workdir is repo-local and
+gitignored; pass --keep to skip the teardown for plan inspection.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ask_duckdb_spark.operators import QUERIES  # noqa: E402
+from ask_duckdb_spark.session import get_spark  # noqa: E402
+from ask_duckdb_spark.sources.catalog import load_table  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+WARM = "/root/testdata/sf0.001"
+STAGES = (
+    "x2_minhash_neardup",
+    "x3_ngram_jaccard_pairs",
+    "x13_sessionize",
+    "x22_tfidf_top_term",
+)
+
+
+def build_corpus(spark, factor: int, workdir: str) -> None:
+    k = F.col("replica")
+    docs = load_table(spark, BASE, "documents").crossJoin(
+        spark.range(factor).select(F.col("id").alias("replica"))
+    )
+    # Per-replica word suffix: nearly every 8-gram crosses a word
+    # boundary, so replicas of one document stop colliding at the gram
+    # level — corpus grows 100x while the true-duplicate rate stays at
+    # the base corpus's, which is what a real crawl looks like.
+    perturbed = F.array_join(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda w: F.concat(w, F.lit("~"), k.cast("string")),
+        ),
+        " ",
+    )
+    docs.select(
+        (F.col("doc_id") + k * 10_000_000).alias("doc_id"),
+        perturbed.alias("text"),
+        "lang",
+    ).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(workdir, "documents.parquet")
+    )
+
+    ev = load_table(spark, BASE, "events").crossJoin(
+        spark.range(factor).select(F.col("id").alias("replica"))
+    )
+    ev.select(
+        (F.col("event_id") + k * 100_000_000).alias("event_id"),
+        (F.col("user_id") + k * 1_000_000).alias("user_id"),
+        "ts",
+        "event_type",
+        "value",
+        "props",
+    ).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(workdir, "events.parquet")
+    )
+
+
+def time_stage(spark, name: str, sf_dir: str) -> tuple[float, int]:
+    spark.catalog.clearCache()
+    t0 = time.time()
+    n = QUERIES[name](spark, sf_dir).count()
+    return time.time() - t0, n
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=100)
+    ap.add_argument(
+        "--workdir",
+        default=os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".scale_trial"),
+    )
+    ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--stages", nargs="*", default=list(STAGES))
+    args = ap.parse_args()
+
+    spark = get_spark("scale-trial")
+    print(f"building {args.factor}x corpus under {args.workdir} ...")
+    t0 = time.time()
+    build_corpus(spark, args.factor, args.workdir)
+    print(f"  built in {time.time() - t0:.1f}s")
+
+    for name in args.stages:  # codegen warm-up (class cache is SF-independent)
+        QUERIES[name](spark, WARM).count()
+    spark.catalog.clearCache()
+
+    print(f"{'stage':<28}{'1x wall':>9}{'1x rows':>12}"
+          f"{args.factor:>6}x wall{'rows':>14}")
+    for name in args.stages:
+        w1, n1 = time_stage(spark, name, BASE)
+        wn, nn = time_stage(spark, name, args.workdir)
+        print(f"{name:<28}{w1:>8.2f}s{n1:>12,}{wn:>10.2f}s{nn:>14,}")
+
+    if not args.keep:
+        shutil.rmtree(args.workdir, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
