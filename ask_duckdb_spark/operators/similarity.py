@@ -379,3 +379,103 @@ def x7b_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "x42_label_centroids",
+    # parallel unnests zip positionally in DuckDB; range(0, n) matches
+    # posexplode's 0-based pos
+    oracle="""
+    SELECT label, CAST(pos AS INTEGER) AS pos, ROUND(avg(v), 6) AS c
+    FROM (
+      SELECT label,
+             unnest(range(0, len(embedding))) AS pos,
+             unnest(list_transform(embedding, x -> x::DOUBLE)) AS v
+      FROM embeddings
+    )
+    GROUP BY label, pos
+    ORDER BY label, pos
+    """,
+)
+def x42_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label element-wise mean embedding (class prototypes).
+
+    The distributed vector-mean shape behind classifier prototypes,
+    IVF codebook refinement (x27 reuses it), and embedding-drift
+    monitoring: posexplode to (label, pos, value), then ONE combinable
+    groupBy — partial aggregation means the shuffle carries (label,
+    pos, partial-sum) tuples, O(|labels| x dims) per map task, however
+    large the corpus.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
+        .select("label", F.col("pos").cast("int").alias("pos"), "c")
+        .orderBy("label", "pos")
+    )
+
+
+#: int8 scalar-quantization range (symmetric, per-vector absmax).
+QUANT_LEVELS = 127
+
+
+@query(
+    "x43_quantize_error",
+    # folds are double left-folds on both engines (see _DUCK_COS note);
+    # round() is half-away-from-zero on both for doubles
+    oracle=f"""
+    WITH m AS (
+      SELECT vec_id, embedding,
+             list_reduce(list_transform(embedding, x -> abs(x::DOUBLE)),
+                         (a, b) -> greatest(a, b)) AS maxabs
+      FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(list_reduce(
+             list_transform(embedding,
+               x -> abs(x::DOUBLE
+                        - round(x::DOUBLE * {QUANT_LEVELS} / maxabs)
+                          * maxabs / {QUANT_LEVELS})),
+             (a, b) -> greatest(a, b)), 8) AS max_err
+    FROM m
+    WHERE maxabs > 0
+    ORDER BY vec_id
+    """,
+)
+def x43_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar-quantization reconstruction error.
+
+    Symmetric absmax quantization (the standard int8 embedding
+    compression: q = round(v * 127 / absmax)) evaluated WITHOUT
+    materializing the quantized corpus: one narrow map computes the
+    worst-case per-vector reconstruction error, the acceptance metric
+    for deploying a quantized ANN index. All JVM array folds; at 100 TB
+    this is a scan-bounded audit pass emitting 16 bytes per vector.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    maxabs = F.aggregate(
+        v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x.cast("double")))
+    )
+    with_m = emb.select("vec_id", "embedding", maxabs.alias("maxabs")).filter(
+        F.col("maxabs") > 0
+    )
+    err = F.aggregate(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.abs(
+                x.cast("double")
+                - F.round(x.cast("double") * QUANT_LEVELS / F.col("maxabs"))
+                * F.col("maxabs")
+                / QUANT_LEVELS
+            ),
+        ),
+        F.lit(0.0),
+        lambda a, b: F.greatest(a, b),
+    )
+    return (
+        with_m.select("vec_id", F.round(err, 8).alias("max_err"))
+        .orderBy("vec_id")
+    )

@@ -732,3 +732,48 @@ def x12_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: F.pmod(acc * 31 + x, F.lit(FP_MOD)),
     )
     return d.select("doc_id", fp.alias("fp"))
+
+
+@query(
+    "x39_repetition_ratio",
+    oracle=r"""
+    SELECT doc_id,
+           ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                       / len(toks), 6) AS rep_ratio,
+           CAST(len(toks) - len(list_distinct(toks)) AS BIGINT)
+               AS n_repeated
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    )
+    WHERE len(toks) > 0
+    ORDER BY doc_id
+    """,
+)
+def x39_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document token repetition ratio (C4/Gopher quality signal).
+
+    ``1 - distinct_tokens/total_tokens`` per document — high values
+    flag boilerplate/spam for corpus filtering. Pure narrow map over
+    the shared tokenizer (``functions/text.py``): zero shuffles, the
+    ratio is exact integer arithmetic divided once at the end so the
+    oracle comparison has no float-accumulation hazard.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    uniq = F.size(F.array_distinct(toks))
+    return (
+        d.select("doc_id", n.alias("n"), uniq.alias("u"))
+        .filter(F.col("n") > 0)
+        .select(
+            "doc_id",
+            F.round(
+                F.lit(1.0) - F.col("u").cast("double") / F.col("n"), 6
+            ).alias("rep_ratio"),
+            (F.col("n") - F.col("u")).cast("bigint").alias("n_repeated"),
+        )
+        .orderBy("doc_id")
+    )

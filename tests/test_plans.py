@@ -53,6 +53,18 @@ def test_narrow_map_operators_shuffle_free(spark):
     assert checks.num_shuffles(QUERIES["x12_fingerprint"](spark, SF_DIR)) == 0
 
 
+def test_round3_vector_text_operators_shuffle_budget(spark):
+    """x39 (repetition ratio) is a per-doc narrow map plus its final
+    orderBy (range exchange only); x43 (quantization audit) likewise;
+    x42 (label centroids) gets exactly one aggregate exchange (partial
+    aggregation) plus the orderBy's range exchange."""
+    assert checks.num_shuffles(QUERIES["x39_repetition_ratio"](spark, SF_DIR)) <= 1
+    assert checks.num_shuffles(QUERIES["x43_quantize_error"](spark, SF_DIR)) <= 1
+    x42 = QUERIES["x42_label_centroids"](spark, SF_DIR)
+    assert checks.num_shuffles(x42) <= 2
+    assert checks.has_partial_aggregate(x42)
+
+
 def test_aqe_coalesces_small_shuffles(spark):
     """32 configured shuffle partitions over tiny data must coalesce at
     runtime (AQEShuffleRead coalesced) — the other half of the AQE
