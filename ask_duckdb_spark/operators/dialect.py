@@ -927,3 +927,92 @@ def j9_asof_last_purchase(spark, sf_dir):
         "event_id",
         F.last(purchase_ts, ignorenulls=True).over(w).alias("last_purchase_ts"),
     )
+
+
+@query(
+    "w8_forward_fill",
+    # DuckDB spells it last_value(x IGNORE NULLS); Spark SQL puts
+    # IGNORE NULLS after the call — same frame, same carry semantics
+    oracle="""
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'error' THEN NULL
+                           ELSE value END IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_ff
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def w8_forward_fill(spark, sf_dir):
+    """Per-user forward fill (gap fill) via last_value IGNORE NULLS.
+
+    Error events carry no trustworthy measurement, so their ``value``
+    is masked to NULL and the last good per-user value is carried
+    forward — the sensor/telemetry gap-fill idiom. One user-key
+    shuffle; the IGNORE NULLS frame walk is linear per partition.
+    Events before a user's first good reading stay NULL (both engines).
+    """
+    e = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    masked = F.when(F.col("event_type") != "error", F.col("value"))
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.last(masked, ignorenulls=True).over(w).alias("value_ff"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "sq7_recursive_cte",
+    # identical statement runs on both engines (Spark 4 and DuckDB both
+    # speak WITH RECURSIVE + VALUES-bodied CTEs)
+    oracle="""
+    WITH RECURSIVE org(id, mgr) AS (
+      VALUES (1, CAST(NULL AS INTEGER)), (2, 1), (3, 1), (4, 2),
+             (5, 2), (6, 3), (7, 6), (8, 7)
+    ),
+    tree(id, depth, path) AS (
+      SELECT id, 0, CAST(id AS VARCHAR) FROM org WHERE mgr IS NULL
+      UNION ALL
+      SELECT o.id, t.depth + 1, t.path || '/' || CAST(o.id AS VARCHAR)
+      FROM org o JOIN tree t ON o.mgr = t.id
+    )
+    SELECT id, CAST(depth AS INTEGER) AS depth, path
+    FROM tree ORDER BY id
+    """,
+)
+def sq7_recursive_cte(spark, sf_dir):
+    """WITH RECURSIVE hierarchy closure (depth + materialized path).
+
+    Spark 4 ships recursive CTEs (SPARK-24497): the classic org-chart
+    traversal — seed the root, join children level by level until the
+    fixpoint. Execution is the iterative-join shape (one join per
+    level, like x29's label propagation) driven by the engine itself
+    rather than driver-side looping; DuckDB runs the very same
+    statement as the oracle.
+    """
+    return spark.sql(
+        """
+        WITH RECURSIVE org(id, mgr) AS (
+          VALUES (1, CAST(NULL AS INT)), (2, 1), (3, 1), (4, 2),
+                 (5, 2), (6, 3), (7, 6), (8, 7)
+        ),
+        tree(id, depth, path) AS (
+          SELECT id, 0 AS depth, CAST(id AS STRING) AS path
+          FROM org WHERE mgr IS NULL
+          UNION ALL
+          SELECT o.id, t.depth + 1, CONCAT(t.path, '/', CAST(o.id AS STRING))
+          FROM org o JOIN tree t ON o.mgr = t.id
+        )
+        SELECT id, CAST(depth AS INT) AS depth, path
+        FROM tree ORDER BY id
+        """
+    )

@@ -106,3 +106,53 @@ def session_rollup(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> Dat
             "n_events",
         )
     )
+
+
+def purchases_after_clicks(
+    events: DataFrame, watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Stream-stream interval join: purchases within 30 min of a click.
+
+    The attribution join — two watermarked streams (clicks, purchases)
+    of the SAME source joined per user with an event-time range
+    constraint. Structured Streaming derives the state-retention bound
+    from watermark + interval: a click is held in the join state only
+    until the purchase-side watermark passes click_time + 30 min, so
+    state is bounded by the (watermark + interval) window however long
+    the streams run — the requirement for a stream-stream join to be
+    deployable at all (Spark refuses inner interval joins without
+    watermarks on both sides for exactly this reason).
+    """
+    e = _with_event_time(events)
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("event_time").alias("click_time"),
+        )
+        .withWatermark("click_time", watermark)
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("event_time").alias("purchase_time"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_time", watermark)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            """
+            c_user = p_user AND
+            purchase_time > click_time AND
+            purchase_time <= click_time + INTERVAL 30 MINUTES
+            """
+        ),
+    ).select(
+        "click_id", "purchase_id", F.col("c_user").alias("user_id"),
+        "click_time", "purchase_time", "purchase_value",
+    )

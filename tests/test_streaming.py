@@ -369,3 +369,56 @@ def test_session_machine_in_order_gap_still_closes():
     assert int(row["session_start"].timestamp()) == 100
     start_us, _, n = state.get
     assert start_us == (100 + gap + 1) * 1_000_000 and n == 1
+
+
+def test_stream_stream_interval_join_matches_batch(spark, raw_events, stream_path):
+    """Stream-stream interval join (purchases within 30 min after a
+    click, per user) must emit exactly the batch join's pairs — inner
+    interval joins emit as soon as both sides arrive, so availableNow
+    over a bounded source produces the complete result."""
+    import pyspark.sql.functions as F
+
+    stream = (
+        spark.readStream.schema(raw_events.schema)
+        .format("parquet")
+        .load(stream_path)
+    )
+    q = (
+        stream_ops.purchases_after_clicks(_normalize(stream))
+        .writeStream.format("memory")
+        .queryName("ssj_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.table("ssj_sink").collect()
+    }
+
+    e = _normalize(raw_events).withColumn(
+        "event_time", F.col("ts").cast("timestamp")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("event_time").alias("click_time"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("event_time").alias("purchase_time"),
+    )
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in clicks.join(
+            purchases,
+            F.expr(
+                "c_user = p_user AND purchase_time > click_time "
+                "AND purchase_time <= click_time + INTERVAL 30 MINUTES"
+            ),
+        ).collect()
+    }
+    assert want, "fixture produced no click->purchase pairs (vacuous)"
+    assert got == want
