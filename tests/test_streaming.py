@@ -422,3 +422,59 @@ def test_stream_stream_interval_join_matches_batch(spark, raw_events, stream_pat
     }
     assert want, "fixture produced no click->purchase pairs (vacuous)"
     assert got == want
+
+
+def test_foreachbatch_file_sink_idempotent_across_restart(
+    spark, raw_events, tmp_path
+):
+    """foreachBatch + dynamic partition overwrite must survive a
+    stop/restart without duplicating output: stream half the files,
+    restart over all files with the same checkpoint, and the parquet
+    directory must equal the batch aggregation exactly."""
+    import pyspark.sql.functions as F
+
+    src = _normalize(raw_events)
+    data_dir = str(tmp_path / "data")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # split by EVENT TIME, not randomly: the restarted run must only
+    # deliver data newer than the checkpointed watermark, or update
+    # mode correctly drops it as late and batch parity cannot hold
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cutoff = int(
+        src.select(us.alias("us")).approxQuantile("us", [0.5], 0.0)[0]
+    )
+    half1 = src.filter(us <= cutoff)
+    half2 = src.filter(us > cutoff)
+    half1.repartition(2).write.parquet(data_dir)
+
+    def run():
+        stream = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", 1)
+            .format("parquet")
+            .load(data_dir)
+        )
+        q = stream_ops.write_tumbling_counts_idempotent(
+            _normalize(stream), out_dir, ckpt
+        )
+        q.awaitTermination(120)
+
+    run()
+    first = spark.read.parquet(out_dir).count()
+    assert first > 0
+
+    half2.repartition(2).write.mode("append").parquet(data_dir)
+    run()  # same checkpoint: resumes, rewrites only touched partitions
+
+    got = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in QUERIES["x15_tumbling_window"](spark, SF_DIR)
+        .withColumnRenamed("window_start", "window_start")
+        .collect()
+    }
+    assert got == want
