@@ -479,3 +479,54 @@ def x43_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_m.select("vec_id", F.round(err, 8).alias("max_err"))
         .orderBy("vec_id")
     )
+
+
+KNN_K = 3  # neighbors per vector in the graph
+
+
+@query("x44_knn_graph")  # LSH-candidate approximation: no SQL oracle
+def x44_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN graph: top-3 neighbors for EVERY vector.
+
+    The corpus-wide generalization of x6 (one query) and x25 (a query
+    batch): candidates come from the banded sign-random-projection
+    self-join (recall ~0.97 per neighbor at fixture geometry), scored
+    exactly, ranked per source vector. The k-NN graph is the input to
+    embedding-cluster dedup and diversity sampling; at 100 TB the band
+    join touches only colliding pairs and the per-vector rank is one
+    window over the candidate list — never an all-pairs scan.
+    tests/test_similarity.py gates graph recall against the exact
+    brute-force graph at sf0.01.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    banded = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(_band_keys(F.col("embedding"))).alias("bk"),
+    ).select(
+        "vec_id",
+        "embedding",
+        F.col("bk.band").alias("band"),
+        F.col("bk.bkey").alias("bkey"),
+    )
+    a = banded.select(
+        F.col("vec_id").alias("src"), F.col("embedding").alias("ea"), "band", "bkey"
+    )
+    b = banded.select(
+        F.col("vec_id").alias("dst"), F.col("embedding").alias("eb"), "band", "bkey"
+    )
+    cands = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .select(
+            "src", "dst", cosine_similarity(F.col("ea"), F.col("eb")).alias("sim")
+        )
+    )
+    w = W.partitionBy("src").orderBy(F.col("sim").desc(), "dst")
+    return (
+        cands.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_K)
+        .select("src", "dst", "rnk")
+        .orderBy("src", "rnk")
+    )

@@ -161,3 +161,40 @@ def test_x4b_simhash_pairing_exact_within_radius_and_x2_overlap(spark):
     }
     overlap = len(x2_pairs & set(got)) / len(x2_pairs)
     assert overlap >= 0.4, f"x4b/x2 overlap collapsed: {overlap}"
+
+
+def test_x44_knn_graph_recall_vs_brute_force(spark):
+    """The LSH-candidate k-NN graph must recover >= 0.8 of the exact
+    brute-force graph's edges and emit k neighbors for (almost) every
+    vector — banding can starve a vector only if it collides with
+    fewer than k others, which the floor below also guards."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from ask_duckdb_spark.functions.vectors import cosine_similarity
+    from ask_duckdb_spark.operators.similarity import KNN_K
+    from ask_duckdb_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_DIR_001, "embeddings")
+    a = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("eb"))
+    w = W.partitionBy("src").orderBy(
+        F.col("sim").desc(), "dst"
+    )
+    exact = {
+        (r.src, r.dst)
+        for r in a.crossJoin(b)
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", cosine_similarity("ea", "eb").alias("sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_K)
+        .collect()
+    }
+    got = {
+        (r.src, r.dst)
+        for r in QUERIES["x44_knn_graph"](spark, SF_DIR_001).collect()
+    }
+    n_vec = emb.count()
+    assert len(got) >= 0.95 * n_vec * KNN_K  # nearly every vector served
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.8, f"knn-graph recall {recall} below floor"
