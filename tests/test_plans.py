@@ -103,3 +103,41 @@ def test_sql_broadcast_hint_respected(spark):
 
 def test_codegen_covers_flagship(spark):
     assert checks.wholestage_codegen_count(QUERIES["q1_pricing_summary"](spark, SF_DIR)) >= 1
+
+
+def test_operators_build_without_materializing(spark, monkeypatch):
+    """Building a registry DataFrame must never MATERIALIZE one —
+    count/collect/toPandas during plan construction re-scans input on
+    every build (x3 regressed this way once, via an eager corpus
+    count). Parquet footer/schema reads are fine; materialization is
+    not. x29 is the one documented exception: iterate-to-fixpoint must
+    execute its convergence checks at build time."""
+    from pyspark.sql import DataFrame
+
+    def _trip(kind):
+        def fail(self, *a, **kw):
+            raise AssertionError(f"eager DataFrame.{kind}() during operator build")
+        return fail
+
+    for kind in ("count", "collect", "toPandas", "take", "head"):
+        monkeypatch.setattr(DataFrame, kind, _trip(kind))
+    for name, fn in QUERIES.items():
+        if name == "x29_dedup_clusters":
+            continue
+        fn(spark, SF_DIR)  # raises if any operator materializes
+
+
+def test_observe_metrics_on_flagship(spark):
+    """df.observe(): pipeline instrumentation without a second scan —
+    row counts and sums ride the flagship query's own execution, the
+    zero-cost way to monitor a 100 TB job (vs a separate count() that
+    re-reads the input)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("q1_metrics")
+    df = QUERIES["q1_pricing_summary"](spark, SF_DIR)
+    rows = df.observe(obs, F.count(F.lit(1)).alias("n_groups"),
+                      F.sum("sum_qty").alias("total_qty")).collect()
+    assert obs.get["n_groups"] == len(rows)
+    assert abs(obs.get["total_qty"] - sum(r.sum_qty for r in rows)) < 1e-6
