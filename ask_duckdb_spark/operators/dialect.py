@@ -1016,3 +1016,49 @@ def sq7_recursive_cte(spark, sf_dir):
         FROM tree ORDER BY id
         """
     )
+
+
+N_SALT = 8  # join-salt fanout: bounds any one key's partition share
+
+
+@query(
+    "j10_salted_skew_join",
+    oracle="""
+    SELECT e.event_id, c.c_name
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    ORDER BY e.event_id
+    """,
+)
+def j10_salted_skew_join(spark, sf_dir):
+    """Skew-salted fact-to-dim join, result-identical to the plain join.
+
+    The companion of x26 (salted AGGREGATION): when one join key
+    dominates (a bot user, a null-ish default id) the sort-merge
+    partition holding it becomes the straggler. Salting splits each
+    key's fact rows across N_SALT sub-keys (deterministic hash of the
+    fact row id) and replicates the dim row once per salt, so the
+    hottest key's work spreads over N_SALT tasks. AQE's skew split
+    (tests/test_aqe_skew.py) reacts at runtime; salting is the static
+    formulation you reach for when the skew is known and extreme, and
+    the oracle proves it changes the PLAN, not the ANSWER.
+    """
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.pmod(F.xxhash64("event_id"), F.lit(N_SALT)).alias("salt"),
+    )
+    c = (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name")
+        .crossJoin(
+            spark.range(N_SALT).select(F.col("id").cast("bigint").alias("salt"))
+        )
+    )
+    return (
+        e.join(
+            c,
+            (e.user_id == c.c_custkey) & (e.salt == c.salt),
+        )
+        .select("event_id", "c_name")
+        .orderBy("event_id")
+    )
