@@ -195,3 +195,20 @@ def write_tumbling_counts_idempotent(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def enrich_with_customer_dim(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a dimension.
+
+    The static side re-resolves per micro-batch (a slowly-changing dim
+    picks up updates between batches for free) and needs no watermark —
+    only stream-stream joins hold join state. At 100 TB/day the static
+    side is a broadcast dim exactly as in batch; the stream side never
+    shuffles for the join.
+    """
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_name").alias("user_name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return _with_event_time(events).join(F.broadcast(dim), "user_id")

@@ -478,3 +478,36 @@ def test_foreachbatch_file_sink_idempotent_across_restart(
         .collect()
     }
     assert got == want
+
+
+def test_stream_static_join_enriches_every_event(spark, raw_events, stream_path):
+    """Stream-static join needs no watermark and must serve every
+    event whose key exists in the dim (fixture user_ids are all
+    customer keys), carrying the dim attributes through."""
+    from ask_duckdb_spark.sources.catalog import load_table
+
+    customer = load_table(spark, SF_DIR, "customer")
+    stream = (
+        spark.readStream.schema(raw_events.schema)
+        .format("parquet")
+        .load(stream_path)
+    )
+    q = (
+        stream_ops.enrich_with_customer_dim(_normalize(stream), customer)
+        .writeStream.format("memory")
+        .queryName("enrich_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("enrich_sink")
+    src = _normalize(raw_events)
+    matched = src.join(
+        customer, src.user_id == customer.c_custkey, "left_semi"
+    ).count()
+    assert matched > 0
+    assert out.count() == matched
+    assert out.filter("user_name IS NULL OR segment IS NULL").count() == 0
+
+
