@@ -289,7 +289,10 @@ def ensure_readonly(sql: str) -> None:
     # match would wave through any token merely *beginning* with an
     # allowed word (``selectivity_foo``) and let ``explain``-prefixed
     # identifiers skip the mutation scan (ADVICE r2).
-    m = re.match(r"[\s(]*([a-zA-Z_]*)", cleaned)
+    # the token pattern must consume trailing digits/underscores so
+    # 'show1'/'explain2' capture whole (and fail the equality check)
+    # instead of capturing the bare keyword and skipping the scan
+    m = re.match(r"[\s(]*([A-Za-z_][A-Za-z0-9_]*)", cleaned)
     first = m.group(1).lower() if m else ""
     if first not in _READONLY_KEYWORDS:
         raise ValueError(

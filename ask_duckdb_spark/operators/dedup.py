@@ -281,7 +281,7 @@ def x2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x3_ngram_jaccard_pairs",
-    oracle="""
+    oracle=f"""
     WITH grams AS (
       SELECT DISTINCT doc_id, g FROM (
         SELECT doc_id,
@@ -295,7 +295,8 @@ def x2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- stop-gram skew guard: drop grams present in > 25% of docs OR
       -- in more than MAX_POSTING docs (absolute cap, see Spark twin)
       SELECT g FROM grams GROUP BY g
-      HAVING count(*) <= least((SELECT count(*) FROM documents) / 4, 1000)
+      HAVING count(*) <= least((SELECT count(*) FROM documents) / 4,
+                               {MAX_POSTING})
     ), pruned AS (
       SELECT doc_id, g FROM grams WHERE g IN (SELECT g FROM kept)
     ), sizes AS (
@@ -339,10 +340,12 @@ def x3_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # posting list independent of corpus size (same role as x2's
     # MAX_BUCKET); grams shared by >1000 documents carry no
     # discriminative signal for a 0.05-Jaccard pair anyway (standard
-    # maxDF practice). Inactive below 4000 documents, so the oracle
-    # comparison at fixture SF is exact. The corpus size rides in as a
-    # broadcast scalar aggregate (the DataFrame analogue of the
-    # oracle's scalar subquery) so the operator stays fully lazy.
+    # maxDF practice). Oracle parity holds at ANY corpus size because
+    # BOTH sides apply the identical least(n/4, MAX_POSTING) — the
+    # constant is interpolated into the oracle SQL, never duplicated.
+    # The corpus size rides in as a broadcast scalar aggregate (the
+    # DataFrame analogue of the oracle's scalar subquery) so the
+    # operator stays fully lazy.
     total = d.agg(F.count("*").alias("n_docs"))
     kept = (
         grams.groupBy("g")

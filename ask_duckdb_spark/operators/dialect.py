@@ -959,7 +959,11 @@ def w8_forward_fill(spark, sf_dir):
         .orderBy("ts", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    masked = F.when(F.col("event_type") != "error", F.col("value"))
+    # mirror the oracle's CASE exactly: only the literal 'error' masks;
+    # a NULL event_type keeps its value (when(!=) would null it too)
+    masked = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.col("value")
+    )
     return (
         e.select(
             "event_id",

@@ -338,6 +338,46 @@ def x7_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _banded_candidate_pairs(emb: DataFrame, keep_self: bool = False) -> DataFrame:
+    """Ordered candidate pairs sharing >=1 sign-random-projection band.
+
+    The shared scaffolding of x7b and x44: explode ``_band_keys``, self-
+    join on (band, bkey), deduplicate pairs that collide in several
+    bands. Columns: id_a, id_b, ea, eb. With ``keep_self=False`` the
+    pair order is id_a < id_b (near-dup pairs); with True, both
+    directions survive except the diagonal (k-NN graph, where each
+    vector needs its own neighbor list). A per-bucket skew cap (x2's
+    MAX_BUCKET shape) would slot in here, once, for both consumers.
+    """
+    banded = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(_band_keys(F.col("embedding"))).alias("bk"),
+    ).select(
+        "vec_id",
+        "embedding",
+        F.col("bk.band").alias("band"),
+        F.col("bk.bkey").alias("bkey"),
+    )
+    a = banded.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "band", "bkey"
+    )
+    b = banded.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "band", "bkey"
+    )
+    keep = (
+        F.col("id_a") != F.col("id_b")
+        if keep_self
+        else F.col("id_a") < F.col("id_b")
+    )
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(keep)
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", "ea", "eb")
+    )
+
+
 @query("x7b_embedding_neardup_lsh")  # hash-seeded hyperplanes: no SQL oracle
 def x7b_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs over the WHOLE corpus, LSH-blocked.
@@ -357,25 +397,9 @@ def x7b_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-label pairs; recall vs brute-force all-pairs at sf0.001).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    banded = emb.select(
-        "vec_id",
-        "embedding",
-        F.explode(_band_keys(F.col("embedding"))).alias("bk"),
-    ).select("vec_id", "embedding", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
-    a = banded.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "band", "bkey"
-    )
-    b = banded.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "band", "bkey"
-    )
-    cands = (
-        a.join(b, ["band", "bkey"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        # a pair colliding in several bands must be scored once
-        .dropDuplicates(["id_a", "id_b"])
-    )
     return (
-        cands.filter(cosine_similarity(F.col("ea"), F.col("eb")) > NEARDUP_T)
+        _banded_candidate_pairs(emb)
+        .filter(cosine_similarity(F.col("ea"), F.col("eb")) > NEARDUP_T)
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     )
@@ -499,29 +523,10 @@ def x44_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force graph at sf0.01.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    banded = emb.select(
-        "vec_id",
-        "embedding",
-        F.explode(_band_keys(F.col("embedding"))).alias("bk"),
-    ).select(
-        "vec_id",
-        "embedding",
-        F.col("bk.band").alias("band"),
-        F.col("bk.bkey").alias("bkey"),
-    )
-    a = banded.select(
-        F.col("vec_id").alias("src"), F.col("embedding").alias("ea"), "band", "bkey"
-    )
-    b = banded.select(
-        F.col("vec_id").alias("dst"), F.col("embedding").alias("eb"), "band", "bkey"
-    )
-    cands = (
-        a.join(b, ["band", "bkey"])
-        .filter(F.col("src") != F.col("dst"))
-        .dropDuplicates(["src", "dst"])
-        .select(
-            "src", "dst", cosine_similarity(F.col("ea"), F.col("eb")).alias("sim")
-        )
+    cands = _banded_candidate_pairs(emb, keep_self=True).select(
+        F.col("id_a").alias("src"),
+        F.col("id_b").alias("dst"),
+        cosine_similarity(F.col("ea"), F.col("eb")).alias("sim"),
     )
     w = W.partitionBy("src").orderBy(F.col("sim").desc(), "dst")
     return (

@@ -248,6 +248,11 @@ def test_readonly_literal_then_comment_no_false_positive():
         # 'explain'-prefixed identifiers must not skip the mutation scan
         "explainer drop table t",
         "showme secrets",
+        # digit-suffixed lookalikes must capture WHOLE, not as the bare
+        # keyword (regex [a-zA-Z_]* stopped at digits — review r3)
+        "show1 delete from t",
+        "explain2 drop table t",
+        "describe9 insert into t values (1)",
     ],
 )
 def test_readonly_prefix_lookalikes_rejected(sql):

@@ -142,9 +142,10 @@ def test_x4b_simhash_pairing_exact_within_radius_and_x2_overlap(spark):
     }
     want = {}
     ids = sorted(sigs)
+    mask64 = (1 << 64) - 1  # signatures are signed longs: two's-complement
     for i, a in enumerate(ids):
         for b in ids[i + 1:]:
-            h = bin(sigs[a] ^ sigs[b]).count("1")
+            h = bin((sigs[a] ^ sigs[b]) & mask64).count("1")
             if h <= 3:
                 want[(a, b)] = h
 

@@ -473,9 +473,7 @@ def test_foreachbatch_file_sink_idempotent_across_restart(
     }
     want = {
         (r.window_start, r.event_type): (r.n, r.total_value)
-        for r in QUERIES["x15_tumbling_window"](spark, SF_DIR)
-        .withColumnRenamed("window_start", "window_start")
-        .collect()
+        for r in QUERIES["x15_tumbling_window"](spark, SF_DIR).collect()
     }
     assert got == want
 
