@@ -26,6 +26,13 @@ from . import nl_queries  # noqa: F401,E402
 # LLM-data-pipeline operators (dedup / similarity / text / session /
 # multimodal), the TPC-H shapes, and the as-of join. Everything else
 # keeps registration order behind them.
+#
+# ROUND-4 ROTATION PLAN: once CORRECTNESS_r03 lands green rows for the
+# list below, rotate in the entries that will then be the only ones
+# without official rows — d1-d6, sq1-sq7, f12-f27, g11-g15, o5,
+# so4-so6, w5-w8, j8, j10, q7/q8/q13/q15/q17/q19/q22, x39/x42/x43,
+# and the remaining rows-only ops (x4/x4b, x24/x27/x29/x37/x38/x44) —
+# keeping q1 in-window as the flagship.
 _VERIFY_FIRST = [
     "f5_json_array_membership",
     "nl1_fence_extraction",
