@@ -1672,3 +1672,432 @@ def q15_top_supplier(spark, sf_dir):
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+# ---------------------------------------------------------------------------
+# TPC-H completion: Q2, Q9, Q11, Q12, Q16, Q20, Q21 shapes.
+#
+# The driver testdata has no partsupp table and lineitem lacks
+# shipmode/commitdate/receiptdate, so each query keeps its canonical
+# SHAPE (correlated min, scalar-subquery fraction, CASE-count by
+# priority, distinct-count with NOT IN, nested semi-join chain,
+# exists/not-exists self-joins) re-anchored on available columns:
+# the part-supplier "catalog" is derived from lineitem, unit cost is
+# l_extendedprice / l_quantity, and l_returnflag = 'R' stands in for
+# a late/failed delivery. Reference parity: these cover the dialect
+# surface a reference user exercises through conn.sql()
+# (reference query_db.py:49 runs arbitrary SELECTs).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH catalog AS (
+      SELECT l_partkey, l_suppkey,
+             ROUND(min(l_extendedprice / l_quantity), 4) AS unit_cost
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT ROUND(s.s_acctbal, 2) AS s_acctbal, s.s_name, n.n_name,
+           p.p_partkey, c.unit_cost
+    FROM part p
+    JOIN catalog c  ON c.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size = 15 AND p.p_type = 'STANDARD' AND r.r_name = 'EUROPE'
+      AND c.unit_cost = (
+        SELECT min(c2.unit_cost)
+        FROM catalog c2
+        JOIN supplier s2 ON s2.s_suppkey = c2.l_suppkey
+        JOIN nation n2   ON n2.n_nationkey = s2.s_nationkey
+        JOIN region r2   ON r2.r_regionkey = n2.n_regionkey
+        WHERE c2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: cheapest regional supplier per part (correlated min).
+
+    The partsupp catalog is derived once from lineitem (grouped min unit
+    price — rounded to 4dp so the float min is bit-identical across
+    engines), and the correlated min-per-part subquery decorrelates into
+    a partition window over the already-joined rows: one extra exchange
+    on p_partkey instead of a second scan+join chain. Dimensions
+    (supplier x nation x region) broadcast at any SF.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    catalog = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.round(
+                F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4
+            ).alias("unit_cost")
+        )
+    )
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    dims = s.join(
+        F.broadcast(n.join(r, n.n_regionkey == r.r_regionkey)),
+        s.s_nationkey == n.n_nationkey,
+    )
+    joined = catalog.join(
+        F.broadcast(dims), catalog.l_suppkey == dims.s_suppkey
+    )
+    best = W.partitionBy("l_partkey")
+    return (
+        joined.withColumn("min_cost", F.min("unit_cost").over(best))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "unit_cost",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "q9_product_type_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS o_year,
+           ROUND(sum(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.1 * p.p_retailprice * l.l_quantity), 4) AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_type_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit by supplier nation and year for a part family.
+
+    Cost side adapted to the testdata (0.1 x p_retailprice x quantity in
+    place of ps_supplycost). The name LIKE filter prunes part BEFORE the
+    broadcast, so the fact scan joins against a pre-filtered dim — the
+    Q9 plan Catalyst should pick at 100 TB: two broadcast joins, one
+    partial agg, no fact-side shuffle until the final group-by.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 4).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    SELECT l.l_partkey,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS part_qty
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_1'
+    GROUP BY l.l_partkey
+    HAVING sum(CAST(l.l_quantity AS BIGINT)) > (
+      SELECT sum(CAST(l2.l_quantity AS BIGINT)) * 0.0005
+      FROM lineitem l2
+      JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+      JOIN nation n2   ON n2.n_nationkey = s2.s_nationkey
+      WHERE n2.n_name = 'NATION_1'
+    )
+    ORDER BY part_qty DESC, l.l_partkey
+    """,
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: parts above a fraction of a nation's total volume.
+
+    The global scalar subquery (0.05% of national quantity) is a one-row
+    broadcast cross join; the HAVING compares exact integer sums (the
+    testdata's quantities are integral) so the threshold cut is
+    deterministic across engines — no float-summation-order hazard.
+    The grouped agg is computed ONCE and feeds both the threshold and
+    the filter via plan reuse.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    national = li.join(
+        F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+        li.l_suppkey == F.col("s_suppkey"),
+    )
+    per_part = national.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("part_qty")
+    )
+    threshold = per_part.agg(
+        (F.sum("part_qty") * 0.0005).alias("cut")
+    )
+    return (
+        per_part.join(F.broadcast(threshold))
+        .filter(F.col("part_qty") > F.col("cut"))
+        .select("l_partkey", "part_qty")
+        .orderBy(F.col("part_qty").desc(), "l_partkey")
+    )
+
+
+@query(
+    "q12_priority_shipping",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= DATE '1996-01-01'
+      AND l.l_shipdate <  DATE '1997-01-01'
+      AND l.l_shipdate >  o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def q12_priority_shipping(spark, sf_dir):
+    """TPC-H Q12 shape: priority CASE-counts per shipment class.
+
+    l_returnflag stands in for l_shipmode and ship-lag > 60 days for the
+    commit/receipt lateness predicate (neither column exists in the
+    testdata). The cross-table lateness predicate can't push below the
+    join; the two single-table date bounds do. One shuffle (the join —
+    at scale orders/lineitem co-bucket on orderkey), then a 3-group agg.
+    """
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q16_supplier_count",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#45' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_count(spark, sf_dir):
+    """TPC-H Q16 shape: distinct suppliers per part class, minus a blocklist.
+
+    NOT IN over a non-nullable key is a broadcast anti join (negative-
+    acctbal suppliers replace the comment-pattern blocklist). The
+    count(DISTINCT) shuffles (brand, type, size, suppkey) once —
+    Spark's two-phase distinct-agg — with part pre-filtered before the
+    broadcast so the fact side prunes first.
+    """
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    li = t(spark, sf_dir, "lineitem")
+    bad = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt")
+        )
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+@query(
+    "q20_excess_shipments",
+    oracle="""
+    SELECT s.s_name, ROUND(s.s_acctbal, 2) AS s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_2'
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        WHERE l.l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+          )
+          AND l.l_shipdate >= DATE '1997-01-01'
+          AND l.l_shipdate <  DATE '1998-01-01'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING sum(CAST(l.l_quantity AS BIGINT)) > 30
+      )
+    ORDER BY s.s_name
+    """,
+)
+def q20_excess_shipments(spark, sf_dir):
+    """TPC-H Q20 shape: nested semi-join chain to qualifying suppliers.
+
+    part-name filter -> semi-join into lineitem -> grouped integer
+    HAVING (> 30 units of one red part in 1997, the availqty analogue)
+    -> distinct suppkeys -> semi-join into supplier. Every step shrinks
+    the key set before the next join; the supplier probe is a broadcast
+    semi join on a key set that is at most |suppliers|.
+    """
+    red = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    qualifying = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+        .filter(F.col("qty") > 30)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
+        .join(
+            F.broadcast(qualifying),
+            s.s_suppkey == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n    ON n.n_nationkey = s.s_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND n.n_name = 'NATION_3'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    """,
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: sole-blame supplier via EXISTS / NOT EXISTS self-joins.
+
+    l_returnflag = 'R' proxies the late-receipt predicate. Both
+    correlated subqueries become lineitem self-joins on l_orderkey with
+    a suppkey inequality residual: a left-semi (some OTHER supplier on
+    the order) then a left-anti (no OTHER supplier also failed). Both
+    shuffle on orderkey — the same key as the orders join, so AQE/
+    exchange reuse keeps it to one fact repartitioning at scale.
+    """
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = t(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .alias("l3")
+    )
+    blamed = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        blamed.join(o, F.col("l1.l_orderkey") == o.o_orderkey, "left_semi")
+        .join(
+            F.broadcast(
+                s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
+            ),
+            F.col("l1.l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
