@@ -16,6 +16,7 @@ from . import similarity  # noqa: F401,E402
 from . import textstats  # noqa: F401,E402
 from . import sessionize  # noqa: F401,E402
 from . import multimodal  # noqa: F401,E402
+from . import scrub  # noqa: F401,E402
 from . import nl_queries  # noqa: F401,E402
 
 # The driver's per-round correctness harness verifies the FIRST 50

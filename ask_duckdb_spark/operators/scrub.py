@@ -1,0 +1,313 @@
+"""Corpus-scrubbing operators (SURVEY.md §2.9): PII redaction, URL
+normalization/dedup, token-window chunking, char-diversity filtering.
+
+The reference has no scrubbing surface (its engine runs arbitrary SQL,
+reference: query_db.py:49); these are the training-data-pipeline steps
+a 100 TB corpus needs before tokenization. All four are JVM-side
+expression code — no Python in any path:
+
+- redaction / normalization / diversity are narrow maps (zero shuffle);
+- chunking is a narrow ``posexplode`` (zero shuffle; output rows ~2x
+  token count / stride);
+- URL dedup is one map-side-combinable keyed shuffle of (url, doc_id).
+
+The synthetic ``documents`` fixture contains no organic PII or URLs, so
+the PII/URL operators first ENRICH the text with spans derived
+deterministically from ``doc_id`` — the identical concat runs in the
+DuckDB oracle, so the redaction/normalization logic is exercised
+non-vacuously and the comparison stays exact. In production the
+enrichment step drops out and the scrub expressions apply unchanged.
+
+Regex note: patterns avoid lookaround and use only syntax shared by
+Java regex (Spark) and RE2 (DuckDB), and every DuckDB
+``regexp_replace`` carries the ``'g'`` flag to match Spark's
+replace-all default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from ..sources.catalog import load_table
+from .registry import query
+
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\b555-[0-9]{4}\b"
+IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+#: Deterministic PII spans appended to each document (SQL fragment and
+#: the equivalent Spark expression must stay in lockstep).
+_PII_SQL = (
+    "text || ' Contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com or call 555-01'"
+    " || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
+    " || ' at 192.168.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)"
+)
+
+
+def _pii_enriched() -> F.Column:
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        d.cast("string"),
+        F.lit("@example.com or call 555-01"),
+        F.lpad((d % 100).cast("string"), 2, "0"),
+        F.lit(" at 192.168."),
+        (d % 256).cast("string"),
+        F.lit("."),
+        ((d * 7) % 256).cast("string"),
+    )
+
+
+@query(
+    "x45_pii_redaction",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(enriched, '{EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(enriched, '{PHONE_RE}')) AS BIGINT)
+             AS n_phones,
+           CAST(len(regexp_extract_all(
+             regexp_replace(enriched, '{EMAIL_RE}', '<EMAIL>', 'g'),
+             '{IP_RE}')) AS BIGINT) AS n_ips,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(enriched, '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '{PHONE_RE}', '<PHONE>', 'g'),
+             '{IP_RE}', '<IP>', 'g') AS clean_text
+    FROM (SELECT doc_id, {_PII_SQL} AS enriched FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def x45_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: scrub emails, phone numbers, and IPv4 addresses.
+
+    Pure narrow map — three chained ``regexp_replace`` passes plus
+    match counts, all whole-stage-codegen JVM expressions; at 100 TB
+    this is scan-bound with zero shuffle. Emails are redacted BEFORE
+    IPs are counted so a dotted-quad inside a hostname is never
+    double-counted (the oracle counts in the same order).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = _pii_enriched()
+    no_email = F.regexp_replace(enriched, EMAIL_RE, "<EMAIL>")
+    return (
+        docs.select(
+            "doc_id",
+            F.regexp_count(enriched, F.lit(EMAIL_RE))
+            .cast("bigint")
+            .alias("n_emails"),
+            F.regexp_count(enriched, F.lit(PHONE_RE))
+            .cast("bigint")
+            .alias("n_phones"),
+            F.regexp_count(no_email, F.lit(IP_RE))
+            .cast("bigint")
+            .alias("n_ips"),
+            F.regexp_replace(
+                F.regexp_replace(no_email, PHONE_RE, "<PHONE>"),
+                IP_RE,
+                "<IP>",
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+URL_RE = r"https?://[^ ]+"
+
+_URL_SQL = (
+    "text || ' see https://CDN' || CAST(doc_id % 5 AS VARCHAR)"
+    " || '.Example.COM/assets/item' || CAST(doc_id % 40 AS VARCHAR)"
+    " || '?utm_source=feed&sid=' || CAST(doc_id AS VARCHAR)"
+)
+
+
+def _url_enriched() -> F.Column:
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.lit(" see https://CDN"),
+        (d % 5).cast("string"),
+        F.lit(".Example.COM/assets/item"),
+        (d % 40).cast("string"),
+        F.lit("?utm_source=feed&sid="),
+        d.cast("string"),
+    )
+
+
+@query(
+    "x46_url_normalize_dedup",
+    oracle=f"""
+    SELECT lower(regexp_replace(url, '\\?.*$', '')) AS url_norm,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM (
+      SELECT doc_id,
+             unnest(regexp_extract_all({_URL_SQL}, '{URL_RE}')) AS url
+      FROM documents
+    )
+    GROUP BY url_norm
+    ORDER BY url_norm
+    """,
+)
+def x46_url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction, normalization, and duplicate counting.
+
+    Extract every URL (``regexp_extract_all`` + ``explode`` — narrow),
+    normalize (strip the query string, lowercase — the host is
+    case-insensitive and the synthetic paths are case-stable), then one
+    map-side-combinable shuffle on the normalized URL. 500 docs
+    collapse to 200 distinct URLs, so the dedup is non-vacuous; at
+    100 TB the shuffle moves (url, count) partials, not documents.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.explode(
+        F.regexp_extract_all(_url_enriched(), F.lit(URL_RE), 0)
+    ).alias("url")
+    return (
+        docs.select("doc_id", url)
+        .select(
+            "doc_id",
+            F.lower(F.regexp_replace("url", r"\?.*$", "")).alias("url_norm"),
+        )
+        .groupBy("url_norm")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .orderBy("url_norm")
+    )
+
+
+CHUNK = 100  # tokens per training chunk
+STRIDE = 50  # 50% overlap
+
+
+@query(
+    "x47_chunk_documents",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         t -> t <> '') AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(st // {STRIDE} AS BIGINT) AS chunk_id,
+           CAST(len(w[st + 1 : st + {CHUNK}]) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(w[st + 1 : st + {CHUNK}], ' ') AS chunk_text
+    FROM (
+      SELECT doc_id, w, unnest(range(0, len(w), {STRIDE})) AS st
+      FROM tok WHERE len(w) > 0
+    )
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def x47_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking for training-sequence packing.
+
+    Splits each document into {CHUNK}-token chunks every {STRIDE}
+    tokens (50% overlap) — the standard pre-tokenization windowing.
+    ``sequence`` + ``posexplode`` + ``slice`` keep it a narrow map:
+    zero shuffle, output rows ~= 2x tokens / {CHUNK}. Shares the x8
+    tokenizer so chunk boundaries match the token-stats operators.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    exploded = (
+        docs.select("doc_id", toks.alias("w"))
+        .filter(F.size("w") > 0)
+        .select(
+            "doc_id",
+            "w",
+            F.explode(
+                F.sequence(F.lit(0), F.size("w") - 1, F.lit(STRIDE))
+            ).alias("st"),
+        )
+    )
+    chunk = F.slice("w", F.col("st") + 1, F.lit(CHUNK))
+    return (
+        exploded.select(
+            "doc_id",
+            F.floor(F.col("st") / STRIDE).cast("bigint").alias("chunk_id"),
+            F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+_LETTERS = "abcdefghijklmnopqrstuvwxyz"
+DIVERSITY_CUT = 0.92
+
+
+def _diversity_sql() -> str:
+    freqs = ", ".join(
+        f"length(t) - length(replace(t, '{c}', '')) AS f_{c}"
+        for c in _LETTERS
+    )
+    tot = " + ".join(f"f_{c}" for c in _LETTERS)
+    terms = " + ".join(f"(f_{c} / tot) * (f_{c} / tot)" for c in _LETTERS)
+    return f"""
+    SELECT doc_id,
+           CASE WHEN tot = 0 THEN 0.0 ELSE 1.0 - ({terms}) END AS diversity
+    FROM (
+      SELECT doc_id, ({tot}) AS tot, {", ".join("f_" + c for c in _LETTERS)}
+      FROM (SELECT doc_id, {freqs} FROM
+            (SELECT doc_id, lower(text) AS t FROM documents))
+    )
+    """
+
+
+@query(
+    "x48_char_diversity_filter",
+    oracle=f"""
+    SELECT doc_id, ROUND(diversity, 4) AS diversity,
+           diversity < {DIVERSITY_CUT} AS is_low_quality
+    FROM ({_diversity_sql()})
+    ORDER BY doc_id
+    """,
+)
+def x48_char_diversity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Letter-distribution diversity (Simpson index) quality filter.
+
+    1 - sum(p_c^2) over the 26 letter frequencies — a repetition /
+    gibberish detector that, unlike Shannon entropy, uses only +,*,/
+    so the Spark and DuckDB doubles are bit-identical (no libm-vs-JVM
+    transcendental ulp risk). Frequencies come from 26
+    length-after-replace expressions: a narrow, codegen-friendly map
+    with zero shuffle — at 100 TB this is scan-bound.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.lower(F.col("text"))
+    freqs = {
+        c: (F.length(t) - F.length(F.replace(t, F.lit(c)))).alias(f"f_{c}")
+        for c in _LETTERS
+    }
+    staged = docs.select("doc_id", *freqs.values())
+    tot = None
+    for c in _LETTERS:
+        tot = F.col(f"f_{c}") if tot is None else tot + F.col(f"f_{c}")
+    staged = staged.withColumn("tot", tot)
+    terms = None
+    for c in _LETTERS:
+        term = (F.col(f"f_{c}") / F.col("tot")) * (
+            F.col(f"f_{c}") / F.col("tot")
+        )
+        terms = term if terms is None else terms + term
+    diversity = F.when(F.col("tot") == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - terms
+    )
+    return (
+        staged.withColumn("diversity", diversity)
+        .select(
+            "doc_id",
+            F.round("diversity", 4).alias("diversity"),
+            (F.col("diversity") < DIVERSITY_CUT).alias("is_low_quality"),
+        )
+        .orderBy("doc_id")
+    )

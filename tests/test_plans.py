@@ -141,3 +141,15 @@ def test_observe_metrics_on_flagship(spark):
                       F.sum("sum_qty").alias("total_qty")).collect()
     assert obs.get["n_groups"] == len(rows)
     assert abs(obs.get["total_qty"] - sum(r.sum_qty for r in rows)) < 1e-6
+
+
+def test_scrub_operators_shuffle_budget(spark):
+    """x45 (PII redaction) and x48 (char diversity) are per-doc narrow
+    maps: only their final orderBy's range exchange. x47 (chunking) is
+    explode-based but still narrow — same single range exchange. x46
+    (URL dedup) earns exactly one aggregate exchange plus the orderBy."""
+    assert checks.num_shuffles(QUERIES["x45_pii_redaction"](spark, SF_DIR)) <= 1
+    assert checks.num_shuffles(QUERIES["x48_char_diversity_filter"](spark, SF_DIR)) <= 1
+    assert checks.num_shuffles(QUERIES["x47_chunk_documents"](spark, SF_DIR)) <= 1
+    assert checks.num_shuffles(QUERIES["x46_url_normalize_dedup"](spark, SF_DIR)) <= 2
+    assert checks.has_partial_aggregate(QUERIES["x46_url_normalize_dedup"](spark, SF_DIR))
