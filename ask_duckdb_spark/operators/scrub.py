@@ -27,6 +27,7 @@ replace-all default.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
@@ -310,4 +311,252 @@ def x48_char_diversity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("diversity") < DIVERSITY_CUT).alias("is_low_quality"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingestion + corpus-maintenance operators
+# ---------------------------------------------------------------------------
+
+from .dedup import MAX_POSTING  # noqa: E402  (shared posting-list cap)
+
+NEARDUP_CUT = 0.5  # Jaccard threshold for incremental near-dup flags
+DOMAIN_CAP = 10  # max docs kept per source/domain
+LENGTH_PCT = 0.95  # length-outlier percentile
+
+
+@query(
+    "x49_incremental_dedup",
+    oracle=f"""
+    WITH cut AS (SELECT (max(doc_id) * 4) // 5 AS c FROM documents),
+    incoming AS (
+      SELECT doc_id, text FROM documents, cut WHERE doc_id >= cut.c
+    ),
+    corpus AS (
+      SELECT doc_id, text FROM documents, cut WHERE doc_id < cut.c
+    ),
+    exact AS (
+      SELECT DISTINCT i.doc_id FROM incoming i
+      JOIN corpus co ON md5(i.text) = md5(co.text)
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(length(text) - 7, 1) + 1),
+                 i -> substr(text, CAST(i AS INTEGER), 8)
+               )) AS g
+        FROM documents
+      )
+    ),
+    kept_g AS (
+      SELECT g FROM grams GROUP BY g
+      HAVING count(*) <= least((SELECT count(*) FROM documents) / 4,
+                               {MAX_POSTING})
+    ),
+    pruned AS (SELECT doc_id, g FROM grams WHERE g IN (SELECT g FROM kept_g)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM pruned GROUP BY doc_id),
+    overlap AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM pruned a JOIN pruned b ON a.g = b.g, cut
+      WHERE a.doc_id < cut.c AND b.doc_id >= cut.c
+      GROUP BY 1, 2
+    ),
+    near AS (
+      SELECT DISTINCT id_b AS doc_id FROM overlap
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {NEARDUP_CUT}
+    )
+    SELECT i.doc_id,
+           i.doc_id IN (SELECT doc_id FROM exact) AS is_exact_dup,
+           i.doc_id IN (SELECT doc_id FROM near) AS is_near_dup,
+           i.doc_id NOT IN (SELECT doc_id FROM exact)
+             AND i.doc_id NOT IN (SELECT doc_id FROM near) AS kept
+    FROM incoming i
+    ORDER BY i.doc_id
+    """,
+)
+def x49_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: flag a new batch against the corpus.
+
+    The streaming-adjacent shape every growing corpus needs: the newest
+    20% of documents (by id — stand-in for an arrival batch) are checked
+    against the existing 80% for (a) exact duplicates via content hash
+    and (b) near-duplicates via the x3 inverted-index 8-gram Jaccard,
+    restricted to CROSS-boundary pairs only — the join never pairs two
+    corpus docs, so incremental cost is O(batch x colliding grams), not
+    O(corpus^2). Posting lists carry the same least(n/4, MAX_POSTING)
+    skew cap as x3. The fixture has no cross-boundary exact dups (the
+    flag column is exercised by the oracle comparison either way); the
+    near-dup flag fires on 7 of 101 incoming docs at sf0.01.
+    """
+    from ..functions.text import char_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    cut = docs.agg(F.expr("(max(doc_id) * 4) div 5").alias("c"))
+    with_cut = docs.join(F.broadcast(cut))
+    incoming = with_cut.filter(F.col("doc_id") >= F.col("c")).select(
+        "doc_id", "text"
+    )
+    corpus = with_cut.filter(F.col("doc_id") < F.col("c")).select(
+        "doc_id", "text"
+    )
+    exact = (
+        incoming.alias("i")
+        .join(
+            corpus.alias("co"),
+            F.md5(F.col("i.text")) == F.md5(F.col("co.text")),
+            "left_semi",
+        )
+        .select(F.col("doc_id").alias("exact_id"))
+        .distinct()
+    )
+    grams = docs.select(
+        "doc_id", F.explode(char_ngrams(F.col("text"), 8)).alias("g")
+    ).dropDuplicates(["doc_id", "g"])
+    total = docs.agg(F.count("*").alias("n_docs"))
+    kept_g = (
+        grams.groupBy("g")
+        .count()
+        .join(F.broadcast(total))
+        .filter(
+            F.col("count") <= F.least(F.col("n_docs") / 4, F.lit(MAX_POSTING))
+        )
+    )
+    pruned = grams.join(kept_g.select("g"), "g")
+    sizes = pruned.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = pruned.join(F.broadcast(cut)).filter(
+        F.col("doc_id") < F.col("c")
+    ).select(F.col("doc_id").alias("id_a"), "g")
+    b = pruned.join(F.broadcast(cut)).filter(
+        F.col("doc_id") >= F.col("c")
+    ).select(F.col("doc_id").alias("id_b"), "g")
+    overlap = a.join(b, "g").groupBy("id_a", "id_b").agg(
+        F.count("*").alias("cnt")
+    )
+    near = (
+        overlap.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")),
+            "id_b",
+        )
+        .filter(
+            F.col("cnt").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("cnt"))
+            >= NEARDUP_CUT
+        )
+        .select(F.col("id_b").alias("near_id"))
+        .distinct()
+    )
+    return (
+        incoming.join(
+            F.broadcast(exact.withColumn("_e", F.lit(True))),
+            incoming.doc_id == F.col("exact_id"),
+            "left",
+        )
+        .join(
+            F.broadcast(near.withColumn("_n", F.lit(True))),
+            incoming.doc_id == F.col("near_id"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_e"), F.lit(False)).alias("is_exact_dup"),
+            F.coalesce(F.col("_n"), F.lit(False)).alias("is_near_dup"),
+            (
+                F.coalesce(F.col("_e"), F.lit(False))
+                | F.coalesce(F.col("_n"), F.lit(False))
+            ).__invert__().alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "x50_length_outlier_filter",
+    oracle=f"""
+    SELECT d.doc_id, d.n_chars,
+           ROUND((SELECT quantile_cont(n_chars, {LENGTH_PCT})
+                  FROM documents), 4) AS p95_cutoff
+    FROM documents d
+    WHERE d.n_chars > (SELECT quantile_cont(n_chars, {LENGTH_PCT})
+                       FROM documents)
+    ORDER BY d.doc_id
+    """,
+)
+def x50_length_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-outlier detection: documents above the exact p95 length.
+
+    Exact (not approximate) percentile so the cutoff is engine-portable:
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` both use the
+    linear-interpolation (type-7) definition over integer lengths. The
+    percentile is one agg -> one-row broadcast; the filter is a narrow
+    map. At 100 TB swap ``percentile`` for ``approx_percentile`` and
+    accept the documented error band (the plan is unchanged) — exact
+    percentile of one bigint column is a single-shuffle agg either way.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff = docs.agg(
+        F.percentile("n_chars", LENGTH_PCT).alias("cut")
+    )
+    return (
+        docs.join(F.broadcast(cutoff))
+        .filter(F.col("n_chars") > F.col("cut"))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.round("cut", 4).alias("p95_cutoff"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "x51_domain_cap",
+    oracle=f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rn <= {DOMAIN_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn > {DOMAIN_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped
+    FROM (
+      SELECT source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def x51_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (the C4/RefinedWeb-style domain limiter).
+
+    Keep the first DOMAIN_CAP docs per source (deterministic: ordered
+    by doc_id) and report kept/dropped counts per domain. One shuffle
+    on source shared by the window AND the aggregation — the window's
+    partitioning is reused by the groupBy, so adding the report costs
+    no extra exchange. At 100 TB the skew risk is a mega-domain; the
+    window never needs the whole partition in memory (row_number
+    streams), and the cap bounds what survives.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("doc_id")
+    kept = F.col("rn") <= DOMAIN_CAP
+    return (
+        docs.select("source", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(kept, 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+        .orderBy("source")
     )

@@ -153,3 +153,13 @@ def test_scrub_operators_shuffle_budget(spark):
     assert checks.num_shuffles(QUERIES["x47_chunk_documents"](spark, SF_DIR)) <= 1
     assert checks.num_shuffles(QUERIES["x46_url_normalize_dedup"](spark, SF_DIR)) <= 2
     assert checks.has_partial_aggregate(QUERIES["x46_url_normalize_dedup"](spark, SF_DIR))
+
+
+def test_corpus_maintenance_shuffle_budget(spark):
+    """x50 (length outlier): one agg exchange for the percentile + the
+    broadcast-filtered scan and final orderBy. x51 (domain cap): the
+    window's source exchange is REUSED by the groupBy — one hash
+    exchange + the orderBy's range exchange, nothing more."""
+    assert checks.num_shuffles(QUERIES["x50_length_outlier_filter"](spark, SF_DIR)) <= 2
+    assert checks.num_shuffles(QUERIES["x51_domain_cap"](spark, SF_DIR)) <= 2
+    assert checks.has_broadcast_join(QUERIES["x49_incremental_dedup"](spark, SF_DIR))
