@@ -31,7 +31,15 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--params",
                     help="JSON list/dict of parameters for ?/:name placeholders"
                          " (S4; injection-safe server-side binding)")
+    ap.add_argument("--dialect", choices=["spark", "duckdb"], default="spark",
+                    help="'duckdb' translates DuckDB-flavored SQL (arrow JSON"
+                         " ops, list_* functions, //, strftime...) to Spark"
+                         " SQL before execution")
     args = ap.parse_args(argv)
+    if args.dialect == "duckdb":
+        from ..nl.dialect_shim import to_spark_sql
+
+        args.query = to_spark_sql(args.query)
 
     spark = open_source(args.sf_dir, "ask_duckdb_spark.sql")
     require_table(spark, args.table, args.sf_dir)

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from ..nl.repair import repair_sql
 from ..sources.catalog import load_table
-from .registry import query
+from .registry import ORACLES, query
 
 
 def _run(spark, sf_dir, tables, broken, meta=None, synonym_map=None):
@@ -151,3 +151,36 @@ def nl4_literal_canonicalization(spark, sf_dir):
         ]
     }
     return _run(spark, sf_dir, ["customer"], broken, meta=meta)
+
+
+@query(
+    "nl6_duckdb_dialect_passthrough",
+    # The oracle IS the input: DuckDB runs the query verbatim while the
+    # Spark side runs it through the dialect shim — so the comparison
+    # certifies the translation itself, not a hand-matched re-write.
+    oracle="""
+    SELECT event_type,
+           (props->>'k')::INTEGER // 10 AS k_decile,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    WHERE regexp_matches(event_type, '^(click|view)$')
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+def nl6_duckdb_dialect_passthrough(spark, sf_dir):
+    """DuckDB-dialect SQL executed on Spark via the dialect shim.
+
+    A reference user's query — JSON arrows, ``//`` integer division,
+    ``regexp_matches``, ``GROUP BY ALL`` — runs unmodified: the shim
+    (``nl/dialect_shim.py``) rewrites only what Spark rejects and the
+    oracle executes the original text. Reference parity: the reference
+    passes user SQL straight to DuckDB (query_db.py:49); this operator
+    is the switch-over path for that SQL.
+    """
+    from ..nl.dialect_shim import to_spark_sql
+    from ..sources.catalog import register_views
+
+    register_views(spark, sf_dir, tables=["events"])
+    duckdb_sql = ORACLES["nl6_duckdb_dialect_passthrough"]
+    return spark.sql(to_spark_sql(duckdb_sql))
