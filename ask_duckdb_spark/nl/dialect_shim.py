@@ -158,6 +158,58 @@ _ARROW_RE = re.compile(r"->>?")
 _KEY_LIT_RE = re.compile(r"\s*\x02(\d+)\x02")
 _KEY_INT_RE = re.compile(r"\s*(\d+)")
 
+#: Higher-order functions whose ``param -> body`` lambda syntax collides
+#: with the JSON ``->`` operator. A single arrow whose LHS is a bare
+#: identifier directly inside one of these calls is a LAMBDA, never a
+#: JSON access. (``->>`` is unambiguous — no lambda uses it.)
+HIGHER_ORDER_FUNCS = frozenset(
+    {
+        "transform",
+        "filter",
+        "aggregate",
+        "reduce",
+        "exists",
+        "forall",
+        "zip_with",
+        "map_zip_with",
+        "map_filter",
+        "transform_keys",
+        "transform_values",
+        "array_sort",
+        # pre-rename DuckDB spellings (arrows rewrite before renames)
+        "list_transform",
+        "list_filter",
+        "list_aggregate",
+        "list_reduce",
+        "list_sort",
+    }
+)
+
+
+def _enclosing_call_name(s: str, idx: int) -> str | None:
+    """Name of the function call directly enclosing position ``idx``."""
+    depth = 0
+    for j in range(idx - 1, -1, -1):
+        if s[j] == ")":
+            depth += 1
+        elif s[j] == "(":
+            if depth == 0:
+                k = j
+                while k > 0 and re.match(r"[\w$]", s[k - 1]):
+                    k -= 1
+                name = s[k:j].strip().lower()
+                return name or None
+            depth -= 1
+    return None
+
+
+def _is_lambda_arrow(s: str, lhs_start: int, lhs: str) -> bool:
+    """True when a single ``->`` at this site is lambda syntax."""
+    if not re.fullmatch(r"[A-Za-z_]\w*", lhs):
+        return False  # dotted / call / literal LHS: not a lambda param
+    name = _enclosing_call_name(s, lhs_start)
+    return name in HIGHER_ORDER_FUNCS
+
 
 def _rewrite_arrows(s: str, literals: list[str]) -> str:
     """Rewrite ``expr -> 'k'`` / ``expr ->> 'k'`` to get_json_object.
@@ -174,6 +226,9 @@ def _rewrite_arrows(s: str, literals: list[str]) -> str:
         lhs_start = _scan_lhs(s, m.start())
         lhs = s[lhs_start : m.start()].strip()
         rest = s[m.end() :]
+        if m.group(0) == "->" and _is_lambda_arrow(s, lhs_start, lhs):
+            s = s[: m.start()] + "\x03" + s[m.end() :]
+            continue
         km = _KEY_LIT_RE.match(rest)
         if km:
             key = literals[int(km.group(1))][1:-1]  # strip quotes

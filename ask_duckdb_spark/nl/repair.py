@@ -325,10 +325,26 @@ def execute_with_repair(
     """
     from pyspark.errors import AnalysisException, ParseException
 
+    from .dialect_shim import to_spark_sql
+
     ensure_readonly(sql)
     try:
         return spark.sql(sql), sql, False
     except (AnalysisException, ParseException):
-        repaired = repair_sql(sql, actual_cols, meta=meta, synonym_map=synonym_map)
+        # Two repair layers, tried cumulatively: (1) the dialect shim —
+        # LLMs prompted for this tool family routinely emit DuckDB SQL
+        # (the reference's engine IS DuckDB), and the shim is a no-op on
+        # valid Spark SQL; (2) the reference's regex repairs (aliases,
+        # literal case, identifier typos).
+        shimmed = to_spark_sql(sql)
+        if shimmed != sql:
+            try:
+                ensure_readonly(shimmed)
+                return spark.sql(shimmed), shimmed, True
+            except (AnalysisException, ParseException):
+                pass
+        repaired = repair_sql(
+            shimmed, actual_cols, meta=meta, synonym_map=synonym_map
+        )
         ensure_readonly(repaired)
         return spark.sql(repaired), repaired, True

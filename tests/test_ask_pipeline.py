@@ -133,3 +133,33 @@ def test_execute_with_repair_valid_sql_untouched(spark, queuedata):
     )
     assert not repaired
     assert final_sql == "SELECT queue FROM queuedata"
+
+
+def test_execute_with_repair_duckdb_dialect(spark, queuedata):
+    """An LLM answer in DuckDB dialect (the reference's target engine)
+    is repaired by the dialect shim layer before the regex repairs."""
+    df, meta = queuedata
+    out, final_sql, repaired = execute_with_repair(
+        spark,
+        "SELECT copytools->>'rucio' AS rc, count(*) AS n FROM queuedata"
+        " GROUP BY ALL ORDER BY ALL",
+        set(df.columns),
+        meta=meta,
+    )
+    assert repaired
+    assert "get_json_object" in final_sql
+    assert out.count() >= 0
+
+
+def test_execute_with_repair_dialect_then_identifier(spark, queuedata):
+    """Shim and regex repairs COMPOSE: DuckDB arrows plus a typo'd
+    identifier in one statement still land on executable SQL."""
+    df, meta = queuedata
+    out, final_sql, repaired = execute_with_repair(
+        spark,
+        "SELECT quue, copytools->>'rucio' AS rc FROM queuedata",
+        set(df.columns),
+        meta=meta,
+    )
+    assert repaired
+    assert "queue" in final_sql and "get_json_object" in final_sql

@@ -137,3 +137,18 @@ def test_unknown_arrow_shape_left_alone():
     # arrow with a non-literal RHS passes through for Spark to reject
     q = "SELECT a -> b FROM t"
     assert "->" in to_spark_sql(q)
+
+
+def test_lambda_arrows_preserved():
+    # lambda syntax shares `->` with the JSON operator; literal bodies
+    # inside higher-order calls must NOT become get_json_object
+    q = "SELECT transform(a, x -> 'y'), list_filter(b, v -> 5) FROM t"
+    out = to_spark_sql(q)
+    assert "x -> 'y'" in out
+    assert "v -> 5" in out
+    assert "get_json_object" not in out
+
+
+def test_json_arrow_inside_non_hof_call_rewritten():
+    q = "SELECT json_extract(props->'k', '$.z') FROM t"
+    assert "get_json_object(props, '$.k')" in to_spark_sql(q)
