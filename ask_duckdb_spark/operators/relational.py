@@ -2101,3 +2101,49 @@ def q21_waiting_suppliers(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
     )
+
+
+@query(
+    "j11_fuzzy_name_join",
+    oracle="""
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+    FROM (SELECT DISTINCT p_name FROM part) a
+    JOIN (SELECT DISTINCT p_name FROM part) b
+      ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+     AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY name_a, name_b
+    """,
+)
+def j11_fuzzy_name_join(spark, sf_dir):
+    """Fuzzy (edit-distance) self-join with blocking — approximate match.
+
+    The entity-resolution primitive: names within Levenshtein 3,
+    blocked on a cheap equality key (the second token) so the join is
+    an EQUI-join with the expensive distance as a post-join residual —
+    never an all-pairs theta join. At 100 TB the blocking key would be
+    a q-gram or phonetic bucket; the plan shape (distinct -> equi-join
+    on block -> residual filter) is identical. Both engines implement
+    the same Wagner-Fischer distance, so the filter cuts identically.
+    """
+    names = (
+        t(spark, sf_dir, "part").select("p_name").distinct()
+    )
+    block = lambda c: F.split(c, " ").getItem(1)  # noqa: E731
+    a = names.select(
+        F.col("p_name").alias("name_a"), block(F.col("p_name")).alias("blk")
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"), block(F.col("p_name")).alias("blk")
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn(
+            "dist", F.levenshtein("name_a", "name_b").cast("int")
+        )
+        .filter(F.col("dist") <= 3)
+        .select("name_a", "name_b", "dist")
+        .orderBy("name_a", "name_b")
+    )

@@ -255,3 +255,61 @@ def x17_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "x52_funnel_stages",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS ts1 FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS ts2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.ts1
+      WHERE e.event_type = 'click' GROUP BY 1
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS ts3
+      FROM events e JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.ts2
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_signup,
+           CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_click_after,
+           CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_purchase_after
+    """,
+)
+def x52_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: signup -> later click -> later purchase.
+
+    Each stage is a conditional min-timestamp aggregation joined to the
+    previous stage's users (strictly-after predicate as the join
+    residual) — the product-analytics funnel as three keyed shuffles on
+    user_id, which AQE/exchange reuse co-locates with each other at
+    scale. Stage frames shrink monotonically, so each later join probes
+    a smaller build side.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .alias("e")
+        .join(s1.alias("s1"), "user_id")
+        .filter(F.col("e.ts") > F.col("ts1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .alias("e")
+        .join(s2.alias("s2"), "user_id")
+        .filter(F.col("e.ts") > F.col("ts2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts3"))
+    )
+    c1 = s1.agg(F.count("*").cast("bigint").alias("n_signup"))
+    c2 = s2.agg(F.count("*").cast("bigint").alias("n_click_after"))
+    c3 = s3.agg(F.count("*").cast("bigint").alias("n_purchase_after"))
+    return c1.join(F.broadcast(c2)).join(F.broadcast(c3))
