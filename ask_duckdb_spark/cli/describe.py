@@ -23,6 +23,9 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--table", default="queuedata", help="Table name")
     ap.add_argument("--list", action="store_true",
                     help="List every registered table instead of describing one")
+    ap.add_argument("--summarize", action="store_true",
+                    help="Per-column statistics (min/max/approx-distinct/"
+                         "avg/std/null%%) — the DuckDB SUMMARIZE analogue")
     args = ap.parse_args(argv)
 
     spark = open_source(args.sf_dir, "ask_duckdb_spark.describe")
@@ -34,6 +37,15 @@ def main(argv: list[str] | None = None) -> None:
         return
 
     require_table(spark, args.table, args.sf_dir)
+
+    if args.summarize:
+        from ..introspect import summarize_table
+        from ..sources.display import display_result
+
+        display_result(
+            summarize_table(spark.table(args.table)), max_rows=1000
+        )
+        return
 
     print("\n=== tbl_schema (for template) ===")
     print(build_tbl_schema(spark.table(args.table)))

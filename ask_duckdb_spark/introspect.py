@@ -71,3 +71,65 @@ def run_param_sql(spark: SparkSession, sql: str, args=None) -> DataFrame:
     if args is None:
         return spark.sql(sql)
     return spark.sql(sql, args=args)
+
+
+def summarize_table(df: DataFrame) -> DataFrame:
+    """Per-column statistics — the DuckDB ``SUMMARIZE`` analogue (S5+).
+
+    One wide aggregation pass computes min / max / approx distinct /
+    null%% (and mean/std for numerics) for EVERY column simultaneously,
+    then the single result row unpivots to one row per column. At
+    100 TB this is one scan + a one-row shuffle — never a per-column
+    scan loop. Complex-typed columns (array/map/struct/binary) report
+    nulls only: ordering statistics are undefined for them.
+    """
+    from pyspark.sql import functions as F
+
+    n = F.count(F.lit(1))
+    aggs = [n.cast("double").alias("__n")]
+    numeric = set()
+    orderable = set()
+    for f in df.schema.fields:
+        c = f.name
+        if isinstance(f.dataType, (T.NumericType,)):
+            numeric.add(c)
+        if not isinstance(
+            f.dataType, (T.ArrayType, T.MapType, T.StructType, T.BinaryType)
+        ):
+            orderable.add(c)
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("double")
+            .alias(f"{c}__nulls")
+        )
+        if c in orderable:
+            aggs.append(F.min(c).cast("string").alias(f"{c}__min"))
+            aggs.append(F.max(c).cast("string").alias(f"{c}__max"))
+            aggs.append(
+                F.approx_count_distinct(c).cast("double").alias(f"{c}__uniq")
+            )
+        if c in numeric:
+            aggs.append(F.avg(c).cast("double").alias(f"{c}__avg"))
+            aggs.append(F.stddev(c).cast("double").alias(f"{c}__std"))
+    wide = df.agg(*aggs)
+
+    rows = []
+    for f in df.schema.fields:
+        c = f.name
+        entry = F.struct(
+            F.lit(c).alias("column_name"),
+            F.lit(spark_type_name(f.dataType)).alias("column_type"),
+            (F.col(f"{c}__min") if c in orderable else F.lit(None).cast("string")).alias("min"),
+            (F.col(f"{c}__max") if c in orderable else F.lit(None).cast("string")).alias("max"),
+            (F.col(f"{c}__uniq") if c in orderable else F.lit(None).cast("double")).alias("approx_unique"),
+            (F.col(f"{c}__avg") if c in numeric else F.lit(None).cast("double")).alias("avg"),
+            (F.col(f"{c}__std") if c in numeric else F.lit(None).cast("double")).alias("std"),
+            F.col("__n").cast("bigint").alias("count"),
+            F.round(F.col(f"{c}__nulls") * 100.0 / F.col("__n"), 2).alias(
+                "null_percentage"
+            ),
+        )
+        rows.append(entry)
+    return wide.select(
+        F.explode(F.array(*rows)).alias("s")
+    ).select("s.*")

@@ -372,8 +372,20 @@ def to_spark_sql(sql: str) -> str:
     # bare VARCHAR (no length) -> STRING; Spark only accepts VARCHAR(n)
     masked = re.sub(r"(?i)\bVARCHAR\b(?!\s*\()", "STRING", masked)
 
-    # star EXCLUDE -> EXCEPT
-    masked = re.sub(r"(?i)(\*\s+)EXCLUDE\b", r"\1EXCEPT", masked)
+    # star EXCLUDE -> EXCEPT; DuckDB allows a paren-free column list,
+    # Spark's EXCEPT requires the parens — add them when missing
+    masked = re.sub(
+        r"(?i)(\*\s+)EXCLUDE\s*\(",
+        r"\1EXCEPT (",
+        masked,
+    )
+    # DuckDB's paren-free form takes exactly ONE column (a comma after
+    # it starts the next select item, so a list capture would be wrong)
+    masked = re.sub(
+        r"(?i)(\*\s+)EXCLUDE\s+([A-Za-z_]\w*)",
+        r"\1EXCEPT (\2)",
+        masked,
+    )
 
     # strftime format literals -> JVM patterns
     for i in fmt_ids:

@@ -152,3 +152,8 @@ def test_lambda_arrows_preserved():
 def test_json_arrow_inside_non_hof_call_rewritten():
     q = "SELECT json_extract(props->'k', '$.z') FROM t"
     assert "get_json_object(props, '$.k')" in to_spark_sql(q)
+
+
+def test_exclude_without_parens_gets_them():
+    q = "SELECT * EXCLUDE r_regionkey FROM region"
+    assert "* EXCEPT (r_regionkey)" in to_spark_sql(q)

@@ -51,3 +51,36 @@ def test_param_sql_named(spark):
 
 def test_param_sql_no_args_passthrough(spark):
     assert run_param_sql(spark, "SELECT 1 AS x").collect()[0].x == 1
+
+
+def test_summarize_table_shape_and_values(spark):
+    from ask_duckdb_spark.introspect import summarize_table
+    from ask_duckdb_spark.sources.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    out = summarize_table(ev).collect()
+    assert [r["column_name"] for r in out] == ev.columns
+    by_col = {r["column_name"]: r for r in out}
+    n = ev.count()
+    assert all(r["count"] == n for r in out)
+    # numeric column gets avg/std; string column does not
+    assert by_col["value"]["avg"] is not None
+    assert by_col["event_type"]["avg"] is None
+    # min/max are exact
+    assert by_col["event_type"]["min"] == "click"
+    assert float(by_col["value"]["null_percentage"]) == 0.0
+
+
+def test_summarize_is_single_pass(spark):
+    """One aggregation over the scan — never a per-column scan loop."""
+    from ask_duckdb_spark.introspect import summarize_table
+    from ask_duckdb_spark.plans import checks
+    from ask_duckdb_spark.sources.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    out = summarize_table(load_table(spark, SF_DIR, "events"))
+    plan = checks.formatted_plan(out)
+    # one scan appears twice in a formatted plan (tree node + detail
+    # section); a per-column scan loop would add two more per column
+    assert plan.lower().count("scan parquet") <= 2
