@@ -199,3 +199,32 @@ def test_x44_knn_graph_recall_vs_brute_force(spark):
     assert len(got) >= 0.95 * n_vec * KNN_K  # nearly every vector served
     recall = len(exact & got) / len(exact)
     assert recall >= 0.8, f"knn-graph recall {recall} below floor"
+
+
+def test_x53_prefix_index_is_smaller_than_full_index(spark):
+    """The point of prefix filtering: the joined index must be a strict
+    (and substantial) subset of the full posting set."""
+    import ask_duckdb_spark.operators.dedup as dd
+    from ask_duckdb_spark.functions.text import char_ngrams
+    from ask_duckdb_spark.sources.catalog import load_table
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR
+
+    d = load_table(spark, SF_DIR, "documents")
+    grams = d.select(
+        "doc_id", F.explode(char_ngrams(F.col("text"), 8)).alias("g")
+    ).dropDuplicates(["doc_id", "g"])
+    full_n = grams.count()
+    df_counts = grams.groupBy("g").agg(F.count("*").alias("df"))
+    ranked = grams.join(df_counts, "g").withColumn(
+        "rnk", F.row_number().over(W.partitionBy("doc_id").orderBy("df", "g"))
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    prefix_n = (
+        ranked.join(sizes, "doc_id")
+        .filter(F.col("rnk") <= F.col("n") - F.ceil(0.5 * F.col("n")) + 1)
+        .count()
+    )
+    # t=0.5 keeps ~n/2+1 postings per doc
+    assert prefix_n < 0.62 * full_n
