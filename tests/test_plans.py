@@ -163,3 +163,37 @@ def test_corpus_maintenance_shuffle_budget(spark):
     assert checks.num_shuffles(QUERIES["x50_length_outlier_filter"](spark, SF_DIR)) <= 2
     assert checks.num_shuffles(QUERIES["x51_domain_cap"](spark, SF_DIR)) <= 2
     assert checks.has_broadcast_join(QUERIES["x49_incremental_dedup"](spark, SF_DIR))
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime row-level filtering: a selective dimension-side filter
+    injects a Bloom filter (`might_contain`) into the fact scan when
+    the join can't broadcast — the 100 TB fact-to-fact pruning path.
+    Thresholds are pinned low here only to trigger the planner rule at
+    fixture scale; on a real cluster the defaults govern."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
