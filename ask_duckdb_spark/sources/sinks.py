@@ -23,6 +23,7 @@ __all__ = [
     "write_csv",
     "write_jsonl",
     "read_csv",
+    "read_csv_permissive",
     "read_jsonl",
 ]
 
@@ -59,3 +60,33 @@ def read_csv(spark: SparkSession, path: str, schema: T.StructType | str) -> Data
 def read_jsonl(spark: SparkSession, path: str, schema: T.StructType | str) -> DataFrame:
     """JSON-lines source with an explicit schema."""
     return spark.read.schema(schema).json(path)
+
+
+def read_csv_permissive(
+    spark: SparkSession, path: str, schema: T.StructType | str
+) -> DataFrame:
+    """CSV source that QUARANTINES malformed rows instead of failing.
+
+    Real crawl/export CSVs carry broken rows; at 100 TB a single bad
+    line must not kill a 10-hour job (FAILFAST) or silently vanish
+    (DROPMALFORMED). PERMISSIVE mode parses what it can and lands the
+    raw text of unparseable rows in ``_corrupt_record`` so the caller
+    can split good rows from a quarantine set in ONE pass:
+
+        df = read_csv_permissive(spark, path, schema)
+        good = df.filter(df._corrupt_record.isNull()).drop("_corrupt_record")
+        bad = df.filter(df._corrupt_record.isNotNull())
+    """
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    schema = T.StructType(
+        list(schema.fields)
+        + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )

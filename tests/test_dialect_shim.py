@@ -157,3 +157,49 @@ def test_json_arrow_inside_non_hof_call_rewritten():
 def test_exclude_without_parens_gets_them():
     q = "SELECT * EXCLUDE r_regionkey FROM region"
     assert "* EXCEPT (r_regionkey)" in to_spark_sql(q)
+
+
+# ---------------------------------------------------------------------------
+# Property tests: the shim is idempotent and literal-preserving on a
+# generated corpus of dialect constructs (no Spark session needed).
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_idents = st.sampled_from(["props", "text", "col_a", "tbl.col", "x9"])
+_keys = st.sampled_from(["k", "device", "a_b", "UPPER"])
+_lits = st.sampled_from(["'abc'", "'a//b'", "'x -> y'", "'%Y strftime'"])
+
+
+@st.composite
+def _fragments(draw):
+    kind = draw(st.integers(0, 6))
+    ident = draw(_idents)
+    key = draw(_keys)
+    lit = draw(_lits)
+    return [
+        f"{ident}->>'{key}'",
+        f"{ident}->'{key}'->>'{key}'",
+        f"{ident} // 7",
+        f"list_transform({ident}, v -> upper(v))",
+        f"string_split({ident}, ' ')",
+        f"strftime({ident}, '%Y-%m-%d')",
+        lit,
+    ][kind]
+
+
+@given(st.lists(_fragments(), min_size=1, max_size=5))
+@settings(max_examples=200, deadline=None)
+def test_shim_idempotent(frags):
+    q = "SELECT " + ", ".join(frags) + " FROM t"
+    once = to_spark_sql(q)
+    assert to_spark_sql(once) == once
+
+
+@given(st.lists(_lits, min_size=1, max_size=4))
+@settings(max_examples=100, deadline=None)
+def test_shim_preserves_every_literal(lits):
+    q = "SELECT " + ", ".join(lits) + " FROM t"
+    out = to_spark_sql(q)
+    for lit in lits:
+        assert lit in out

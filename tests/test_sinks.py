@@ -82,3 +82,25 @@ def test_jsonl_roundtrip(spark, tmp_path):
     assert sorted(r.doc_id for r in back.collect()) == sorted(
         r.doc_id for r in src.collect()
     )
+
+
+def test_csv_permissive_quarantines_bad_rows(spark, tmp_path):
+    from ask_duckdb_spark.sources.sinks import read_csv_permissive
+
+    p = tmp_path / "dirty.csv"
+    p.write_text(
+        "id,score\n"
+        "1,10.5\n"
+        "oops,not_a_number\n"
+        "2,20.0\n"
+    )
+    df = read_csv_permissive(spark, str(p), "id INT, score DOUBLE")
+    # caching pins the corrupt-record column (Spark requires the raw
+    # record to still exist when the filter is evaluated)
+    df = df.cache()
+    good = df.filter(df._corrupt_record.isNull()).drop("_corrupt_record")
+    bad = df.filter(df._corrupt_record.isNotNull())
+    assert good.count() == 2
+    assert bad.count() == 1
+    assert "oops" in bad.collect()[0]._corrupt_record
+    df.unpersist()
