@@ -777,3 +777,56 @@ def x39_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+BIN_TOKEN_BUDGET = 256  # x54 bin capacity (docs avg ~54 tokens)
+
+
+@query("x54_pack_bins_ffd")  # sequential algorithm: rows-only check
+def x54_pack_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing bin packing per language (grouped-map).
+
+    x30 packs CONTIGUOUSLY (cumsum // budget — one window, pure SQL);
+    FFD packs tighter by placing each doc, largest first, into the
+    first bin with room. That inherently sequential loop is the
+    grouped-map pattern: ``applyInPandas`` per language, Arrow-batched,
+    deterministic (sort by tokens desc then doc_id). State is one
+    int per open bin — bounded by group size / budget. At 100 TB the
+    group key widens to (lang, date-bucket) so no group outgrows an
+    executor; the invariant tests (bins respect the budget, bin count
+    is >= the volume lower bound and <= x30's contiguous count) pin
+    correctness without an oracle — DuckDB has no FFD to compare.
+    """
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", "lang", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        bins: list[int] = []  # remaining capacity per bin
+        assign: list[int] = []
+        for tok in pdf["n_tokens"]:
+            t = int(tok)
+            for i, rem in enumerate(bins):
+                if rem >= t:
+                    bins[i] = rem - t
+                    assign.append(i)
+                    break
+            else:
+                # oversized docs get their own (overfull) bin
+                bins.append(max(BIN_TOKEN_BUDGET - t, 0))
+                assign.append(len(bins) - 1)
+        pdf["bin_id"] = pd.Series(assign, dtype="int64")
+        return pdf[["doc_id", "lang", "n_tokens", "bin_id"]]
+
+    out_schema = "doc_id bigint, lang string, n_tokens int, bin_id bigint"
+    return (
+        sized.groupBy("lang")
+        .applyInPandas(pack, schema=out_schema)
+        .orderBy("lang", "bin_id", "doc_id")
+    )

@@ -45,3 +45,38 @@ def test_x38_cms_one_sided_and_tight_for_heavy_hitters(spark):
     # the single heaviest term should be estimated nearly exactly
     top = rows[0]
     assert top.est_freq - top.true_freq <= 0.05 * top.true_freq
+
+
+def test_x54_ffd_packing_invariants(spark):
+    """FFD bins respect the budget, hit the volume lower bound within
+    the classic 11/9 OPT + 1 guarantee, and never pack looser than
+    x30's contiguous packing."""
+    import math
+
+    from ask_duckdb_spark.operators import QUERIES
+    from ask_duckdb_spark.operators.textstats import BIN_TOKEN_BUDGET
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR
+
+    out = QUERIES["x54_pack_bins_ffd"](spark, SF_DIR).cache()
+    fill = (
+        out.groupBy("lang", "bin_id")
+        .agg(F.sum("n_tokens").alias("fill"), F.count("*").alias("n"))
+        .collect()
+    )
+    # budget respected except single-doc overfull bins
+    for r in fill:
+        assert r["fill"] <= BIN_TOKEN_BUDGET or r["n"] == 1
+    per_lang = {
+        (r["lang"]): (r["total"], r["bins"])
+        for r in out.groupBy("lang")
+        .agg(
+            F.sum("n_tokens").alias("total"),
+            F.countDistinct("bin_id").alias("bins"),
+        )
+        .collect()
+    }
+    for lang, (total, bins) in per_lang.items():
+        lower = math.ceil(total / BIN_TOKEN_BUDGET)
+        assert lower <= bins <= math.ceil(11 / 9 * lower) + 1, lang
+    out.unpersist()
