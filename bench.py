@@ -88,7 +88,39 @@ def main() -> int:
         # accumulate memory across the loop).
         spark.catalog.clearCache()
 
+    # Co-timed DuckDB oracle baseline: absolute walls drift with host
+    # contention/frequency (r04 measured a uniform ~2x environment
+    # slowdown on an identical commit — BENCHLOG.md), so the JSON also
+    # carries the SAME-PROCESS DuckDB total over the oracle-paired
+    # headline queries. The ratio is the environment-independent
+    # number; the oracle runs AFTER Spark so it cannot warm Spark's
+    # caches, and single-threaded DuckDB underuses the 32 cores Spark
+    # gets — the ratio is conservative, not flattering.
+    duck_timings: dict[str, float] = {}
+    try:
+        import duckdb
+
+        from ask_duckdb_spark.operators import ORACLES
+        from ask_duckdb_spark.sources.catalog import TABLES
+
+        con = duckdb.connect()
+        for t in TABLES:
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(p):
+                con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        for name in HEADLINE:
+            if name in ORACLES:
+                t0 = time.time()
+                con.sql(ORACLES[name]).fetchall()
+                duck_timings[name] = round(time.time() - t0, 3)
+    except Exception:
+        duck_timings = {}
+
     total = round(sum(timings.values()), 3)
+    duck_total = round(sum(duck_timings.values()), 3)
+    spark_on_oracle = round(
+        sum(v for k, v in timings.items() if k in duck_timings), 3
+    )
     print(
         json.dumps(
             {
@@ -96,6 +128,13 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "duckdb_oracle_total": duck_total,
+                "spark_on_oracle_subset": spark_on_oracle,
+                "spark_vs_duckdb_ratio": (
+                    round(spark_on_oracle / duck_total, 2)
+                    if duck_total > 0
+                    else None
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 # Diagnostics for run-to-run comparison: BENCH numbers
                 # are only comparable when the host was otherwise idle
