@@ -830,3 +830,88 @@ def x54_pack_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(pack, schema=out_schema)
         .orderBy("lang", "bin_id", "doc_id")
     )
+
+
+@query(
+    "x55_full_prep_pipeline",
+    # the composed oracle chains the exact stage formulations of
+    # x31 (quality + dedup), x47 (chunk windows), and x34 (hash split)
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, lang, text,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ), quality AS (
+      SELECT doc_id, lang, text, tk FROM toks
+      WHERE len(tk) >= 20
+        AND CAST(len(list_filter(tk, t -> t IN ('the','a','of','and','is')))
+                 AS DOUBLE) / greatest(len(tk), 1) BETWEEN 0.01 AND 0.5
+        AND CAST(len(list_distinct(tk)) AS DOUBLE)
+            / greatest(len(tk), 1) >= 0.2
+    ), dedup AS (
+      SELECT min(doc_id) AS doc_id, min(lang) AS lang,
+             min(len(range(0, len(tk), 50))) AS n_chunks
+      FROM quality GROUP BY md5(text)
+    )
+    SELECT CASE WHEN (doc_id * 2654435761) % 4294967296
+                     < {int(0.8 * 4294967296)} THEN 'train'
+                WHEN (doc_id * 2654435761) % 4294967296
+                     < {int(0.9 * 4294967296)} THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chunks) AS BIGINT) AS n_chunks
+    FROM dedup
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def x55_full_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end prep pipeline as ONE lazy plan (capstone).
+
+    quality gate -> exact dedup keeping the lowest doc_id -> chunk-count
+    per kept doc (x47's windows; identical text means identical chunk
+    count, so the count rides through the dedup group-by with no join
+    back) -> deterministic hash split -> per-(split, lang) totals. The
+    whole pipeline is a single DataFrame expression: Catalyst fuses the
+    narrow stages into the scan and the only shuffles are the dedup
+    group-by and the final 15-group aggregation — composition adds NO
+    materialization boundaries, which is the property that lets the
+    same code run unchanged over 100 TB.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    n = F.size(tk)
+    safe_n = F.greatest(n, F.lit(1))
+    stop_ratio = (
+        F.size(F.filter(tk, lambda t: t.isin(*LANG_STOPWORDS["en"]))).cast(
+            "double"
+        )
+        / safe_n
+    )
+    uniq_ratio = F.size(F.array_distinct(tk)).cast("double") / safe_n
+    n_chunks = F.size(F.sequence(F.lit(0), n - 1, F.lit(50)))
+    quality = d.filter(
+        (n >= 20) & stop_ratio.between(0.01, 0.5) & (uniq_ratio >= 0.2)
+    ).select("doc_id", "lang", "text", n_chunks.alias("n_chunks"))
+    dedup = quality.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("lang").alias("lang"),
+        F.min("n_chunks").alias("n_chunks"),
+    )
+    h = (F.col("doc_id") * 2654435761) % 4294967296
+    split = (
+        F.when(h < int(0.8 * 4294967296), "train")
+        .when(h < int(0.9 * 4294967296), "val")
+        .otherwise("test")
+    )
+    return (
+        dedup.select(split.alias("split"), "lang", "n_chunks")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chunks").cast("bigint").alias("n_chunks"),
+        )
+        .orderBy("split", "lang")
+    )

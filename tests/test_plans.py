@@ -197,3 +197,10 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_x55_pipeline_composes_without_extra_shuffles(spark):
+    """The composed prep pipeline earns exactly its two aggregation
+    exchanges (dedup group-by, final rollup) plus the orderBy's range
+    exchange — composition must add no materialization boundaries."""
+    assert checks.num_shuffles(QUERIES["x55_full_prep_pipeline"](spark, SF_DIR)) <= 3
