@@ -560,3 +560,42 @@ def x51_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "x56_join_key_skew_report",
+    oracle="""
+    WITH per_key AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(cnt) AS BIGINT) AS max_rows,
+           ROUND(avg(cnt), 4) AS avg_rows,
+           ROUND(max(cnt) * 1.0 / avg(cnt), 4) AS skew_factor,
+           ROUND(max(cnt) * 1.0 / sum(cnt), 6) AS top_key_share
+    FROM per_key
+    """,
+)
+def x56_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnostic for a prospective shuffle key.
+
+    The report an operator runs BEFORE shuffling 100 TB on a key:
+    distinct keys, max/avg rows per key, the max/avg skew factor
+    (straggler-task multiplier under hash partitioning), and the
+    hottest key's share of all rows. One combinable count shuffle plus
+    a one-row rollup — cost is O(distinct keys), never a second scan.
+    Feeds the choice between a plain shuffle, AQE skew splitting, and
+    the x26/j10 salting patterns.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    return per_key.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.max("cnt").cast("bigint").alias("max_rows"),
+        F.round(F.avg("cnt"), 4).alias("avg_rows"),
+        F.round(F.max("cnt") / F.avg("cnt"), 4).alias("skew_factor"),
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_key_share"),
+    )
