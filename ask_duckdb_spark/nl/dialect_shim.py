@@ -8,7 +8,10 @@ engine IS DuckDB — query_db.py:49 passes query text straight to
 ``len``) — verified by ``tests/test_dialect_shim.py`` — so this shim
 translates only the residue Spark rejects:
 
-- ``//``            -> `` div ``       (integer division)
+- ``//``            -> `` div ``       (integer division; NOTE DuckDB's
+  ``//`` on DECIMAL/DOUBLE operands is plain division — a textual
+  translator cannot see column types, so fractional-operand ``//`` is
+  out of scope and translates with integral semantics)
 - ``expr->'k'`` / ``expr->>'k'`` -> ``get_json_object(expr, '$.k')``
   (chained arrows and integer array subscripts supported; ``->`` in
   DuckDB returns JSON while ``->>`` returns text — both map onto
@@ -154,6 +157,13 @@ def _scan_lhs(s: str, op_start: int) -> int:
     return i
 
 
+#: keywords the backward operand scan must never treat as an arrow LHS
+_RESERVED = frozenset(
+    "SELECT WHERE AND OR NOT ON WHEN THEN ELSE END BY FROM CASE AS IN IS "
+    "JOIN HAVING GROUP ORDER LIMIT OFFSET UNION ALL DISTINCT BETWEEN LIKE "
+    "ILIKE WITH".split()
+)
+
 _ARROW_RE = re.compile(r"->>?")
 _KEY_LIT_RE = re.compile(r"\s*\x02(\d+)\x02")
 _KEY_INT_RE = re.compile(r"\s*(\d+)")
@@ -204,9 +214,23 @@ def _enclosing_call_name(s: str, idx: int) -> str | None:
 
 
 def _is_lambda_arrow(s: str, lhs_start: int, lhs: str) -> bool:
-    """True when a single ``->`` at this site is lambda syntax."""
-    if not re.fullmatch(r"[A-Za-z_]\w*", lhs):
+    """True when a single ``->`` at this site is lambda syntax.
+
+    A lambda's parameter list sits in PARAMETER POSITION: directly
+    after ``(`` or ``,`` of an enclosing higher-order call. That
+    distinguishes ``transform(a, j -> j->'k')``: the first arrow's
+    ``j`` follows a comma (lambda), while the second arrow's ``j``
+    follows ``-> `` (JSON access on the lambda variable — rewritten).
+    """
+    bare_ident = bool(re.fullmatch(r"[A-Za-z_]\w*", lhs))
+    paren_list = lhs.startswith("(") and lhs.endswith(")")
+    if not (bare_ident or paren_list):
         return False  # dotted / call / literal LHS: not a lambda param
+    k = lhs_start
+    while k > 0 and s[k - 1] in " \t":
+        k -= 1
+    if k == 0 or s[k - 1] not in "(,":
+        return False  # not in parameter position
     name = _enclosing_call_name(s, lhs_start)
     return name in HIGHER_ORDER_FUNCS
 
@@ -229,8 +253,13 @@ def _rewrite_arrows(s: str, literals: list[str]) -> str:
         if m.group(0) == "->" and _is_lambda_arrow(s, lhs_start, lhs):
             s = s[: m.start()] + "\x03" + s[m.end() :]
             continue
+        if lhs.upper() in _RESERVED:
+            # the backward scan hit a keyword, not an operand — this
+            # arrow has no translatable LHS; leave it for Spark's error
+            s = s[: m.start()] + "\x03" + s[m.end() :]
+            continue
         km = _KEY_LIT_RE.match(rest)
-        if km:
+        if km and lhs:
             key = literals[int(km.group(1))][1:-1]  # strip quotes
             path = f"'$.{key}'"
         else:
@@ -337,21 +366,31 @@ def to_spark_sql(sql: str) -> str:
     """Translate DuckDB-flavored SQL into Spark SQL (best effort)."""
     masked, literals = _mask_literals(sql)
 
-    # record which masked literals are strftime format args BEFORE any
-    # rewriting, while the call name is still 'strftime'
+    # record which masked literals are strftime FORMAT arguments before
+    # any rewriting, while the call name is still 'strftime'. Only the
+    # second top-level argument qualifies — a literal inside the first
+    # argument (e.g. a LIKE pattern in a CASE) must not be touched.
     fmt_ids: set[int] = set()
     for m in re.finditer(r"(?i)\bstrftime\s*\(", masked):
-        # format arg = every masked literal up to the call's closing paren
         depth = 0
+        arg_no = 1
+        seg_start = m.end()
         for j in range(m.end() - 1, len(masked)):
-            if masked[j] == "(":
+            ch = masked[j]
+            if ch == "(":
                 depth += 1
-            elif masked[j] == ")":
+            elif ch == ")":
                 depth -= 1
                 if depth == 0:
                     break
-        for lm in _MASK_RE.finditer(masked[m.end() : j]):
-            fmt_ids.add(int(lm.group(1)))
+            elif ch == "," and depth == 1:
+                arg_no += 1
+                seg_start = j + 1
+        if arg_no >= 2:
+            # literals inside the LAST top-level argument segment
+            # (DuckDB strftime is (ts, fmt) — the fmt arg is final)
+            for lm in _MASK_RE.finditer(masked[seg_start:j]):
+                fmt_ids.add(int(lm.group(1)))
 
     # integer division (DuckDB `//`) -> Spark `div`
     masked = re.sub(r"//", " div ", masked)

@@ -277,13 +277,16 @@ def x2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # X2b n-gram Jaccard (exact, oracle-checkable)
+#
+# The 8-gram posting-list machinery below is shared by THREE operators
+# (x3 full self-join, x49 incremental cross-join in scrub.py, x53
+# prefix-filtered self-join): one SQL fragment and one pair of Spark
+# helpers, so a change to the gram definition or the skew cap can
+# never de-synchronize the family.
 # ---------------------------------------------------------------------------
 
-
-@query(
-    "x3_ngram_jaccard_pairs",
-    oracle=f"""
-    WITH grams AS (
+#: ``grams`` CTE: distinct (doc_id, 8-gram) pairs over ``documents``.
+GRAMS_CTE_SQL = r"""grams AS (
       SELECT DISTINCT doc_id, g FROM (
         SELECT doc_id,
                unnest(list_transform(
@@ -292,15 +295,50 @@ def x2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                )) AS g
         FROM documents
       )
-    ), kept AS (
-      -- stop-gram skew guard: drop grams present in > 25% of docs OR
-      -- in more than MAX_POSTING docs (absolute cap, see Spark twin)
+    )"""
+
+#: ``pruned`` CTE (requires ``grams``): posting lists with the
+#: least(n/4, MAX_POSTING) stop-gram skew cap applied.
+CAPPED_POSTINGS_CTE_SQL = f"""kept_g AS (
       SELECT g FROM grams GROUP BY g
       HAVING count(*) <= least((SELECT count(*) FROM documents) / 4,
                                {MAX_POSTING})
     ), pruned AS (
-      SELECT doc_id, g FROM grams WHERE g IN (SELECT g FROM kept)
-    ), sizes AS (
+      SELECT doc_id, g FROM grams WHERE g IN (SELECT g FROM kept_g)
+    )"""
+
+
+def distinct_grams(d: DataFrame) -> DataFrame:
+    """(doc_id, g): distinct character 8-grams per document."""
+    return d.select(
+        "doc_id", F.explode(char_ngrams(F.col("text"), 8)).alias("g")
+    ).dropDuplicates(["doc_id", "g"])
+
+
+def capped_postings(grams: DataFrame, docs: DataFrame) -> DataFrame:
+    """Posting lists under the least(n/4, MAX_POSTING) skew cap.
+
+    The corpus size rides in as a broadcast scalar aggregate (the
+    DataFrame analogue of the oracle's scalar subquery) so callers
+    stay fully lazy. Extra columns on ``grams`` (e.g. a boundary tag)
+    ride through untouched.
+    """
+    total = docs.agg(F.count("*").alias("n_docs"))
+    kept = (
+        grams.groupBy("g")
+        .count()
+        .join(F.broadcast(total))
+        .filter(
+            F.col("count") <= F.least(F.col("n_docs") / 4, F.lit(MAX_POSTING))
+        )
+    )
+    return grams.join(kept.select("g"), "g")
+
+
+@query(
+    "x3_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {GRAMS_CTE_SQL}, {CAPPED_POSTINGS_CTE_SQL}, sizes AS (
       SELECT doc_id, count(*) AS n FROM pruned GROUP BY doc_id
     ), overlap AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
@@ -328,33 +366,21 @@ def x3_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     of true pairs at sf0.01 — the result is decidedly non-vacuous.
     """
     d = load_table(spark, sf_dir, "documents")
-    grams = d.select(
-        "doc_id", F.explode(char_ngrams(F.col("text"), 8)).alias("g")
-    ).dropDuplicates(["doc_id", "g"])
-    # Stop-gram skew guard, two layers. (1) Relative: a gram in >25% of
-    # documents is boilerplate. (2) Absolute (MAX_POSTING): the 100x
-    # scale trial (SCALE.md) showed the relative cap alone lets posting
-    # lists GROW WITH THE CORPUS — a gram in 10% of documents is 500
-    # rows at sf0.01 but 50k rows at 100x, and the self-join below is
-    # quadratic in list length, so join work grew ~N^2 while true pairs
-    # grew ~N. Capping document frequency absolutely bounds every
-    # posting list independent of corpus size (same role as x2's
-    # MAX_BUCKET); grams shared by >1000 documents carry no
-    # discriminative signal for a 0.05-Jaccard pair anyway (standard
-    # maxDF practice). Oracle parity holds at ANY corpus size because
-    # BOTH sides apply the identical least(n/4, MAX_POSTING) — the
-    # constant is interpolated into the oracle SQL, never duplicated.
-    # The corpus size rides in as a broadcast scalar aggregate (the
-    # DataFrame analogue of the oracle's scalar subquery) so the
-    # operator stays fully lazy.
-    total = d.agg(F.count("*").alias("n_docs"))
-    kept = (
-        grams.groupBy("g")
-        .count()
-        .join(F.broadcast(total))
-        .filter(F.col("count") <= F.least(F.col("n_docs") / 4, F.lit(MAX_POSTING)))
-    )
-    grams = grams.join(kept.select("g"), "g")
+    # Stop-gram skew guard (capped_postings), two layers. (1) Relative:
+    # a gram in >25% of documents is boilerplate. (2) Absolute
+    # (MAX_POSTING): the 100x scale trial (SCALE.md) showed the
+    # relative cap alone lets posting lists GROW WITH THE CORPUS — a
+    # gram in 10% of documents is 500 rows at sf0.01 but 50k rows at
+    # 100x, and the self-join below is quadratic in list length, so
+    # join work grew ~N^2 while true pairs grew ~N. Capping document
+    # frequency absolutely bounds every posting list independent of
+    # corpus size (same role as x2's MAX_BUCKET); grams shared by
+    # >1000 documents carry no discriminative signal for a
+    # 0.05-Jaccard pair anyway (standard maxDF practice). Oracle
+    # parity holds at ANY corpus size because BOTH sides apply the
+    # identical least(n/4, MAX_POSTING) — the constant is interpolated
+    # into the oracle SQL, never duplicated.
+    grams = capped_postings(distinct_grams(d), d)
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = grams.select(F.col("doc_id").alias("id_a"), "g")
     b = grams.select(F.col("doc_id").alias("id_b"), "g")
@@ -565,16 +591,7 @@ def x4b_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "x53_prefix_filter_jaccard",
     oracle=f"""
-    WITH grams AS (
-      SELECT DISTINCT doc_id, g FROM (
-        SELECT doc_id,
-               unnest(list_transform(
-                 range(1, greatest(length(text) - 7, 1) + 1),
-                 i -> substr(text, CAST(i AS INTEGER), 8)
-               )) AS g
-        FROM documents
-      )
-    ), sizes AS (
+    WITH {GRAMS_CTE_SQL}, sizes AS (
       SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
     ), overlap AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
@@ -608,9 +625,7 @@ def x53_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shuffles: gram df count, prefix-posting self-join, one verify join.
     """
     d = load_table(spark, sf_dir, "documents")
-    grams = d.select(
-        "doc_id", F.explode(char_ngrams(F.col("text"), 8)).alias("g")
-    ).dropDuplicates(["doc_id", "g"])
+    grams = distinct_grams(d)
     # global document frequency — the prefix ordering key (rarest first
     # minimizes posting-list sizes; ties broken on the gram itself so
     # the order is total and deterministic)

@@ -2130,7 +2130,12 @@ def j11_fuzzy_name_join(spark, sf_dir):
     names = (
         t(spark, sf_dir, "part").select("p_name").distinct()
     )
-    block = lambda c: F.split(c, " ").getItem(1)  # noqa: E731
+    # coalesce to '' so a single-token name matches the oracle's
+    # split_part semantics (empty string, joinable) instead of a NULL
+    # block key that silently drops the row from the equi-join
+    block = lambda c: F.coalesce(  # noqa: E731
+        F.split(c, " ").getItem(1), F.lit("")
+    )
     a = names.select(
         F.col("p_name").alias("name_a"), block(F.col("p_name")).alias("blk")
     )

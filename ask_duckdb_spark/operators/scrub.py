@@ -318,7 +318,12 @@ def x48_char_diversity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Incremental ingestion + corpus-maintenance operators
 # ---------------------------------------------------------------------------
 
-from .dedup import MAX_POSTING  # noqa: E402  (shared posting-list cap)
+from .dedup import (  # noqa: E402  (shared 8-gram posting machinery)
+    CAPPED_POSTINGS_CTE_SQL,
+    GRAMS_CTE_SQL,
+    capped_postings,
+    distinct_grams,
+)
 
 NEARDUP_CUT = 0.5  # Jaccard threshold for incremental near-dup flags
 DOMAIN_CAP = 10  # max docs kept per source/domain
@@ -339,22 +344,8 @@ LENGTH_PCT = 0.95  # length-outlier percentile
       SELECT DISTINCT i.doc_id FROM incoming i
       JOIN corpus co ON md5(i.text) = md5(co.text)
     ),
-    grams AS (
-      SELECT DISTINCT doc_id, g FROM (
-        SELECT doc_id,
-               unnest(list_transform(
-                 range(1, greatest(length(text) - 7, 1) + 1),
-                 i -> substr(text, CAST(i AS INTEGER), 8)
-               )) AS g
-        FROM documents
-      )
-    ),
-    kept_g AS (
-      SELECT g FROM grams GROUP BY g
-      HAVING count(*) <= least((SELECT count(*) FROM documents) / 4,
-                               {MAX_POSTING})
-    ),
-    pruned AS (SELECT doc_id, g FROM grams WHERE g IN (SELECT g FROM kept_g)),
+    {GRAMS_CTE_SQL},
+    {CAPPED_POSTINGS_CTE_SQL},
     sizes AS (SELECT doc_id, count(*) AS n FROM pruned GROUP BY doc_id),
     overlap AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
@@ -391,17 +382,16 @@ def x49_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag column is exercised by the oracle comparison either way); the
     near-dup flag fires on 7 of 101 incoming docs at sf0.01.
     """
-    from ..functions.text import char_ngrams
-
     docs = load_table(spark, sf_dir, "documents")
     cut = docs.agg(F.expr("(max(doc_id) * 4) div 5").alias("c"))
-    with_cut = docs.join(F.broadcast(cut))
-    incoming = with_cut.filter(F.col("doc_id") >= F.col("c")).select(
-        "doc_id", "text"
+    # ONE broadcast of the boundary scalar: every downstream frame
+    # (incoming/corpus split, both overlap sides) derives from this
+    # tagged frame instead of re-joining cut per consumer
+    tagged = docs.join(F.broadcast(cut)).withColumn(
+        "is_incoming", F.col("doc_id") >= F.col("c")
     )
-    corpus = with_cut.filter(F.col("doc_id") < F.col("c")).select(
-        "doc_id", "text"
-    )
+    incoming = tagged.filter("is_incoming").select("doc_id", "text")
+    corpus = tagged.filter(~F.col("is_incoming")).select("doc_id", "text")
     exact = (
         incoming.alias("i")
         .join(
@@ -412,26 +402,21 @@ def x49_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("exact_id"))
         .distinct()
     )
-    grams = docs.select(
-        "doc_id", F.explode(char_ngrams(F.col("text"), 8)).alias("g")
-    ).dropDuplicates(["doc_id", "g"])
-    total = docs.agg(F.count("*").alias("n_docs"))
-    kept_g = (
-        grams.groupBy("g")
-        .count()
-        .join(F.broadcast(total))
-        .filter(
-            F.col("count") <= F.least(F.col("n_docs") / 4, F.lit(MAX_POSTING))
-        )
+    # tag the pruned posting lists with ONE broadcast of the boundary
+    # scalar; the corpus/incoming split of the join sides is then a
+    # filter over the same frame, not two more joins
+    pruned = (
+        capped_postings(distinct_grams(docs), docs)
+        .join(F.broadcast(cut))
+        .withColumn("is_incoming", F.col("doc_id") >= F.col("c"))
     )
-    pruned = grams.join(kept_g.select("g"), "g")
     sizes = pruned.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = pruned.join(F.broadcast(cut)).filter(
-        F.col("doc_id") < F.col("c")
-    ).select(F.col("doc_id").alias("id_a"), "g")
-    b = pruned.join(F.broadcast(cut)).filter(
-        F.col("doc_id") >= F.col("c")
-    ).select(F.col("doc_id").alias("id_b"), "g")
+    a = pruned.filter(~F.col("is_incoming")).select(
+        F.col("doc_id").alias("id_a"), "g"
+    )
+    b = pruned.filter("is_incoming").select(
+        F.col("doc_id").alias("id_b"), "g"
+    )
     overlap = a.join(b, "g").groupBy("id_a", "id_b").agg(
         F.count("*").alias("cnt")
     )

@@ -394,23 +394,48 @@ def x30_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "doc_id")
 
 
-@query(
-    "x31_clean_corpus",
-    # the composed prep pipeline: quality gate -> exact dedup by
-    # content hash -> deterministic sample -> per-lang counts
-    oracle=rf"""
-    WITH toks AS (
+#: The quality-gate CTE pair shared by x31 and x55 (the composed
+#: pipeline must apply EXACTLY the standalone stage's rules — one
+#: definition, imported into both oracles).
+QUALITY_CTE_SQL = r"""toks AS (
       SELECT doc_id, lang, text,
              list_filter(string_split_regex(lower(text), '\s+'),
                          t -> t <> '') AS tk
       FROM documents
     ), quality AS (
-      SELECT doc_id, lang, text FROM toks
+      SELECT doc_id, lang, text, tk FROM toks
       WHERE len(tk) >= 20
         AND CAST(len(list_filter(tk, t -> t IN ('the','a','of','and','is')))
                  AS DOUBLE) / greatest(len(tk), 1) BETWEEN 0.01 AND 0.5
         AND CAST(len(list_distinct(tk)) AS DOUBLE) / greatest(len(tk), 1) >= 0.2
-    ), deduped AS (
+    )"""
+
+
+def quality_filter(d: DataFrame) -> DataFrame:
+    """x10's quality rules as a reusable filter (Spark twin of the
+    ``quality`` CTE above): >= 20 tokens, en-stopword ratio in
+    [0.01, 0.5], unique-token ratio >= 0.2."""
+    tk = tokens(F.col("text"))
+    n = F.size(tk)
+    safe_n = F.greatest(n, F.lit(1))
+    stop_ratio = (
+        F.size(F.filter(tk, lambda t: t.isin(*LANG_STOPWORDS["en"]))).cast(
+            "double"
+        )
+        / safe_n
+    )
+    uniq_ratio = F.size(F.array_distinct(tk)).cast("double") / safe_n
+    return d.filter(
+        (n >= 20) & stop_ratio.between(0.01, 0.5) & (uniq_ratio >= 0.2)
+    )
+
+
+@query(
+    "x31_clean_corpus",
+    # the composed prep pipeline: quality gate -> exact dedup by
+    # content hash -> deterministic sample -> per-lang counts
+    oracle=f"""
+    WITH {QUALITY_CTE_SQL}, deduped AS (
       SELECT min(doc_id) AS doc_id, min(lang) AS lang
       FROM quality GROUP BY md5(text)
     )
@@ -430,17 +455,7 @@ def x31_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator; Catalyst fuses the narrow stages into the scan.
     """
     d = load_table(spark, sf_dir, "documents")
-    tk = tokens(F.col("text"))
-    n = F.size(tk)
-    safe_n = F.greatest(n, F.lit(1))
-    stop_ratio = (
-        F.size(F.filter(tk, lambda t: t.isin(*LANG_STOPWORDS["en"]))).cast("double")
-        / safe_n
-    )
-    uniq_ratio = F.size(F.array_distinct(tk)).cast("double") / safe_n
-    quality = d.filter(
-        (n >= 20) & stop_ratio.between(0.01, 0.5) & (uniq_ratio >= 0.2)
-    )
+    quality = quality_filter(d)
     deduped = quality.groupBy(F.md5("text")).agg(
         F.min("doc_id").alias("doc_id"), F.min("lang").alias("lang")
     )

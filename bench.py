@@ -111,7 +111,12 @@ def main() -> int:
         for name in HEADLINE:
             if name in ORACLES:
                 t0 = time.time()
-                con.sql(ORACLES[name]).fetchall()
+                # count-wrapped, mirroring the Spark side's df.count():
+                # both engines may then prune unused output columns and
+                # drop the final sort — same work on both stopwatches
+                con.sql(
+                    f"SELECT count(*) FROM ({ORACLES[name]})"
+                ).fetchall()
                 duck_timings[name] = round(time.time() - t0, 3)
     except Exception:
         duck_timings = {}

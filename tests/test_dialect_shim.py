@@ -203,3 +203,19 @@ def test_shim_preserves_every_literal(lits):
     out = to_spark_sql(q)
     for lit in lits:
         assert lit in out
+
+
+def test_strftime_only_format_literal_translated():
+    q = "SELECT strftime(CASE WHEN name LIKE '%min%' THEN ts END, '%Y')"
+    out = to_spark_sql(q)
+    assert "'%min%'" in out and "'yyyy'" in out
+
+
+def test_json_arrow_on_lambda_variable_rewritten():
+    q = "SELECT list_transform(a, j -> j->'k') FROM t"
+    assert "j -> get_json_object(j, '$.k')" in to_spark_sql(q)
+
+
+def test_arrow_after_keyword_left_alone():
+    out = to_spark_sql("SELECT ->'k' FROM t")
+    assert "get_json_object" not in out

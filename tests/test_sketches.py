@@ -78,5 +78,9 @@ def test_x54_ffd_packing_invariants(spark):
     }
     for lang, (total, bins) in per_lang.items():
         lower = math.ceil(total / BIN_TOKEN_BUDGET)
-        assert lower <= bins <= math.ceil(11 / 9 * lower) + 1, lang
+        # any-fit upper bound from the volume argument: at most one
+        # bin ends less than half full, so bins <= 2*total/budget + 1.
+        # (11/9 is relative to OPT, not the volume bound — do not use
+        # it here: all-slightly-over-half-budget docs would break it.)
+        assert lower <= bins <= 2 * lower + 1, lang
     out.unpersist()
