@@ -535,3 +535,65 @@ def x44_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst", "rnk")
         .orderBy("src", "rnk")
     )
+
+
+# --- x58: deterministic random-projection dimensionality reduction ----
+
+RP_OUT_DIMS = 8  # 64 -> 8, an 8x storage/compute cut for ANN prefilters
+
+
+def _rp_sign(i, j: int):
+    """Engine-portable pseudo-random sign for (1-based dim i, out dim j).
+
+    Pure 64-bit-safe integer arithmetic — the identical expression is
+    written into the DuckDB oracle, so Spark and the oracle use the
+    SAME projection matrix without sharing any RNG state or broadcast
+    model: sign = +1 iff (i * (2j+3) * knuth) % 97 < 48. Max product
+    64 * 19 * 2654435761 ~= 3.2e12, far below 2^63 in both engines.
+    """
+    m = F.lit((2 * j + 3) * 2654435761)
+    return F.when((i * m) % 97 < 48, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def _rp_oracle() -> str:
+    cols = ",\n           ".join(
+        f"list_reduce(list_transform(embedding, (v, i) -> "
+        f"CAST(v AS DOUBLE) * (CASE WHEN (i * {(2 * j + 3)} * 2654435761) "
+        f"% 97 < 48 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)), "
+        f"(a, b) -> a + b) AS p{j}"
+        for j in range(RP_OUT_DIMS)
+    )
+    return f"SELECT vec_id,\n           {cols}\n    FROM embeddings"
+
+
+@query("x58_random_projection", oracle=_rp_oracle())
+def x58_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection dim reduction: 64-dim float -> 8 doubles.
+
+    The Achlioptas/JL construction with +-1 weights: out_j = sum_i
+    emb[i] * sign(i, j). Weights derive from portable integer
+    arithmetic (no RNG, no broadcast model — every executor and the
+    DuckDB oracle regenerate the identical matrix from (i, j) alone),
+    and each output is a strict left fold in dimension order, so the
+    float sums are BIT-IDENTICAL across engines: a fully value-hashed
+    oracle over floating-point output, same determinism discipline as
+    x5's double left-folds.
+
+    Scale (100 TB): a narrow per-row map — ZERO shuffles, fused into
+    the scan by codegen. The reduced vectors feed ANN prefilters
+    (x6/x27) at 1/8th the bytes; at a billion rows that is the
+    difference between an in-memory index and a disk-bound one.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def out_dim(j: int):
+        terms = F.zip_with(
+            F.col("embedding"),
+            F.sequence(F.lit(1), F.size("embedding")),
+            lambda v, i: v.cast("double") * _rp_sign(i, j),
+        )
+        return F.aggregate(terms, F.lit(0.0), lambda a, x: a + x)
+
+    return emb.select(
+        "vec_id", *[out_dim(j).alias(f"p{j}") for j in range(RP_OUT_DIMS)]
+    )

@@ -930,3 +930,192 @@ def x55_full_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+@query(
+    "x57_bigram_rarity",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         t -> t <> '') AS ts
+      FROM documents
+    ), bi AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ts)),
+                                   i -> ts[i] || ' ' || ts[i + 1])) AS bg
+      FROM toks WHERE len(ts) >= 2
+    ), cnt AS (
+      SELECT bg, count(*) AS c FROM bi GROUP BY 1
+    )
+    SELECT bi.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CASE WHEN cnt.c <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS rare_cnt,
+           CAST(sum(CASE WHEN cnt.c <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS rare_ratio
+    FROM bi JOIN cnt USING (bg)
+    GROUP BY 1
+    """,
+)
+def x57_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rare-bigram ratio — a corpus-LM perplexity proxy.
+
+    The integer-only twin of a KenLM quality filter: pass 1 counts
+    every token bigram over the corpus; pass 2 scores each document by
+    the fraction of its bigrams that are corpus-rare (frequency <= 2).
+    High rare_ratio = text unlike the rest of the corpus (OCR noise,
+    boilerplate mangling, wrong language) — the standard train-data
+    quality signal, minus the float log-prob sum (whose addition order
+    is engine-dependent; a count ratio is one exact division, so the
+    oracle matches bit-for-bit).
+
+    Scale (100 TB): two map-side-combinable shuffles keyed on the
+    bigram (the word-count shape) + the doc_id re-aggregation. The
+    bigram-keyed join deliberately does NOT broadcast: the model side
+    is O(corpus vocab^2-ish) and belongs on the exchange. At 100 TB,
+    key the shuffle on xxhash64(bigram) instead of the string to move
+    16 bytes per bigram; counts are unaffected (collisions only merge
+    hash-equal grams).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", tokens(F.col("text")).alias("ts")).filter(
+        F.size("ts") >= 2
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("ts") - 1),
+        lambda i: F.concat(
+            F.element_at("ts", i), F.lit(" "), F.element_at("ts", i + 1)
+        ),
+    )
+    bi = docs.select("doc_id", F.explode(bigrams).alias("bg"))
+    cnt = bi.groupBy("bg").agg(F.count("*").alias("c"))
+    rare = F.when(F.col("c") <= 2, 1).otherwise(0)
+    return (
+        bi.join(cnt, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum(rare).cast("bigint").alias("rare_cnt"),
+        )
+        .withColumn(
+            "rare_ratio",
+            F.col("rare_cnt").cast("double") / F.col("n_bigrams"),
+        )
+    )
+
+
+@query(
+    "x59_source_overlap",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         t -> t <> '') AS ts
+      FROM documents
+    ), g AS (
+      SELECT DISTINCT source,
+             unnest(list_transform(
+                 range(1, len(ts) - 6),
+                 i -> array_to_string(list_slice(ts, i, i + 7), ' ')
+             )) AS gram
+      FROM toks WHERE len(ts) >= 8
+    ), sz AS (
+      SELECT source, count(*) AS n_grams FROM g GROUP BY 1
+    ), ov AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS shared_grams
+      FROM g a JOIN g b USING (gram)
+      WHERE a.source <> b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, shared_grams,
+           CAST(shared_grams AS DOUBLE) / sz.n_grams AS containment
+    FROM ov JOIN sz ON sz.source = ov.src_a
+    """,
+)
+def x59_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source 8-gram containment matrix (dataset-mixing audit).
+
+    For every ordered source pair (A, B): |grams(A) & grams(B)| /
+    |grams(A)| over distinct token 8-grams — "how much of A also
+    appears in B". The number a mixing recipe needs before weighting
+    sources (a mirror crawl shows up as containment ~1.0 and should be
+    dropped, not down-weighted). Same inverted-index join shape as
+    x33's decontamination, aggregated to source granularity.
+
+    Scale (100 TB): DISTINCT (source, gram) prunes the join inputs
+    before the exchange; the join output is bounded by true cross-source
+    collisions, and the final matrix is |sources|^2 rows — tiny. At
+    scale, join on xxhash64(gram) (16 bytes) rather than the gram text,
+    and pre-aggregate count per (gram, source) if sources repeat a gram
+    (DISTINCT already guarantees one row per pair here).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select("source", tokens(F.col("text")).alias("ts")).filter(
+        F.size("ts") >= 8
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("ts") - 7),
+        lambda i: F.array_join(F.slice("ts", i, 8), " "),
+    )
+    g = docs.select("source", F.explode(grams).alias("gram")).distinct()
+    sz = g.groupBy("source").agg(F.count("*").alias("n_grams"))
+    a = g.select(F.col("source").alias("src_a"), "gram")
+    b = g.select(F.col("source").alias("src_b"), "gram")
+    ov = (
+        a.join(b, "gram")
+        .filter(F.col("src_a") != F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("bigint").alias("shared_grams"))
+    )
+    return ov.join(
+        F.broadcast(sz.withColumnRenamed("source", "src_a")), "src_a"
+    ).select(
+        "src_a",
+        "src_b",
+        "shared_grams",
+        (F.col("shared_grams").cast("double") / F.col("n_grams")).alias(
+            "containment"
+        ),
+    )
+
+
+@query(
+    "x60_mixture_weights",
+    oracle="""
+    WITH n AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+      GROUP BY 1
+    ), p AS (
+      SELECT source, n_docs, pow(CAST(n_docs AS DOUBLE), 0.7) AS raw
+      FROM n
+    )
+    SELECT source, n_docs,
+           ROUND(raw / (SELECT sum(raw) FROM p), 6) AS weight
+    FROM p
+    """,
+)
+def x60_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights (alpha = 0.7).
+
+    The standard multilingual/multi-source mixing rule (w_s proportional
+    to n_s^alpha): alpha < 1 up-weights small sources so the sampler
+    doesn't collapse onto the head. Emits per-source document counts
+    and the normalized sampling weight a downstream weighted sampler
+    (x32's shape) would consume.
+
+    Scale (100 TB): one map-side-combinable count per source; the
+    normalization constant is a broadcast of |sources| doubles. ROUND 6
+    absorbs the engine-dependent addition order of the pow() sum (same
+    policy as x22's ln()).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n = d.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    p = n.withColumn("raw", F.pow(F.col("n_docs").cast("double"), F.lit(0.7)))
+    total = p.agg(F.sum("raw").alias("t"))
+    return p.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        F.round(F.col("raw") / F.col("t"), 6).alias("weight"),
+    )

@@ -1,0 +1,99 @@
+"""Quality gates for the round-4 corpus operators (x57-x60).
+
+Each has a full value-hashed oracle (scripts/diffcheck.py); these tests
+pin the SEMANTIC invariants the oracle can't see — distance
+preservation for the projection, symmetry/bounds for the containment
+matrix, normalization for the mixture weights — plus the plan-shape
+guarantees the docstrings claim.
+"""
+
+from __future__ import annotations
+
+import math
+
+from ask_duckdb_spark.operators import QUERIES
+from tests.conftest import SF_DIR_001
+
+
+def test_x57_rarity_bounds_and_totals(spark):
+    rows = QUERIES["x57_bigram_rarity"](spark, SF_DIR_001).collect()
+    assert rows, "x57 empty"
+    for r in rows:
+        assert 0 <= r.rare_cnt <= r.n_bigrams
+        assert math.isclose(r.rare_ratio, r.rare_cnt / r.n_bigrams)
+
+
+def test_x58_projection_preserves_distances(spark):
+    """JL property: squared distances under the 8-dim +-1 projection
+    (scaled by 1/dims) are an unbiased, positively-correlated estimate
+    of the exact 64-dim squared distances. Top-k overlap is NOT a fair
+    gate here — the synthetic embeddings are near-uniform, so even a
+    numpy-random 8-dim projection recovers <=2 of the exact top-10;
+    distance preservation is the property the construction guarantees.
+    Fully deterministic: fixed data, fixed matrix, seeded pair sample.
+    """
+    import duckdb
+
+    rows = QUERIES["x58_random_projection"](spark, SF_DIR_001).collect()
+    assert len(rows) == 500
+    proj = {r.vec_id: [r[f"p{j}"] for j in range(8)] for r in rows}
+    exact = {
+        vid: emb
+        for vid, emb in duckdb.sql(
+            f"SELECT vec_id, embedding FROM "
+            f"'{SF_DIR_001}/embeddings.parquet'"
+        ).fetchall()
+    }
+
+    import random
+
+    rng = random.Random(0)
+    ids = sorted(proj)
+    ratios, xs, ys = [], [], []
+    for _ in range(1500):
+        a, b = rng.sample(ids, 2)
+        de = sum((x - y) ** 2 for x, y in zip(exact[a], exact[b]))
+        dp = sum((x - y) ** 2 for x, y in zip(proj[a], proj[b])) / 8.0
+        ratios.append(dp / de)
+        xs.append(de)
+        ys.append(dp)
+    mean_ratio = sum(ratios) / len(ratios)
+    assert 0.8 < mean_ratio < 1.2, f"biased estimator: {mean_ratio}"
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    vx = sum((x - mx) ** 2 for x in xs)
+    vy = sum((y - my) ** 2 for y in ys)
+    corr = cov / math.sqrt(vx * vy)
+    assert corr > 0.15, f"projection uncorrelated with geometry: {corr}"
+
+
+def test_x58_zero_shuffle_plan(spark):
+    plan = QUERIES["x58_random_projection"](
+        spark, SF_DIR_001
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "x58 must be a narrow map"
+
+
+def test_x59_containment_symmetric_shared_and_bounded(spark):
+    rows = QUERIES["x59_source_overlap"](spark, SF_DIR_001).collect()
+    assert rows, "x59 vacuous"
+    shared = {(r.src_a, r.src_b): r.shared_grams for r in rows}
+    for (a, b), s in shared.items():
+        assert shared[(b, a)] == s, "intersection must be symmetric"
+    for r in rows:
+        assert 0.0 < r.containment <= 1.0
+
+
+def test_x60_weights_normalized_and_flattened(spark):
+    rows = QUERIES["x60_mixture_weights"](spark, SF_DIR_001).collect()
+    assert len(rows) == 20
+    total = sum(r.weight for r in rows)
+    assert math.isclose(total, 1.0, abs_tol=2e-5)  # ROUND(…,6) x 20 rows
+    # alpha<1 up-weights small sources: every source's weight exceeds
+    # what a proportional (alpha=1) rule would give it iff it is
+    # smaller than average; with equal-sized sources weights are equal.
+    n_total = sum(r.n_docs for r in rows)
+    for r in rows:
+        prop = r.n_docs / n_total
+        if r.n_docs < n_total / len(rows):
+            assert r.weight > prop
