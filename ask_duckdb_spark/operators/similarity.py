@@ -177,6 +177,25 @@ def _ivf_centroids(emb: DataFrame) -> DataFrame:
     )
 
 
+def _assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, embedding, cell): nearest-centroid assignment.
+
+    Broadcast the tiny codebook against the corpus; deterministic
+    tie-break on the lowest cell id. Shared by x27 (IVF probe) and
+    x62 (SemDeDup) — at 100 TB this is the write-time partitioning
+    step (cell = partition column).
+    """
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "csim", cosine_similarity(F.col("embedding"), F.col("cv"))
+    )
+    assign_rank = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cell")
+    return (
+        scored.withColumn("rn", F.row_number().over(assign_rank))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+
+
 @query("x27_ivf_topk")  # iterative codebook: not oracle-expressible
 def x27_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10: coarse quantize, probe N_PROBE cells.
@@ -190,15 +209,7 @@ def x27_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _ivf_centroids(emb).persist()
-    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
-        "csim", cosine_similarity(F.col("embedding"), F.col("cv"))
-    )
-    assign_rank = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cell")
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(assign_rank))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cell")
-    )
+    assigned = _assign_cells(emb, cents)
     probes = (
         assigned.filter(F.col("vec_id") == 0)
         .select(F.col("embedding").alias("qv"))
@@ -596,4 +607,56 @@ def x58_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return emb.select(
         "vec_id", *[out_dim(j).alias(f"p{j}") for j in range(RP_OUT_DIMS)]
+    )
+
+
+@query("x62_semdedup")  # iterative codebook upstream: rows-only check
+def x62_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup via k-means cells.
+
+    Cluster the corpus embeddings with the IVF codebook
+    (``_ivf_centroids``: deterministic seeds + one Lloyd step), then
+    compare vectors only WITHIN their cell and drop every vector whose
+    cosine to ANY lower-id cellmate reaches ``NEARDUP_T`` — the lowest
+    id of each semantic-duplicate group survives as its representative.
+    Emits (vec_id, cell, kept) for the whole corpus so downstream
+    pipelines filter on ``kept``.
+
+    Scale (100 TB): the SemDeDup design point is that N_CELLS grows
+    with the corpus (n / target_cell_size), so cells stay
+    constant-sized and the within-cell self-join is O(n * cell_size) —
+    never corpus-quadratic; cell is the shuffle (and at rest the
+    partition) key, and the codebook rides in as a broadcast. The
+    within-cell pair scan reuses the one cell-keyed exchange on both
+    join sides.
+
+    Verification: rows-only here; tests/test_similarity.py re-derives
+    the keep set brute-force per cell and gates equality.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(emb)
+    assigned = _assign_cells(emb, cents)
+    a = assigned.select(
+        "cell", F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    )
+    b = assigned.select(
+        "cell", F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            cosine_similarity(F.col("ea"), F.col("eb")) >= F.lit(NEARDUP_T)
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+        )
     )

@@ -291,30 +291,49 @@ def x21_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x22_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF scoring; most characteristic term per document.
 
-    Two map-side-combinable shuffles (tf keyed on (doc, tok), df keyed
-    on tok) + a broadcast of the tiny df/N side back onto tf — the
-    canonical scalable TF-IDF shape. ROUND(…, 6) keeps the ln() values
+    The scalable TF-IDF shape, tuned for exchange reuse: df is derived
+    from the ALREADY-AGGREGATED tf frame (one row per (doc, tok), so
+    ``count(*)`` == distinct docs per token) — the tf branch appears
+    identically under both consumers, so Spark's ReuseExchange runs the
+    big (doc, tok) shuffle ONCE, and df's follow-up shuffle moves only
+    the aggregated frame (vs re-tokenizing the corpus into a second
+    countDistinct exchange). n_docs rides in as a lazy broadcast scalar
+    aggregate (no eager count at build time), and the per-doc top term
+    is a partial-aggregable min(struct) — map-side combinable — instead
+    of a row_number sort window. ROUND(…, 6) keeps the ln() values
     hash-stable across engines.
     """
     d = load_table(spark, sf_dir, "documents")
-    n_docs = d.count()  # scalar; one cheap count-only scan
     toks = d.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(df), "tok").select(
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = tf.join(F.broadcast(df), "tok").join(F.broadcast(n)).select(
         "doc_id",
         "tok",
         F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            F.col("tf")
+            * F.log(F.col("n_docs").cast("double") / F.col("df")),
+            6,
         ).alias("tfidf"),
     )
-    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("tok").alias("top_term"), "tfidf")
+    # min over (-tfidf, tok) == highest tfidf, smallest tok on ties —
+    # the same total order the oracle's row_number window uses.
+    best = scored.groupBy("doc_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("tfidf")).alias("neg"),
+                F.col("tok").alias("tok"),
+                F.col("tfidf").alias("tfidf"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "doc_id",
+        F.col("b.tok").alias("top_term"),
+        F.col("b.tfidf").alias("tfidf"),
     )
 
 
@@ -1118,4 +1137,118 @@ def x60_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         F.round(F.col("raw") / F.col("t"), 6).alias("weight"),
+    )
+
+
+@query(
+    "x61_gopher_quality_rules",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ), base AS (
+      SELECT doc_id, toks, len(toks) AS n_words
+      FROM t WHERE len(toks) >= 2
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS b
+      FROM base
+    ), mode_cnt AS (
+      SELECT doc_id, max(c) AS top_bigram_n FROM (
+        SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2
+      ) GROUP BY 1
+    ), scored AS (
+      SELECT base.doc_id,
+             CAST(n_words AS BIGINT) AS n_words,
+             ROUND(CAST(list_sum(list_transform(toks, t -> len(t)))
+                        AS DOUBLE) / n_words, 6) AS mean_word_len,
+             ROUND(CAST(len(list_filter(toks,
+                        t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+                   / n_words, 6) AS alpha_frac,
+             ROUND(CAST(top_bigram_n AS DOUBLE) / (n_words - 1), 6)
+                 AS top_bigram_frac
+      FROM base JOIN mode_cnt USING (doc_id)
+    )
+    SELECT *,
+           (n_words BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 3 AND 10
+            AND alpha_frac > 0.8
+            AND top_bigram_frac < 0.2) AS passes_gopher
+    FROM scored ORDER BY doc_id
+    """,
+)
+def x61_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, table A1).
+
+    Per document: word count, mean word length, alphabetic-word
+    fraction, and the character share of the single most common bigram
+    (the boilerplate detector), combined into one ``passes_gopher``
+    gate with the published thresholds (50-100k words, mean word length
+    3-10, >80% alphabetic words, <20% top-bigram share).
+
+    Scale (100 TB): ZERO shuffles — unlike the obvious
+    explode-bigrams + groupBy formulation (one O(corpus-tokens)
+    shuffle), the per-doc bigram mode is computed inside the row via
+    array_sort + a run-length ``aggregate`` scan, so every rule is a
+    narrow map and the filter composes into any ingest scan for free.
+    The oracle SQL uses the explode+groupBy formulation precisely so
+    the two different physical strategies check each other.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    d = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
+    n = F.size(F.col("toks"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat(
+            F.element_at(F.col("toks"), i),
+            F.lit(" "),
+            F.element_at(F.col("toks"), i + 1),
+        ),
+    )
+    # Mode count of a sorted array == longest run of equal neighbors:
+    # one pass with (prev, run, best) state, no explode, no shuffle.
+    top_bigram_n = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("int").alias("run"),
+            F.lit(0).cast("int").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    char_sum = F.aggregate(
+        F.transform(F.col("toks"), lambda t: F.length(t)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    alpha_n = F.size(F.filter(F.col("toks"), lambda t: t.rlike("[a-z]")))
+    scored = d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_words"),
+        F.round(char_sum.cast("double") / n, 6).alias("mean_word_len"),
+        F.round(alpha_n.cast("double") / n, 6).alias("alpha_frac"),
+        F.round(top_bigram_n.cast("double") / (n - 1), 6).alias(
+            "top_bigram_frac"
+        ),
+    )
+    return scored.select(
+        "*",
+        (
+            F.col("n_words").between(50, 100000)
+            & F.col("mean_word_len").between(3, 10)
+            & (F.col("alpha_frac") > 0.8)
+            & (F.col("top_bigram_frac") < 0.2)
+        ).alias("passes_gopher"),
     )

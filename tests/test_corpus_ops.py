@@ -97,3 +97,62 @@ def test_x60_weights_normalized_and_flattened(spark):
         prop = r.n_docs / n_total
         if r.n_docs < n_total / len(rows):
             assert r.weight > prop
+
+
+def test_x61_gopher_rules_invariants(spark):
+    """Bounds, internal consistency of the passes flag, and a
+    brute-force re-derivation of the top-bigram mode for a sample
+    (the run-length scan vs a Counter — two independent algorithms)."""
+    from collections import Counter
+
+    rows = (
+        QUERIES["x61_gopher_quality_rules"](spark, SF_DIR_001)
+        .collect()
+    )
+    assert rows, "x61 returned no rows"
+    seen_pass = seen_fail = False
+    for r in rows:
+        assert r.n_words >= 2
+        assert 0.0 < r.mean_word_len
+        assert 0.0 <= r.alpha_frac <= 1.0
+        assert 0.0 < r.top_bigram_frac <= 1.0
+        expected = (
+            50 <= r.n_words <= 100000
+            and 3 <= r.mean_word_len <= 10
+            and r.alpha_frac > 0.8
+            and r.top_bigram_frac < 0.2
+        )
+        assert r.passes_gopher == expected
+        seen_pass |= expected
+        seen_fail |= not expected
+    assert seen_pass and seen_fail, "gate is vacuous on the fixture"
+
+    docs = {
+        d.doc_id: d.text
+        for d in spark.read.parquet(f"{SF_DIR_001}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(25)
+        .collect()
+    }
+    by_id = {r.doc_id: r for r in rows}
+    for doc_id, text in docs.items():
+        toks = [t for t in text.lower().split() if t]
+        if len(toks) < 2:
+            assert doc_id not in by_id
+            continue
+        bigrams = Counter(zip(toks, toks[1:]))
+        want = max(bigrams.values()) / (len(toks) - 1)
+        assert math.isclose(
+            by_id[doc_id].top_bigram_frac, round(want, 6), abs_tol=1e-9
+        )
+
+
+def test_x61_zero_shuffle_plan(spark):
+    from ask_duckdb_spark.plans import checks
+
+    assert (
+        checks.num_shuffles(
+            QUERIES["x61_gopher_quality_rules"](spark, SF_DIR_001)
+        )
+        == 0
+    )

@@ -228,3 +228,45 @@ def test_x53_prefix_index_is_smaller_than_full_index(spark):
     )
     # t=0.5 keeps ~n/2+1 postings per doc
     assert prefix_n < 0.62 * full_n
+
+
+def test_x62_semdedup_matches_bruteforce(spark):
+    """Re-derive the SemDeDup keep set per cell in plain Python from
+    the operator's own cell assignment: dropped <=> some lower-id
+    cellmate has cosine >= NEARDUP_T. Also: representatives (lowest id
+    per cell) are always kept and the gate is non-vacuous."""
+    import math
+
+    from ask_duckdb_spark.operators.similarity import NEARDUP_T
+
+    out = QUERIES["x62_semdedup"](spark, SF_DIR_001).collect()
+    assert len(out) == 500  # one verdict per corpus vector
+    kept = {r.vec_id: r.kept for r in out}
+    cell_of = {r.vec_id: r.cell for r in out}
+    assert any(kept.values()) and not all(kept.values())
+
+    emb = {
+        r.vec_id: r.embedding
+        for r in spark.read.parquet(
+            f"{SF_DIR_001}/embeddings.parquet"
+        ).collect()
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(
+            sum(y * y for y in b)
+        )
+        return num / den
+
+    by_cell: dict[int, list[int]] = {}
+    for vid, c in cell_of.items():
+        by_cell.setdefault(c, []).append(vid)
+    for members in by_cell.values():
+        members.sort()
+        assert kept[members[0]], "lowest id in a cell must survive"
+        for i, b in enumerate(members):
+            want_drop = any(
+                cos(emb[a], emb[b]) >= NEARDUP_T for a in members[:i]
+            )
+            assert kept[b] == (not want_drop), f"vec {b}"
