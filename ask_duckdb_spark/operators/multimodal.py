@@ -28,7 +28,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
@@ -259,15 +259,25 @@ def x28b_user_value_trend_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partition, user) instead of every event. x28 stays registered as
     the deliberate differential test of the grouped-map machinery; this
     entry proves the Pandas path is optional (VERDICT r2 §wrong-2).
+
+    Numerical note (VERDICT r3 §wrong-1): the OLS slope is invariant to
+    shifting x, but the single-pass covariance accumulation is not —
+    raw epoch seconds (x ~ 1.7e9) cancel catastrophically and the 6th
+    rounded digit lands off the oracle's. Centering x per user with a
+    window ``min`` first keeps x small (seconds within the user's own
+    span). The window shuffles by user_id and the following groupBy
+    reuses that hash partitioning, so centering costs no extra exchange.
     """
     e = load_table(spark, sf_dir, "events")
     secs = F.col("ts").cast("timestamp").cast("double")
+    x0 = F.min("x").over(Window.partitionBy("user_id"))
     return (
         e.select("user_id", secs.alias("x"), "value")
+        .withColumn("xc", F.col("x") - x0)
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.regr_slope("value", "x"), 6).alias("slope"),
+            F.round(F.regr_slope("value", "xc"), 6).alias("slope"),
         )
         .orderBy("user_id")
     )
