@@ -22,76 +22,76 @@ from . import nl_queries  # noqa: F401,E402
 # The driver's per-round correctness harness verifies the FIRST 50
 # registry entries in iteration order. Rounds 1-2 officially verified
 # the relational core (q1, P, J1-J7, G1-G10, O, SO1-SO3, W1-W4,
-# F1-F11) — see CORRECTNESS_r02.json. Rotate the window so entries
-# that still lack an official row go first: F5, the NL pipeline, the
-# LLM-data-pipeline operators (dedup / similarity / text / session /
-# multimodal), the TPC-H shapes, and the as-of join. Everything else
-# keeps registration order behind them.
+# F1-F11); round 3 covered the NL pipeline, F5, the X families and
+# seven TPC-H shapes (CORRECTNESS_r02/r03.json). Round 4's window
+# (below) targets the never-checked dialect surface per VERDICT r3
+# item 3: the 14 remaining TPC-H shapes, subqueries sq1-sq7, dates
+# d1-d6, scalar functions f12-f27, grouping g11-g15 and o5 — plus
+# x28b (r3's one red row, fixed this round) and q1 (flagship,
+# regression canary).
 #
-# ROUND-4 ROTATION PLAN: once CORRECTNESS_r03 lands green rows for the
-# list below, rotate in the entries that will then be the only ones
-# without official rows — d1-d6, sq1-sq7, f12-f27, g11-g15, o5,
-# so4-so6, w5-w8, j8, j10, q7/q8/q13/q15/q17/q19/q22, x39/x42/x43,
-# and the remaining rows-only ops (x4/x4b, x24/x27/x29/x37/x38/x44) —
-# keeping q1 in-window as the flagship.
+# ROUND-5 ROTATION PLAN: once CORRECTNESS_r04 lands green rows for
+# the list below, rotate in the final never-checked block —
+# so4-so6, w5-w8, j8/j10/j11, nl6, and the x-family tail
+# (x4/x4b/x24/x27/x29/x37-x62 not yet checked), including the
+# minhash entries that gained portable-arithmetic oracles in r4
+# (x2/x4b/x6/x7b re-checked as full passes, not rows-only).
 _VERIFY_FIRST = [
-    "f5_json_array_membership",
-    "nl1_fence_extraction",
-    "nl2_fuzzy_identifier_repair",
-    "nl3_alias_substitution",
-    "nl4_literal_canonicalization",
-    "nl5_full_ask_lifecycle",
-    # dedup family
-    "x1_dedup_exact",
-    "x1b_dedup_hash_key",
-    "x35_dedup_normalized",
-    "x3_ngram_jaccard_pairs",
-    "x2_minhash_neardup",  # rows-only by design (sketch)
-    # similarity family
-    "x5_cosine_topk",
-    "x25_batch_ann_topk",
-    "x7_embedding_neardup",
-    "x7b_embedding_neardup_lsh",  # rows-only by design (LSH blocking)
-    "x6_ann_lsh_topk",  # rows-only by design (ANN)
-    # text-analysis family
-    "x8_token_stats",
-    "x9_top_terms",
-    "x10_quality_score",
-    "x11_lang_id",
-    "x12_fingerprint",
-    "x21_token_count_bpe",
-    "x22_tfidf_top_term",
-    "x23_hash_sample",
-    "x26_salted_user_totals",
-    # corpus-prep family
-    "x30_pack_shards",
-    "x31_clean_corpus",
-    "x32_rebalance_sample",
-    "x33_decontamination",
-    "x34_train_val_test_split",
-    # sessionization family
-    "x13_sessionize",
-    "x14_session_window",
-    "x15_tumbling_window",
-    "x16_sliding_window",
-    "x17_session_stats",
-    # multimodal family
-    "x18_props_schema_on_read",
-    "x19_binary_metadata",
-    "x20_decode_features",
-    "x28_user_value_trend",
-    "x28b_user_value_trend_sql",
-    "x36_frame_sample",
-    # TPC-H shapes + as-of join
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q18_large_orders",
-    "j9_asof_last_purchase",
-    "q1_pricing_summary",  # keep the flagship inside the window
+    "x28b_user_value_trend_sql",  # r3's one FAIL — fixed, must re-check
+    "q1_pricing_summary",  # flagship, regression canary
+    # TPC-H shapes never driver-checked
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q12_priority_shipping",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q20_excess_shipments",
+    "q21_waiting_suppliers",
+    "q22_dormant_high_balance",
+    # subqueries / CTEs
+    "sq1_scalar_subquery",
+    "sq2_in_subquery",
+    "sq3_correlated_exists",
+    "sq4_cte",
+    "sq5_lateral_join",
+    "sq6_values_inline",
+    "sq7_recursive_cte",
+    # date/time surface
+    "d1_date_trunc",
+    "d2_extract_parts",
+    "d3_date_arith",
+    "d4_format_epoch",
+    "d5_month_arith",
+    "d6_generate_days",
+    # scalar-function surface
+    "f12_regexp",
+    "f13_split_array",
+    "f14_math",
+    "f16_nullsafe_eq",
+    "f17_pivot",
+    "f18_greatest_least",
+    "f19_json_tuple",
+    "f20_array_agg_sorted",
+    "f21_map_functions",
+    "f22_pad_reverse",
+    "f23_bitwise",
+    "f24_cast_matrix",
+    "f25_width_bucket_histogram",
+    "f26_posexplode_ordinality",
+    "f27_unpivot",
+    # grouping extensions + ordering
+    "g11_grouping_sets",
+    "g12_stats_agg",
+    "g13_mode",
+    "g14_string_agg_ordered",
+    "g15_group_percentiles",
+    "o5_nulls_ordering",
 ]
 
 
