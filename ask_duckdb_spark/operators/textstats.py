@@ -302,6 +302,14 @@ def x22_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a partial-aggregable min(struct) — map-side combinable — instead
     of a row_number sort window. ROUND(…, 6) keeps the ln() values
     hash-stable across engines.
+
+    The tf↔df join is deliberately NOT broadcast (VERDICT r3 §wrong-3):
+    on a web-scale corpus the distinct-token frame (typos, URLs, IDs)
+    is billions of rows and would blow any broadcast limit. The
+    tok-keyed sort-merge join costs one tok-exchange of the already-
+    aggregated tf frame, and the df side arrives pre-partitioned by tok
+    from its own groupBy — the shape that survives 100 TB. Only the
+    single-row n_docs scalar is broadcast.
     """
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
@@ -310,7 +318,7 @@ def x22_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df = tf.groupBy("tok").agg(F.count("*").alias("df"))
     n = d.agg(F.count("*").alias("n_docs"))
-    scored = tf.join(F.broadcast(df), "tok").join(F.broadcast(n)).select(
+    scored = tf.join(df, "tok").join(F.broadcast(n)).select(
         "doc_id",
         "tok",
         F.round(

@@ -204,3 +204,26 @@ def test_x55_pipeline_composes_without_extra_shuffles(spark):
     exchanges (dedup group-by, final rollup) plus the orderBy's range
     exchange — composition must add no materialization boundaries."""
     assert checks.num_shuffles(QUERIES["x55_full_prep_pipeline"](spark, SF_DIR)) <= 3
+
+
+def test_x22_vocabulary_join_not_forced_broadcast(spark):
+    """The tf<->df join must not carry a broadcast HINT: the distinct-
+    token frame is billions of rows on a web corpus (VERDICT r3
+    §wrong-3). At sf0.01 Catalyst may still pick broadcast from size
+    STATS — that's fine, stats won't qualify at 100 TB. The pin:
+    disable stats-based broadcast (threshold=-1) and the only broadcast
+    left must be the explicitly-hinted single-row n_docs scalar, with
+    the vocabulary join falling back to a key-shuffled join."""
+    import re
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = checks.formatted_plan(
+            QUERIES["x22_tfidf_top_term"](spark, SF_DIR)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    broadcast_ids = set(re.findall(r"\((\d+)\) BroadcastExchange", plan))
+    assert len(broadcast_ids) <= 1, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
