@@ -5,8 +5,9 @@ LSH re-expressed as pure DataFrame ops so Catalyst/Tungsten keeps the
 whole pipeline JVM-side (no Python in the hot path):
 
 - shingling: `F.sequence` + `F.transform` (no explode until needed)
-- hashing:   `F.xxhash64` with a per-permutation salt column
-- banding:   hash of consecutive signature slices -> bucket join
+- hashing:   engine-portable md5 + mod-p folds (functions/porthash.py),
+             so every sketch carries a real DuckDB oracle
+- banding:   mod-p fold of consecutive signature slices -> bucket join
 
 Scale posture (100 TB): every stage is a narrow map or a single
 keyed shuffle; candidate verification only touches pairs that share an
@@ -21,6 +22,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..functions.porthash import (
+    PH_B,
+    PH_P,
+    perm_constants,
+    token_hash60,
+    token_hash60_sql,
+)
 from ..functions.text import char_ngrams, tokens
 from ..sources.catalog import load_table
 from ._util import widen
@@ -135,6 +143,11 @@ MAX_BUCKET = 50  # skew guard: drop degenerate buckets
 MAX_POSTING = 1000  # x3 absolute df cap: bounds posting lists at scale
 
 
+#: (multiplier, offset) per minhash permutation — shared literals with
+#: the DuckDB oracle (porthash.perm_constants).
+_PERMS = perm_constants(N_HASHES)
+
+
 def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """doc -> array<long> minhash signature of length N_HASHES.
 
@@ -145,6 +158,13 @@ def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     which dominated the bench). At 100 TB this keeps the only shuffle
     in the whole near-dup pipeline at the banding stage, which moves
     (id, band, bucket) triples — bytes per doc, not the corpus.
+
+    Hashing is ENGINE-PORTABLE (functions/porthash.py): md5-derived
+    token hashes + mod-p polynomial folds give every engine the same
+    signatures, so x2 carries a full DuckDB value-hash oracle instead
+    of a rows-only check. (An earlier xxhash64/wraparound formulation
+    was Spark-only; md5 costs ~2x per token, the price of a sketch the
+    oracle can audit bit-for-bit.)
     """
     # The hashing below is CPU-heavy (N_HASHES passes over every
     # shingle). A small input can arrive as 1-2 scan partitions (one
@@ -154,12 +174,11 @@ def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     # Shingle in HASH space: hash each token once, then fold every k
     # consecutive token hashes into a shingle hash (polynomial combine)
     # — no shingle strings are ever built or re-hashed. Permutations
-    # are then cheap integer mixes h*A_i + B_i of that base hash (the
-    # standard "one hash + linear permutations" minhash construction).
-    # Per token this is 1 string hash + O(k + N_HASHES) multiply-adds,
-    # versus building k-word strings and string-hashing them N_HASHES
-    # times.
-    th = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+    # are then cheap integer mixes (h*A_i + B_i) % P of that base hash
+    # (the standard "one hash + linear permutations" construction).
+    th = F.transform(
+        tokens(F.col(text_col)), lambda t: token_hash60(t) % PH_P
+    )
     docs = docs.select(id_col, th.alias("_th"))
     n = F.greatest(F.size(F.col("_th")) - F.lit(SHINGLE_K - 1), F.lit(1))
     shingle_hashes = F.transform(
@@ -167,30 +186,30 @@ def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
         lambda i: F.aggregate(
             F.slice(F.col("_th"), i, SHINGLE_K),
             F.lit(0).cast("long"),
-            lambda acc, x: acc * 1000003 + x,
+            lambda acc, x: (acc * PH_B + x) % PH_P,
         ),
     )
     docs = docs.select(id_col, F.array_distinct(shingle_hashes).alias("_bh"))
+
+    def perm(a: int, b: int):
+        # 1-arg closure: Spark reads the lambda's arity to type the HOF
+        return lambda h: (h * F.lit(a) + F.lit(b)) % PH_P
+
     sig = F.array(
         *[
-            F.array_min(
-                F.transform(
-                    F.col("_bh"),
-                    # odd multiplier + offset per permutation, derived
-                    # from splitmix-style constants; Long overflow wraps
-                    # (mod 2^64), which is exactly what we want
-                    lambda h: h * F.lit(2 * i + 1) * F.lit(-7046029254386353131)
-                    + F.lit(i * 7046029254386353)
-                )
-            )
-            for i in range(N_HASHES)
+            F.array_min(F.transform(F.col("_bh"), perm(a, b)))
+            for a, b in _PERMS
         ]
     )
     return docs.select(id_col, sig.alias("sig"))
 
 
 def _banded(sig: DataFrame, id_col: str) -> DataFrame:
-    """Explode a signature frame to (id, sig, band, bucket) rows."""
+    """Explode a signature frame to (id, sig, band, bucket) rows.
+
+    The bucket key is a band-seeded mod-p fold of the band's signature
+    slice — portable arithmetic, same literals as the oracle SQL.
+    """
     n_bands = N_HASHES // BAND_SIZE
     return sig.select(
         id_col,
@@ -200,15 +219,10 @@ def _banded(sig: DataFrame, id_col: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.lit(b),
-                            F.array_join(
-                                F.transform(
-                                    F.slice("sig", b * BAND_SIZE + 1, BAND_SIZE),
-                                    lambda x: x.cast("string"),
-                                ),
-                                ",",
-                            ),
+                        F.aggregate(
+                            F.slice("sig", b * BAND_SIZE + 1, BAND_SIZE),
+                            F.lit(b + 1).cast("long"),
+                            lambda acc, x: (acc * PH_B + x) % PH_P,
                         ).alias("bucket"),
                     )
                     for b in range(n_bands)
@@ -244,9 +258,82 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-@query("x2_minhash_neardup")  # not SQL-expressible: rows-only check
+#: DuckDB twin of functions/text.tokens() — whitespace tokens of the
+#: lowercased text, empties dropped (same fragment as x22's oracle).
+_TOKENS_SQL = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+
+
+def _minhash_oracle() -> str:
+    """Generate x2's DuckDB oracle from the SAME constants as the Spark
+    side (N_HASHES/BAND_SIZE/SHINGLE_K/MAX_BUCKET/_PERMS/PH_*), stage
+    for stage: token hash -> shingle fold -> permutation minima ->
+    band-seeded bucket fold -> capped bucket join -> signature-overlap
+    estimate. Nothing is hand-copied, so the sides cannot drift."""
+    k1 = SHINGLE_K - 1
+    sig_cols = ",\n             ".join(
+        f"list_min(list_transform(bh, h -> (h * {a} + {b}) % {PH_P}))"
+        for a, b in _PERMS
+    )
+    n_bands = N_HASHES // BAND_SIZE
+    return f"""
+    WITH th AS (
+      SELECT doc_id,
+             list_transform({_TOKENS_SQL},
+                            t -> {token_hash60_sql('t')} % {PH_P}) AS th
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(th) - {k1}, 1) + 1),
+               i -> CASE WHEN len(list_slice(th, i, i + {k1})) = 0
+                         THEN CAST(0 AS BIGINT)
+                         ELSE list_reduce(list_slice(th, i, i + {k1}),
+                                          (a, b) -> (a * {PH_B} + b) % {PH_P})
+                    END)) AS bh
+      FROM th
+    ), sig AS (
+      SELECT doc_id,
+             [{sig_cols}] AS sig
+      FROM sh
+    ), bands AS (
+      SELECT doc_id, sig, band,
+             list_reduce(
+               list_prepend(CAST(band + 1 AS BIGINT),
+                            list_slice(sig, band * {BAND_SIZE} + 1,
+                                       band * {BAND_SIZE} + {BAND_SIZE})),
+               (a, b) -> (a * {PH_B} + b) % {PH_P}) AS bucket
+      FROM sig, range({n_bands}) t(band)
+    ), kept AS (
+      SELECT band, bucket FROM bands
+      GROUP BY band, bucket HAVING count(*) <= {MAX_BUCKET}
+    ), kb AS (
+      SELECT b.doc_id, b.sig, b.band, b.bucket
+      FROM bands b JOIN kept USING (band, bucket)
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM kb a JOIN kb b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(len(list_filter(range(1, {N_HASHES} + 1),
+                                i -> sig_a[i] = sig_b[i])) AS DOUBLE)
+             / {N_HASHES} AS jaccard_est
+    FROM pairs
+    WHERE CAST(len(list_filter(range(1, {N_HASHES} + 1),
+                               i -> sig_a[i] = sig_b[i])) AS DOUBLE)
+             / {N_HASHES} >= 0.5
+    ORDER BY id_a, id_b
+    """
+
+
+@query("x2_minhash_neardup", oracle=_minhash_oracle())
 def x2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-duplicate pairs with exact-Jaccard verification."""
+    """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
+
+    Fully oracle-checked: the signatures are engine-portable (see
+    minhash_signatures), so the DuckDB twin regenerates identical
+    sketches and the driver value-hashes the pair list + estimates."""
     d = load_table(spark, sf_dir, "documents")
     # The signature frame feeds three consumers (both self-join sides +
     # the skew-guard counts); persist it so the CPU-heavy hashing runs
@@ -495,9 +582,35 @@ def x24_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("x4_simhash")
+#: SimHash width: the portable token hash yields 60 uniform bits.
+SIMHASH_BITS = 60
+
+
+def _simhash_oracle() -> str:
+    """x4's DuckDB oracle, generated from the same constants: per bit,
+    majority vote of portable-token-hash bits."""
+    terms = "\n         + ".join(
+        f"CASE WHEN 2 * len(list_filter(h, x -> (x >> {b}) & 1 = 1)) > n"
+        f" THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH th AS (
+      SELECT doc_id,
+             list_transform({_TOKENS_SQL}, t -> {token_hash60_sql('t')}) AS h,
+             len({_TOKENS_SQL}) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           {terms} AS simhash
+    FROM th
+    ORDER BY doc_id
+    """
+
+
+@query("x4_simhash", oracle=_simhash_oracle())
 def x4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document, computed entirely with JVM expressions.
+    """60-bit SimHash per document, computed entirely with JVM expressions.
 
     For each bit position: majority vote of token-hash bits, evaluated
     ARRAY-WISE inside the row (``size(filter(hashes, bit set)) * 2 >
@@ -506,9 +619,13 @@ def x4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one keyed shuffle of every token occurrence); bit-identical
     output, no shuffle, and the hashing parallelizes with the same
     core-count repartition rule as minhash.
+
+    Token hashes are the portable 60-bit md5 prefix (functions/
+    porthash.py), so the signature — and x4b's pairs — are fully
+    DuckDB-oracle-checked instead of rows-only.
     """
     d = widen(load_table(spark, sf_dir, "documents"))
-    hashes = F.transform(tokens(F.col("text")), lambda t: F.xxhash64(t))
+    hashes = F.transform(tokens(F.col("text")), lambda t: token_hash60(t))
     # project _h first so the split+hash runs once; _n derives from it
     d = d.select("doc_id", hashes.alias("_h")).select(
         "doc_id", "_h", F.size("_h").alias("_n")
@@ -526,40 +643,68 @@ def x4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ones * 2 > F.col("_n"), F.shiftleft(F.lit(1).cast("long"), b)
         ).otherwise(F.lit(0).cast("long"))
 
-    simhash = sum([bit(b) for b in range(64)], F.lit(0).cast("long"))
+    simhash = sum([bit(b) for b in range(SIMHASH_BITS)], F.lit(0).cast("long"))
     return d.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
 
 
 #: Max Hamming distance for a SimHash near-dup pair (standard radius).
 SIMHASH_K = 3
-#: 64-bit signature split into 4 x 16-bit tables: any pair within
+#: 60-bit signature split into 4 x 15-bit tables: any pair within
 #: Hamming<=3 differs in at most 3 of the 4 bands, so at least one band
 #: matches EXACTLY (pigeonhole) — candidate recall is 1.0, not
 #: probabilistic like minhash banding.
 SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15
+_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
 
 
-@query("x4b_simhash_neardup_pairs")  # signature pairing: rows-only check
+def _simhash_pairs_oracle() -> str:
+    """x4b's DuckDB oracle: band the portable simhash, equi-join, and
+    verify with exact Hamming distance — same constants as Spark."""
+    return f"""
+    WITH sig AS ({_simhash_oracle().replace("ORDER BY doc_id", "")}),
+    banded AS (
+      SELECT doc_id, simhash, band,
+             (simhash >> ({SIMHASH_BAND_BITS} * band)) & {_BAND_MASK} AS bkey
+      FROM sig, range({SIMHASH_BANDS}) t(band)
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sig_a, b.simhash AS sig_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(sig_a, sig_b)) <= {SIMHASH_K}
+    ORDER BY id_a, id_b
+    """
+
+
+@query("x4b_simhash_neardup_pairs", oracle=_simhash_pairs_oracle())
 def x4b_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs by Hamming radius — x4's pairing half.
 
     The classic table-rotation trick (Manku et al., WWW'07) expressed
-    relationally: each 64-bit signature is cut into 4 x 16-bit band
+    relationally: each 60-bit signature is cut into 4 x 15-bit band
     keys; by pigeonhole any pair with Hamming distance <= 3 collides in
     >=1 band, so the band equi-join enumerates a candidate superset
     with recall 1.0, and ``bit_count(a XOR b) <= 3`` verifies exactly —
     all JVM expressions. The only shuffle moves (band, key, id,
-    signature) tuples; each 16-bit table has 65k buckets, so bucket
-    sizes stay ~n/65k per band at any corpus size (plus a skew cap like
+    signature) tuples; each 15-bit table has 32k buckets, so bucket
+    sizes stay ~n/32k per band at any corpus size (plus a skew cap like
     x2's MAX_BUCKET if one signature dominates, e.g. empty documents).
+    Fully oracle-checked via the portable simhash (see x4).
     """
     sig = x4_simhash(spark, sf_dir)
     keys = F.array(
         *[
             F.struct(
                 F.lit(i).alias("band"),
-                F.shiftrightunsigned(F.col("simhash"), 16 * i)
-                .bitwiseAND(F.lit(0xFFFF))
+                F.shiftrightunsigned(
+                    F.col("simhash"), SIMHASH_BAND_BITS * i
+                )
+                .bitwiseAND(F.lit(_BAND_MASK))
                 .alias("bkey"),
             )
             for i in range(SIMHASH_BANDS)

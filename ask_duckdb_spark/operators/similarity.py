@@ -58,28 +58,58 @@ def x5_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Hyperplane weight-matrix width. The fixtures' embeddings are 64-dim;
+#: vectors shorter than this zip against a sliced prefix, longer ones
+#: would need the constant raised (a compile-time knob, not a runtime
+#: model — the weights are literals in BOTH engines' plans).
+N_DIMS = 64
+
+
+def _plane_weights() -> list[list[float]]:
+    """Literal hyperplane weights in [-1, 1), seeded from md5(plane, dim).
+
+    Computed ONCE in Python and embedded as plan literals on the Spark
+    side and SQL literals on the oracle side — no RNG state, no
+    broadcast model, no runtime hashing (cheaper than the previous
+    per-row xxhash64 derivation), and both engines provably use the
+    same matrix. Same discipline as x58's portable projection signs.
+    """
+    import hashlib
+
+    ws = []
+    for p in range(N_PLANES):
+        row = []
+        for d in range(1, N_DIMS + 1):
+            k = (
+                int(hashlib.md5(f"plane{p}dim{d}".encode()).hexdigest()[:8], 16)
+                % 2000001
+            )
+            row.append((k - 1000000) / 1000000.0)
+        ws.append(row)
+    return ws
+
+
+_WEIGHTS = _plane_weights()
+
+
 def _band_keys(vec_col):
     """Banded sign-random-projection keys: array of N_BANDS structs.
 
-    Hyperplane weights derive deterministically from ``xxhash64(plane,
-    dim)`` (no RNG, resumable, identical on every executor without
-    broadcasting a model). Each band packs BAND_BITS sign bits; two
-    vectors are candidates when ANY band key matches — the OR'd
-    multi-table LSH construction (same shape as x2's minhash bands),
-    which keeps recall high where single-bucket probing collapses.
+    Each band packs BAND_BITS sign bits; two vectors are candidates
+    when ANY band key matches — the OR'd multi-table LSH construction
+    (same shape as x2's minhash bands), which keeps recall high where
+    single-bucket probing collapses. The double left-fold projection is
+    bit-identical to the oracle's list_reduce, so band keys — and thus
+    candidate sets — match exactly across engines.
     """
 
     def sign_bit(p: int):
+        w = F.array(*[F.lit(x) for x in _WEIGHTS[p]])
         proj = F.aggregate(
             F.zip_with(
                 vec_col,
-                F.sequence(F.lit(0), F.size(vec_col) - 1),
-                # pseudo-random weight in [-1, 1) from (plane, dim)
-                lambda v, d: v.cast("double")
-                * (
-                    (F.pmod(F.xxhash64(F.lit(p), d), F.lit(2000001)) - 1000000)
-                    / 1000000.0
-                ),
+                F.slice(w, 1, F.size(vec_col)),
+                lambda v, wt: v.cast("double") * wt,
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
@@ -98,7 +128,70 @@ def _band_keys(vec_col):
     return F.array(*keys)
 
 
-@query("x6_ann_lsh_topk")  # hash-seeded hyperplanes: not oracle-expressible
+def _cos_sql(a: str, b: str) -> str:
+    """Portable cosine fragment over two list exprs (left folds — the
+    bit-identical discipline of _DUCK_COS, parameterized)."""
+    return f"""(
+    list_reduce(list_transform(range(1, len({a}) + 1),
+                i -> ({a})[i]::DOUBLE * ({b})[i]::DOUBLE),
+                (acc, x) -> acc + x)
+    / (sqrt(list_reduce(list_transform({a}, v -> v::DOUBLE * v::DOUBLE),
+            (acc, x) -> acc + x))
+     * sqrt(list_reduce(list_transform({b}, v -> v::DOUBLE * v::DOUBLE),
+            (acc, x) -> acc + x))))"""
+
+
+def _band_keys_sql() -> str:
+    """DuckDB CTE fragment: ``bk(vec_id, embedding, band, bkey)`` —
+    the oracle twin of ``_band_keys``, generated from _WEIGHTS."""
+
+    def proj(p: int) -> str:
+        lits = ", ".join(repr(x) for x in _WEIGHTS[p])
+        return (
+            f"list_reduce(list_transform(embedding, (v, i) -> "
+            f"CAST(v AS DOUBLE) * ([{lits}])[i]), (a, b) -> a + b)"
+        )
+
+    def bit(p: int) -> str:
+        return f"(CASE WHEN {proj(p)} >= 0 THEN 1 ELSE 0 END)"
+
+    keys = []
+    for band in range(N_BANDS):
+        keys.append(
+            " + ".join(
+                f"{2 ** (BAND_BITS - 1 - i)} * {bit(band * BAND_BITS + i)}"
+                for i in range(BAND_BITS)
+            )
+        )
+    key_list = ",\n               ".join(keys)
+    return f"""keys AS (
+      SELECT vec_id, embedding,
+             [{key_list}] AS ks
+      FROM embeddings
+    ), bk AS (
+      SELECT vec_id, embedding, band, ks[band + 1] AS bkey
+      FROM keys, range({N_BANDS}) t(band)
+    )"""
+
+
+def _x6_oracle() -> str:
+    return f"""
+    WITH {_band_keys_sql()},
+    q AS (
+      SELECT band, bkey, embedding AS qv FROM bk WHERE vec_id = 0
+    ), cand AS (
+      SELECT DISTINCT b.vec_id, b.embedding, q.qv
+      FROM bk b JOIN q USING (band, bkey)
+      WHERE b.vec_id <> 0
+    )
+    SELECT vec_id, {_cos_sql("embedding", "qv")} AS sim
+    FROM cand
+    ORDER BY sim DESC, vec_id
+    LIMIT 10
+    """
+
+
+@query("x6_ann_lsh_topk", oracle=_x6_oracle())
 def x6_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN top-10 via banded sign-random-projection LSH.
 
@@ -108,6 +201,8 @@ def x6_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tunable via (N_BANDS, BAND_BITS) exactly like minhash banding.
     tests/test_similarity.py asserts recall >= 0.8 against x5's exact
     top-10 so this operator can never silently return nothing again.
+    Fully oracle-checked: literal hyperplanes + bit-identical folds
+    mean the oracle regenerates the same buckets and scores.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     banded = emb.select(
@@ -389,7 +484,22 @@ def _banded_candidate_pairs(emb: DataFrame, keep_self: bool = False) -> DataFram
     )
 
 
-@query("x7b_embedding_neardup_lsh")  # hash-seeded hyperplanes: no SQL oracle
+def _x7b_oracle() -> str:
+    return f"""
+    WITH {_band_keys_sql()},
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.embedding AS ea, b.embedding AS eb
+      FROM bk a JOIN bk b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b FROM pairs
+    WHERE {_cos_sql("ea", "eb")} > {NEARDUP_T}
+    ORDER BY id_a, id_b
+    """
+
+
+@query("x7b_embedding_neardup_lsh", oracle=_x7b_oracle())
 def x7b_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs over the WHOLE corpus, LSH-blocked.
 
@@ -519,7 +629,28 @@ def x43_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_K = 3  # neighbors per vector in the graph
 
 
-@query("x44_knn_graph")  # LSH-candidate approximation: no SQL oracle
+def _x44_oracle() -> str:
+    return f"""
+    WITH {_band_keys_sql()},
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+             a.embedding AS ea, b.embedding AS eb
+      FROM bk a JOIN bk b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id <> b.vec_id
+    )
+    SELECT src, dst, rnk FROM (
+      SELECT src, dst,
+             row_number() OVER (
+               PARTITION BY src
+               ORDER BY {_cos_sql("ea", "eb")} DESC, dst
+             ) AS rnk
+      FROM pairs
+    ) WHERE rnk <= {KNN_K}
+    ORDER BY src, rnk
+    """
+
+
+@query("x44_knn_graph", oracle=_x44_oracle())
 def x44_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate k-NN graph: top-3 neighbors for EVERY vector.
 
@@ -617,10 +748,13 @@ def x62_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cluster the corpus embeddings with the IVF codebook
     (``_ivf_centroids``: deterministic seeds + one Lloyd step), then
     compare vectors only WITHIN their cell and drop every vector whose
-    cosine to ANY lower-id cellmate reaches ``NEARDUP_T`` — the lowest
-    id of each semantic-duplicate group survives as its representative.
-    Emits (vec_id, cell, kept) for the whole corpus so downstream
-    pipelines filter on ``kept``.
+    cosine to ANY lower-id cellmate reaches ``NEARDUP_T`` — dropped or
+    not (the paper's one-pass rule): on a similarity chain a~b~c with
+    a!~c, both b and c are dropped even though c's only near-duplicate
+    b was itself removed. The lowest id of each cell-local similarity
+    chain survives; a true one-representative-per-group semantics
+    would need x29's connected components. Emits (vec_id, cell, kept)
+    for the whole corpus so downstream pipelines filter on ``kept``.
 
     Scale (100 TB): the SemDeDup design point is that N_CELLS grows
     with the corpus (n / target_cell_size), so cells stay
@@ -634,7 +768,12 @@ def x62_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the keep set brute-force per cell and gates equality.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = _ivf_centroids(emb)
+    # Persist the codebook (as x27 does): its lineage is a multi-shuffle
+    # k-means step with float avgs, and `assigned` feeds three plan
+    # branches — without the pin, a recomputation with different
+    # aggregation order could assign a vector to different cells on
+    # different branches (and would rebuild the codebook up to 3x).
+    cents = _ivf_centroids(emb).persist()
     assigned = _assign_cells(emb, cents)
     a = assigned.select(
         "cell", F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")

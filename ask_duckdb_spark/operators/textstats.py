@@ -1192,10 +1192,15 @@ def x61_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style document quality rules (Rae et al. 2021, table A1).
 
     Per document: word count, mean word length, alphabetic-word
-    fraction, and the character share of the single most common bigram
-    (the boilerplate detector), combined into one ``passes_gopher``
-    gate with the published thresholds (50-100k words, mean word length
-    3-10, >80% alphabetic words, <20% top-bigram share).
+    fraction, and the OCCURRENCE fraction of the single most common
+    bigram — top_bigram_n / (n_words - 1), the boilerplate detector —
+    combined into one ``passes_gopher`` gate (50-100k words, mean word
+    length 3-10, >80% alphabetic words, top-bigram occurrence fraction
+    < 0.2). Note: Gopher's published 2-gram rule measures the fraction
+    of CHARACTERS contained in the top bigram's occurrences; the
+    occurrence-count fraction here is a deliberate simplification (same
+    boilerplate signal, no second pass over characters) and both the
+    Spark op and the oracle implement it identically.
 
     Scale (100 TB): ZERO shuffles — unlike the obvious
     explode-bigrams + groupBy formulation (one O(corpus-tokens)
