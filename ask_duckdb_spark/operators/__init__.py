@@ -33,9 +33,10 @@ from . import nl_queries  # noqa: F401,E402
 # ROUND-5 ROTATION PLAN: once CORRECTNESS_r04 lands green rows for
 # the list below, rotate in the final never-checked block —
 # so4-so6, w5-w8, j8/j10/j11, nl6, and the x-family tail
-# (x4/x4b/x24/x27/x29/x37-x62 not yet checked), including the
-# minhash entries that gained portable-arithmetic oracles in r4
-# (x2/x4b/x6/x7b re-checked as full passes, not rows-only).
+# (x4/x4b/x24/x27/x29/x37-x62 not yet checked) — plus re-checks of
+# the entries whose checks were rows-only before the r4 portable-hash
+# layer landed full oracles on them: x2, x4, x4b, x6, x7b, x44, x24,
+# x29 should all come back as full value-hash passes.
 _VERIFY_FIRST = [
     "x28b_user_value_trend_sql",  # r3's one FAIL — fixed, must re-check
     "q1_pricing_summary",  # flagship, regression canary

@@ -802,6 +802,12 @@ def x53_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified EXACTLY with a sort-merge of the full gram sets
     (array_intersect over collected arrays; candidate pairs are few).
     Shuffles: gram df count, prefix-posting self-join, one verify join.
+
+    Measured trade (SCALE.md 10× trial, r4): the prefix filter keeps
+    every RARE gram — exactly the postings a growing corpus adds — so
+    its wall grew 7.5× for 10× data where x3's lossy stop-gram cap
+    grew 3.4×. Use this operator when recall is contractual; use x3's
+    cap when a tuned bound is acceptable.
     """
     d = load_table(spark, sf_dir, "documents")
     grams = distinct_grams(d)
