@@ -784,7 +784,12 @@ def x62_semdedup(
     never corpus-quadratic; cell is the shuffle (and at rest the
     partition) key, and the codebook rides in as a broadcast. The
     within-cell pair scan reuses the one cell-keyed exchange on both
-    join sides.
+    join sides. MEASURED limit (SCALE.md 100× trial): with k ∝ n the
+    flat nearest-centroid ASSIGNMENT is n × k cosines = O(n²/cell) —
+    76× wall at 100× data. The 100 TB version needs a hierarchical
+    codebook (√k coarse → √k fine, turning assignment into
+    n × 2√k) or ANN-routed assignment via x6's band keys; the
+    within-cell scan itself scaled as designed in the 10× trial.
 
     Verification: rows-only here; tests/test_similarity.py re-derives
     the keep set brute-force per cell and gates equality.
