@@ -231,6 +231,14 @@ def x6_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_CELLS = 8  # IVF coarse-quantizer codebook size
 N_PROBE = 3  # cells searched per query
+#: Centroid accumulation quantum (2^20). Summing floor(v * 2^20) as
+#: LONGS makes the centroid mean order-INDEPENDENT (integer addition
+#: commutes) while staying map-side combinable — the property float
+#: avg can't give — and therefore engine-portable: DuckDB regenerates
+#: bit-identical centroids, so the whole IVF family is oracle-checked.
+#: v is float32, so v * 2^20 is EXACT in double (no rounding before
+#: the floor); the 1e-6 quantization is noise for a coarse quantizer.
+QSCALE = 1 << 20
 
 
 def _ivf_centroids(emb: DataFrame, n_cells: int = None) -> DataFrame:
@@ -271,7 +279,22 @@ def _ivf_centroids(emb: DataFrame, n_cells: int = None) -> DataFrame:
             "cell", F.posexplode("embedding").alias("pos", "v")
         )
         .groupBy("cell", "pos")
-        .agg(F.avg("v").alias("m"))
+        .agg(
+            # quantized mean (see QSCALE): order-independent AND
+            # map-side combinable — the shuffle still moves one
+            # (cell, pos, partial-sum) tuple per map task
+            (
+                (
+                    F.sum(
+                        F.floor(F.col("v").cast("double") * QSCALE).cast(
+                            "long"
+                        )
+                    ).cast("double")
+                    / F.count("*").cast("double")
+                )
+                / QSCALE
+            ).alias("m")
+        )
     )
     return per_dim.groupBy("cell").agg(
         F.transform(
@@ -299,7 +322,67 @@ def _assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-@query("x27_ivf_topk")  # iterative codebook: not oracle-expressible
+def _ivf_sql() -> str:
+    """CTE fragment ``seeds → a1 → pd → m → cents → asg``: the DuckDB
+    twin of ``_ivf_centroids`` + ``_assign_cells``, generated from the
+    same constants. Bit-identical centroids via the QSCALE quantized
+    mean; assignment ties break on the lowest cell, as in Spark."""
+    cos_seed = _cos_sql("e.embedding", "s.cv")
+    cos_cent = _cos_sql("e.embedding", "c.cv")
+    return f"""seeds AS (
+      SELECT vec_id AS cell, embedding AS cv
+      FROM embeddings WHERE vec_id < {N_CELLS}
+    ), a1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, s.cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {cos_seed} DESC, s.cell) AS rn
+        FROM embeddings e CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ), pd AS (
+      SELECT a1.cell,
+             unnest(range(0, len(e.embedding))) AS pos,
+             unnest(list_transform(e.embedding,
+                    v -> CAST(floor(CAST(v AS DOUBLE) * {QSCALE}) AS BIGINT)))
+               AS q
+      FROM embeddings e JOIN a1 USING (vec_id)
+    ), m AS (
+      SELECT cell, pos,
+             (CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / {QSCALE}
+               AS c
+      FROM pd GROUP BY cell, pos
+    ), cents AS (
+      SELECT cell, list(c ORDER BY pos) AS cv FROM m GROUP BY cell
+    ), asg AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {cos_cent} DESC, c.cell) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    )"""
+
+
+def _x27_oracle() -> str:
+    return f"""
+    WITH {_ivf_sql()},
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    probes AS (
+      SELECT c.cell, q.qv FROM cents c CROSS JOIN q
+      ORDER BY {_cos_sql("q.qv", "c.cv")} DESC, c.cell
+      LIMIT {N_PROBE}
+    )
+    SELECT e.vec_id, {_cos_sql("e.embedding", "p.qv")} AS sim
+    FROM asg e JOIN probes p ON e.cell = p.cell
+    WHERE e.vec_id <> 0
+    ORDER BY sim DESC, e.vec_id
+    LIMIT 10
+    """
+
+
+@query("x27_ivf_topk", oracle=_x27_oracle())
 def x27_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10: coarse quantize, probe N_PROBE cells.
 
@@ -761,7 +844,21 @@ def x58_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x62_semdedup")  # iterative codebook upstream: rows-only check
+def _x62_oracle() -> str:
+    return f"""
+    WITH {_ivf_sql()},
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM asg a JOIN asg b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {_cos_sql("a.embedding", "b.embedding")} >= {NEARDUP_T}
+    )
+    SELECT g.vec_id, g.cell, (d.vec_id IS NULL) AS kept
+    FROM asg g LEFT JOIN dropped d ON g.vec_id = d.vec_id
+    """
+
+
+@query("x62_semdedup", oracle=_x62_oracle())
 def x62_semdedup(
     spark: SparkSession, sf_dir: str, n_cells: int = None
 ) -> DataFrame:
@@ -791,8 +888,10 @@ def x62_semdedup(
     n × 2√k) or ANN-routed assignment via x6's band keys; the
     within-cell scan itself scaled as designed in the 10× trial.
 
-    Verification: rows-only here; tests/test_similarity.py re-derives
-    the keep set brute-force per cell and gates equality.
+    Verification: full DuckDB oracle (the QSCALE quantized-mean
+    codebook is engine-portable, so the oracle regenerates identical
+    cells); tests/test_similarity.py additionally re-derives the keep
+    set brute-force per cell and gates equality.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     # Persist the codebook (as x27 does): its lineage is a multi-shuffle
