@@ -38,6 +38,12 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 FP_MOD = 1_000_000_007  # rolling-hash modulus (fits BIGINT at 31x steps)
 
 
+from ..functions.porthash import (  # noqa: E402
+    PH_P,
+    perm_constants,
+    token_hash60,
+    token_hash60_sql,
+)
 from ..functions.text import char_ngrams, tokens  # noqa: E402
 
 
@@ -676,6 +682,25 @@ def x37_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CMS_DEPTH = 4  # independent hash rows
 CMS_WIDTH = 1024  # counters per row
+#: Per-depth (multiplier, offset) pairs — engine-portable bucket hash
+#: shared with the x38 oracle SQL.
+_CMS_PERMS = perm_constants(CMS_DEPTH)
+
+
+def _cms_bucket(token_col, d: int):
+    """Portable CMS bucket for hash row ``d``: the porthash permutation
+    of the md5-derived token hash, folded into [0, CMS_WIDTH)."""
+    a, b = _CMS_PERMS[d]
+    h = token_hash60(F.col(token_col)) % PH_P
+    return ((h * F.lit(a) + F.lit(b)) % PH_P) % CMS_WIDTH
+
+
+def _cms_bucket_sql(expr: str, d: int) -> str:
+    a, b = _CMS_PERMS[d]
+    return (
+        f"((({token_hash60_sql(expr)} % {PH_P}) * {a} + {b})"
+        f" % {PH_P}) % {CMS_WIDTH}"
+    )
 
 
 def cms_sketch(tokens_df: DataFrame, token_col: str = "tok") -> DataFrame:
@@ -684,14 +709,14 @@ def cms_sketch(tokens_df: DataFrame, token_col: str = "tok") -> DataFrame:
     The classic streaming frequency sketch composed from DataFrame ops:
     each token increments one counter per hash row; the sketch is
     DEPTH×WIDTH counters regardless of stream size, and the groupBy is
-    map-side combinable — O(sketch) shuffle for any corpus.
+    map-side combinable — O(sketch) shuffle for any corpus. Buckets
+    are engine-portable (functions/porthash.py), so the sketch — and
+    every estimate read from it — is DuckDB-oracle-checkable.
     """
     rows = [
         tokens_df.select(
             F.lit(d).alias("depth"),
-            F.pmod(F.xxhash64(F.lit(d), F.col(token_col)), F.lit(CMS_WIDTH)).alias(
-                "bucket"
-            ),
+            _cms_bucket(token_col, d).alias("bucket"),
         )
         for d in range(CMS_DEPTH)
     ]
@@ -703,7 +728,45 @@ def cms_sketch(tokens_df: DataFrame, token_col: str = "tok") -> DataFrame:
     )
 
 
-@query("x38_cms_heavy_hitters")  # hash-seeded sketch: rows-only check
+def _x38_oracle() -> str:
+    """x38's DuckDB oracle: rebuild the CMS from the same portable
+    bucket hashes (exact integer counts), read the same top-20 probes
+    back through it."""
+    streams = "\n      UNION ALL\n      ".join(
+        f"SELECT {d} AS depth, {_cms_bucket_sql('tok', d)} AS bucket,"
+        f" c FROM tf"
+        for d in range(CMS_DEPTH)
+    )
+    probe_rows = ", ".join(
+        f"({d}, {_cms_bucket_sql('tok', d)})" for d in range(CMS_DEPTH)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                t -> t <> '')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok
+    ), stream AS (
+      {streams}
+    ), sketch AS (
+      SELECT depth, bucket, CAST(sum(c) AS BIGINT) AS cnt
+      FROM stream GROUP BY depth, bucket
+    ), top AS (
+      SELECT tok, c AS true_freq FROM tf
+      ORDER BY c DESC, tok LIMIT 20
+    ), probes AS (
+      SELECT tok, true_freq, p.depth, p.bucket
+      FROM top, LATERAL (VALUES {probe_rows}) p(depth, bucket)
+    )
+    SELECT tok, true_freq, min(cnt) AS est_freq
+    FROM probes JOIN sketch USING (depth, bucket)
+    GROUP BY tok, true_freq
+    ORDER BY true_freq DESC, tok
+    """
+
+
+@query("x38_cms_heavy_hitters", oracle=_x38_oracle())
 def x38_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter frequencies estimated from a count-min sketch.
 
@@ -711,6 +774,8 @@ def x38_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     true terms back through it: estimate = min over hash rows of the
     addressed counters. CMS guarantees est >= true (one-sided error);
     tests/test_sketches.py asserts that bound and the error ceiling.
+    Portable buckets make the sketch itself oracle-checked — the
+    estimates are exact integer sums, so the value hash pins them.
     """
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
@@ -729,9 +794,7 @@ def x38_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(dd).alias("depth"),
-                        F.pmod(
-                            F.xxhash64(F.lit(dd), F.col("tok")), F.lit(CMS_WIDTH)
-                        ).alias("bucket"),
+                        _cms_bucket("tok", dd).alias("bucket"),
                     )
                     for dd in range(CMS_DEPTH)
                 ]
