@@ -1222,7 +1222,7 @@ def q14_promo_effect(spark, sf_dir):
             (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp_ntz"))
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
         )
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias("promo_pct"))
     )
 
@@ -1463,7 +1463,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
         .agg((F.avg("l_quantity") * 0.5).alias("half_avg"))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(avg_q, li.l_partkey == F.col("ak"))
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
@@ -1494,7 +1494,7 @@ def q19_disjunctive_predicates(spark, sf_dir):
     """
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     branch = lambda brand, smax, qlo, qhi: (  # noqa: E731
         (F.col("p_brand") == brand)
         & F.col("p_size").between(1, smax)
@@ -1582,9 +1582,11 @@ def q22_dormant_high_balance(spark, sf_dir):
 def q8_market_share(spark, sf_dir):
     """TPC-H Q8 shape: one nation's supplier market share in a region.
 
-    Six-table star: every dimension path (orders->customer->nation->
-    region, supplier->nation) broadcasts; the conditional-sum ratio is
-    a single grouped aggregation over the surviving fact rows.
+    Six-table star: the bounded dims (nation, region) carry broadcast
+    hints; customer and supplier scale with SF, so their joins are
+    stats-planned (broadcast at test SF, shuffle at 100 TB). The
+    conditional-sum ratio is a single grouped aggregation over the
+    surviving fact rows.
     """
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
@@ -1603,7 +1605,7 @@ def q8_market_share(spark, sf_dir):
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(cust_in_region, o.o_custkey == F.col("c_custkey"))
-        .join(F.broadcast(s.join(F.broadcast(n2), s.s_nationkey == n2.sn_key)),
+        .join(s.join(F.broadcast(n2), s.s_nationkey == n2.sn_key),
               li.l_suppkey == F.col("s_suppkey"))
         .select(
             F.year("o_orderdate").cast("int").alias("yr"),
@@ -1724,8 +1726,11 @@ def q2_min_cost_supplier(spark, sf_dir):
     price — rounded to 4dp so the float min is bit-identical across
     engines), and the correlated min-per-part subquery decorrelates into
     a partition window over the already-joined rows: one extra exchange
-    on p_partkey instead of a second scan+join chain. Dimensions
-    (supplier x nation x region) broadcast at any SF.
+    on p_partkey instead of a second scan+join chain. nation x region
+    broadcast at any SF (bounded tables); supplier and part carry NO
+    hint — they scale with SF, so the planner picks broadcast from
+    stats at test SF and falls back to shuffle joins at 100 TB (the
+    q5/x22 discipline).
     """
     li = t(spark, sf_dir, "lineitem")
     catalog = (
@@ -1746,14 +1751,12 @@ def q2_min_cost_supplier(spark, sf_dir):
         F.broadcast(n.join(r, n.n_regionkey == r.r_regionkey)),
         s.s_nationkey == n.n_nationkey,
     )
-    joined = catalog.join(
-        F.broadcast(dims), catalog.l_suppkey == dims.s_suppkey
-    )
+    joined = catalog.join(dims, catalog.l_suppkey == dims.s_suppkey)
     best = W.partitionBy("l_partkey")
     return (
         joined.withColumn("min_cost", F.min("unit_cost").over(best))
         .filter(F.col("unit_cost") == F.col("min_cost"))
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(p, F.col("l_partkey") == p.p_partkey)
         .select(
             F.round("s_acctbal", 2).alias("s_acctbal"),
             "s_name",
@@ -1788,10 +1791,11 @@ def q9_product_type_profit(spark, sf_dir):
     """TPC-H Q9 shape: profit by supplier nation and year for a part family.
 
     Cost side adapted to the testdata (0.1 x p_retailprice x quantity in
-    place of ps_supplycost). The name LIKE filter prunes part BEFORE the
-    broadcast, so the fact scan joins against a pre-filtered dim — the
-    Q9 plan Catalyst should pick at 100 TB: two broadcast joins, one
-    partial agg, no fact-side shuffle until the final group-by.
+    place of ps_supplycost). The name LIKE filter prunes part BEFORE
+    any join, and only the bounded nation table carries a broadcast
+    hint: part and supplier scale with SF, so the planner broadcasts
+    them from stats at test SF and shuffle-joins at 100 TB — forcing
+    the hint would cap the query at broadcastable-part sizes.
     """
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
@@ -1802,9 +1806,9 @@ def q9_product_type_profit(spark, sf_dir):
         - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(
-            F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+            s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey),
             li.l_suppkey == F.col("s_suppkey"),
         )
         .groupBy(
@@ -1850,7 +1854,7 @@ def q11_important_stock(spark, sf_dir):
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
     national = li.join(
-        F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey),
         li.l_suppkey == F.col("s_suppkey"),
     )
     per_part = national.groupBy("l_partkey").agg(
@@ -1937,11 +1941,12 @@ def q12_priority_shipping(spark, sf_dir):
 def q16_supplier_count(spark, sf_dir):
     """TPC-H Q16 shape: distinct suppliers per part class, minus a blocklist.
 
-    NOT IN over a non-nullable key is a broadcast anti join (negative-
-    acctbal suppliers replace the comment-pattern blocklist). The
-    count(DISTINCT) shuffles (brand, type, size, suppkey) once —
-    Spark's two-phase distinct-agg — with part pre-filtered before the
-    broadcast so the fact side prunes first.
+    NOT IN over a non-nullable key is an anti join (negative-acctbal
+    suppliers replace the comment-pattern blocklist) — unhinted, since
+    the blocklist scales with |suppliers|. The count(DISTINCT)
+    shuffles (brand, type, size, suppkey) once — Spark's two-phase
+    distinct-agg — with part pre-filtered before its join so the fact
+    side prunes first.
     """
     p = t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#45")
@@ -1955,8 +1960,8 @@ def q16_supplier_count(spark, sf_dir):
         .select("s_suppkey")
     )
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, F.col("l_partkey") == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(
             F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt")
@@ -1994,8 +1999,9 @@ def q20_excess_shipments(spark, sf_dir):
     part-name filter -> semi-join into lineitem -> grouped integer
     HAVING (> 30 units of one red part in 1997, the availqty analogue)
     -> distinct suppkeys -> semi-join into supplier. Every step shrinks
-    the key set before the next join; the supplier probe is a broadcast
-    semi join on a key set that is at most |suppliers|.
+    the key set before the next join; the qualifying-supplier probe is
+    an unhinted semi join (the key set is at most |suppliers|, which
+    scales with SF — AQE broadcasts it when it measures small).
     """
     red = (
         t(spark, sf_dir, "part")
@@ -2007,7 +2013,7 @@ def q20_excess_shipments(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
     )
     qualifying = (
-        li.join(F.broadcast(red), li.l_partkey == red.p_partkey, "left_semi")
+        li.join(red, li.l_partkey == red.p_partkey, "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
         .filter(F.col("qty") > 30)
@@ -2019,7 +2025,7 @@ def q20_excess_shipments(spark, sf_dir):
     return (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
         .join(
-            F.broadcast(qualifying),
+            qualifying,
             s.s_suppkey == F.col("l_suppkey"),
             "left_semi",
         )
@@ -2092,9 +2098,7 @@ def q21_waiting_suppliers(spark, sf_dir):
     return (
         blamed.join(o, F.col("l1.l_orderkey") == o.o_orderkey, "left_semi")
         .join(
-            F.broadcast(
-                s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
-            ),
+            s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi"),
             F.col("l1.l_suppkey") == F.col("s_suppkey"),
         )
         .groupBy("s_name")

@@ -227,3 +227,29 @@ def test_x22_vocabulary_join_not_forced_broadcast(spark):
     broadcast_ids = set(re.findall(r"\((\d+)\) BroadcastExchange", plan))
     assert len(broadcast_ids) <= 1, plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_tpch_no_forced_broadcast_of_scaling_tables(spark):
+    """part/supplier/partsupp-derived frames scale with SF and must not
+    carry broadcast HINTS (q5/x22 discipline): with stats-broadcast
+    disabled, the only BroadcastExchanges left in the heavy TPC-H
+    shapes are the hinted bounded dims (nation/region/scalar aggs),
+    and the fact joins fall back to key-shuffled joins."""
+    import re
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, max_bcast in [
+            ("q2_min_cost_supplier", 1),   # nation x region
+            ("q9_product_type_profit", 1),  # nation
+            ("q16_supplier_count", 0),
+            ("q20_excess_shipments", 1),    # nation
+            ("q21_waiting_suppliers", 1),   # nation
+        ]:
+            plan = checks.formatted_plan(QUERIES[name](spark, SF_DIR))
+            bcasts = set(re.findall(r"\((\d+)\) BroadcastExchange", plan))
+            assert len(bcasts) <= max_bcast, f"{name}: {len(bcasts)} broadcasts"
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, name
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
