@@ -146,11 +146,11 @@ def _band_keys_sql() -> str:
     the oracle twin of ``_band_keys``, generated from _WEIGHTS."""
 
     def proj(p: int) -> str:
+        # list_inner_product is a sequential C++ loop — bit-identical
+        # to the Spark-side left fold (verified elementwise over the
+        # fixtures) and ~90x faster than a per-element lambda fold
         lits = ", ".join(repr(x) for x in _WEIGHTS[p])
-        return (
-            f"list_reduce(list_transform(embedding, (v, i) -> "
-            f"CAST(v AS DOUBLE) * ([{lits}])[i]), (a, b) -> a + b)"
-        )
+        return f"list_inner_product(ed, [{lits}])"
 
     def bit(p: int) -> str:
         return f"(CASE WHEN {proj(p)} >= 0 THEN 1 ELSE 0 END)"
@@ -164,8 +164,12 @@ def _band_keys_sql() -> str:
             )
         )
     key_list = ",\n               ".join(keys)
-    return f"""keys AS (
+    # MATERIALIZED: without it DuckDB inlines `keys` into the 16-way
+    # band cross join and recomputes all 48 projection folds per band
+    # row — 16x the work (measured 18-38 s vs ~1-2 s at sf0.01).
+    return f"""keys AS MATERIALIZED (
       SELECT vec_id, embedding,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS ed,
              [{key_list}] AS ks
       FROM embeddings
     ), bk AS (
