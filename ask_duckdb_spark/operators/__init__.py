@@ -33,7 +33,7 @@ from . import nl_queries  # noqa: F401,E402
 # ROUND-5 ROTATION PLAN: once CORRECTNESS_r04 lands green rows for
 # the list below, rotate in the final never-checked block —
 # so4-so6, w5-w8, j8/j10/j11, nl6, and the x-family tail
-# (x4/x4b/x24/x27/x29/x37-x62 not yet checked) — plus re-checks of
+# (x4/x4b/x24/x27/x29/x37-x63 not yet checked) — plus re-checks of
 # the entries whose checks were rows-only before the r4 portable-hash
 # layer landed full oracles on them: x2, x4, x4b, x6, x7b, x44, x24,
 # x29 should all come back as full value-hash passes.

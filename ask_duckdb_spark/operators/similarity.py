@@ -929,3 +929,164 @@ def x62_semdedup(
             F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
         )
     )
+
+
+# --- x63: hierarchical semantic dedup (the x62 100x-finding fix) -----
+
+#: Two-level codebook geometry: N_COARSE x N_FINE effective cells with
+#: assignment cost n x (N_COARSE + N_FINE) instead of flat-IVF's
+#: n x (N_COARSE * N_FINE). Both knobs scale as sqrt(k) with the
+#: corpus: at the 100x trial's 800-cell point that is n x 57 cosines
+#: instead of n x 800 — the fix for the measured O(n^2/cell_target)
+#: assignment wall (SCALE.md, x62 100x row).
+N_COARSE = 4
+N_FINE = 4
+
+
+def _hier_assign(
+    emb: DataFrame, n_coarse: int = None, n_fine: int = None
+) -> DataFrame:
+    """(vec_id, embedding, ccell, fcell): two-level seed assignment.
+
+    Level 1: nearest of N_COARSE deterministic seed vectors. Level 2:
+    nearest of the N_FINE lowest-id members WITHIN the coarse cell
+    (the fine seeds; fcell = that seed's vec_id). Both levels are
+    broadcast joins against seed frames bounded by the knobs — no
+    iterative state, no RNG, cosines are bit-identical left folds, so
+    the whole assignment is engine-portable.
+    """
+    if n_coarse is None:
+        n_coarse = N_COARSE
+    if n_fine is None:
+        n_fine = N_FINE
+    seeds_c = emb.filter(F.col("vec_id") < n_coarse).select(
+        F.col("vec_id").alias("ccell"), F.col("embedding").alias("cv")
+    )
+    rank1 = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), "ccell")
+    a1 = (
+        emb.crossJoin(F.broadcast(seeds_c))
+        .withColumn("csim", cosine_similarity(F.col("embedding"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(rank1))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "ccell")
+    )
+    fine_rank = W.partitionBy("ccell").orderBy("vec_id")
+    seeds_f = (
+        a1.withColumn("rk", F.row_number().over(fine_rank))
+        .filter(F.col("rk") <= n_fine)
+        .select(
+            "ccell",
+            F.col("vec_id").alias("fcell"),
+            F.col("embedding").alias("fv"),
+        )
+    )
+    rank2 = W.partitionBy("vec_id").orderBy(F.col("fsim").desc(), "fcell")
+    return (
+        a1.join(F.broadcast(seeds_f), "ccell")
+        .withColumn("fsim", cosine_similarity(F.col("embedding"), F.col("fv")))
+        .withColumn("rn", F.row_number().over(rank2))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "ccell", "fcell")
+    )
+
+
+def _hier_sql() -> str:
+    """DuckDB twin of ``_hier_assign``: CTEs ``hasg(vec_id, embedding,
+    ccell, fcell)`` — same seeds, same tie-breaks, bit-identical
+    cosines."""
+    return f"""seeds_c AS (
+      SELECT vec_id AS ccell, embedding AS cv
+      FROM embeddings WHERE vec_id < {N_COARSE}
+    ), a1 AS (
+      SELECT vec_id, embedding, ccell FROM (
+        SELECT e.vec_id, e.embedding, s.ccell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cos_sql("e.embedding", "s.cv")} DESC, s.ccell
+               ) AS rn
+        FROM embeddings e CROSS JOIN seeds_c s
+      ) WHERE rn = 1
+    ), seeds_f AS (
+      SELECT ccell, vec_id AS fcell, embedding AS fv FROM (
+        SELECT ccell, vec_id, embedding,
+               row_number() OVER (PARTITION BY ccell ORDER BY vec_id) AS rk
+        FROM a1
+      ) WHERE rk <= {N_FINE}
+    ), hasg AS (
+      SELECT vec_id, embedding, ccell, fcell FROM (
+        SELECT a.vec_id, a.embedding, a.ccell, f.fcell,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_cos_sql("a.embedding", "f.fv")} DESC, f.fcell
+               ) AS rn
+        FROM a1 a JOIN seeds_f f ON a.ccell = f.ccell
+      ) WHERE rn = 1
+    )"""
+
+
+def _x63_oracle() -> str:
+    return f"""
+    WITH {_hier_sql()},
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM hasg a JOIN hasg b
+        ON a.ccell = b.ccell AND a.fcell = b.fcell AND a.vec_id < b.vec_id
+      WHERE {_cos_sql("a.embedding", "b.embedding")} >= {NEARDUP_T}
+    )
+    SELECT g.vec_id, g.ccell, g.fcell, (d.vec_id IS NULL) AS kept
+    FROM hasg g LEFT JOIN dropped d ON g.vec_id = d.vec_id
+    """
+
+
+@query("x63_semdedup_hier", oracle=_x63_oracle())
+def x63_semdedup_hier(
+    spark: SparkSession,
+    sf_dir: str,
+    n_coarse: int = None,
+    n_fine: int = None,
+) -> DataFrame:
+    """Hierarchical SemDeDup: the fix for x62's measured assignment wall.
+
+    Same drop rule as x62 (cosine >= NEARDUP_T to any lower-id
+    cellmate, kept or not), but cells come from a TWO-LEVEL quantizer:
+    nearest of N_COARSE coarse seeds, then nearest of N_FINE fine
+    seeds within that coarse cell. Assignment cost is
+    n x (N_COARSE + N_FINE) cosines versus flat IVF's n x k — at the
+    SCALE.md 100x point (k=800) that is 57 vs 800 per vector, turning
+    the measured O(n^2/cell_target) wall back into O(n sqrt(k)).
+
+    Scale (100 TB): both seed frames are broadcast (bounded by the
+    knobs, which grow as sqrt(k)); the dedup scan shuffles once on the
+    (ccell, fcell) pair key and reuses that exchange on both join
+    sides, exactly like x62's single-key variant. Fully oracle-checked
+    end to end — seeds, tie-breaks and cosines are engine-portable.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = _hier_assign(emb, n_coarse, n_fine)
+    a = assigned.select(
+        "ccell", "fcell", F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+    )
+    b = assigned.select(
+        "ccell", "fcell", F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+    )
+    dropped = (
+        a.join(b, ["ccell", "fcell"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            cosine_similarity(F.col("ea"), F.col("eb")) >= F.lit(NEARDUP_T)
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "ccell",
+            "fcell",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -119,10 +119,24 @@ def build_corpus(spark, factor: int, workdir: str) -> None:
 def time_stage(spark, name: str, sf_dir: str, factor: int = 1) -> tuple[float, int]:
     spark.catalog.clearCache()
     t0 = time.time()
-    if name in ADAPTIVE_CELLS and factor > 1:
+    if name == "x62_semdedup" and factor > 1:
         from ask_duckdb_spark.operators.similarity import N_CELLS, x62_semdedup
 
         n = x62_semdedup(spark, sf_dir, n_cells=N_CELLS * factor).count()
+    elif name == "x63_semdedup_hier" and factor > 1:
+        # scale each level as sqrt(k): k_eff = N_CELLS * factor cells
+        # from n_coarse x n_fine ~= sqrt(k) x sqrt(k)
+        import math
+
+        from ask_duckdb_spark.operators.similarity import (
+            N_CELLS,
+            x63_semdedup_hier,
+        )
+
+        side = max(2, math.isqrt(N_CELLS * factor))
+        n = x63_semdedup_hier(
+            spark, sf_dir, n_coarse=side, n_fine=side
+        ).count()
     else:
         n = QUERIES[name](spark, sf_dir).count()
     return time.time() - t0, n
