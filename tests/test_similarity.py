@@ -270,3 +270,31 @@ def test_x62_semdedup_matches_bruteforce(spark):
                 cos(emb[a], emb[b]) >= NEARDUP_T for a in members[:i]
             )
             assert kept[b] == (not want_drop), f"vec {b}"
+
+
+def test_x63_hier_recall_comparable_to_flat_at_equal_granularity(spark):
+    """The hierarchical quantizer buys its 42x assignment speedup
+    (SCALE.md 100x trial) with DIFFERENT cell boundaries, not with
+    materially fewer cells searched: at equal effective granularity
+    (flat n_cells=16 vs hier 4x4), the hierarchical drop set must stay
+    within 30% of the flat one. Guards against a regression where the
+    two-level assignment degenerates (e.g. every vector landing in one
+    fine cell's seed)."""
+    from ask_duckdb_spark.operators.similarity import (
+        N_COARSE,
+        N_FINE,
+        x62_semdedup,
+        x63_semdedup_hier,
+    )
+
+    from tests.conftest import SF_DIR
+
+    sf = SF_DIR
+    flat = x62_semdedup(spark, sf, n_cells=N_COARSE * N_FINE).toPandas()
+    hier = x63_semdedup_hier(spark, sf).toPandas()
+    n_flat = int((~flat.kept).sum())
+    n_hier = int((~hier.kept).sum())
+    assert n_flat > 0  # non-vacuous fixture
+    assert n_hier >= 0.7 * n_flat, (n_hier, n_flat)
+    # and the hierarchical assignment actually uses multiple cells
+    assert hier[["ccell", "fcell"]].drop_duplicates().shape[0] >= 4
