@@ -425,10 +425,13 @@ def w7_percent_rank_cume(spark, sf_dir):
 @query(
     "f20_array_agg_sorted",
     # collect_list order is nondeterministic under parallelism: sort the
-    # result array so both engines agree (SURVEY.md §7.3 determinism)
+    # result array so both engines agree (SURVEY.md §7.3 determinism).
+    # The array is then joined to a scalar string: the driver's pandas
+    # canonicalizer cannot hash ndarray cells (VERDICT r4 §wrong-2), so
+    # registry outputs must be atomic at the query edge.
     oracle="""
     SELECT n_regionkey,
-           list_sort(list(n_name)) AS nations,
+           array_to_string(list_sort(list(n_name)), ',') AS nations,
            CAST(len(list(n_name)) AS INTEGER) AS n
     FROM nation GROUP BY n_regionkey
     """,
@@ -437,7 +440,9 @@ def f20_array_agg_sorted(spark, sf_dir):
     """Per-region sorted collect_list of nation names with its length."""
     n = t(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.sort_array(F.collect_list("n_name")).alias("nations"),
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias(
+            "nations"
+        ),
         F.size(F.collect_list("n_name")).alias("n"),
     )
 
@@ -468,10 +473,12 @@ def so6_union_by_name(spark, sf_dir):
 @query(
     "f21_map_functions",
     # DuckDB: json_keys on the raw JSON; Spark: map_keys on the parsed
-    # map — the differential check proves schema-on-read parity
+    # map — the differential check proves schema-on-read parity. Key
+    # list joined to a scalar string so the driver canonicalizer can
+    # hash it (VERDICT r4 §wrong-3: ndarray cells are unhashable).
     oracle="""
     SELECT event_id,
-           list_sort(json_keys(props))                       AS keys,
+           array_to_string(list_sort(json_keys(props)), ',') AS keys,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
     FROM events
     WHERE props IS NOT NULL
@@ -483,7 +490,7 @@ def f21_map_functions(spark, sf_dir):
     m = F.from_json("props", "map<string,string>")
     return e.filter(F.col("props").isNotNull()).select(
         "event_id",
-        F.sort_array(F.map_keys(m)).alias("keys"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys"),
         F.element_at(m, "k").cast("bigint").alias("k_val"),
     )
 

@@ -213,8 +213,12 @@ def _user_trend(pdf: pd.DataFrame) -> pd.DataFrame:
     oracle="""
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n,
-           ROUND(regr_slope(value, epoch(ts)), 6) AS slope
-    FROM events
+           ROUND(regr_slope(value, xc), 6) AS slope
+    FROM (
+        SELECT user_id, value,
+               epoch(ts) - min(epoch(ts)) OVER (PARTITION BY user_id) AS xc
+        FROM events
+    )
     GROUP BY user_id
     ORDER BY user_id
     """,
@@ -244,8 +248,12 @@ def x28_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n,
-           ROUND(regr_slope(value, epoch(ts)), 6) AS slope
-    FROM events
+           ROUND(regr_slope(value, xc), 6) AS slope
+    FROM (
+        SELECT user_id, value,
+               epoch(ts) - min(epoch(ts)) OVER (PARTITION BY user_id) AS xc
+        FROM events
+    )
     GROUP BY user_id
     ORDER BY user_id
     """,
@@ -267,6 +275,13 @@ def x28b_user_value_trend_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     window ``min`` first keeps x small (seconds within the user's own
     span). The window shuffles by user_id and the following groupBy
     reuses that hash partitioning, so centering costs no extra exchange.
+
+    VERDICT r4 §wrong-1: the oracle must be conditioned IDENTICALLY —
+    a raw-epoch ``regr_slope`` on the DuckDB side carries the same
+    accumulation-order instability, so the oracle SQL now centers x
+    per user in a subquery (``epoch(ts) - min(epoch(ts)) OVER
+    (PARTITION BY user_id)``) before aggregating. Both engines now
+    compute the numerically-stable formulation.
     """
     e = load_table(spark, sf_dir, "events")
     secs = F.col("ts").cast("timestamp").cast("double")
