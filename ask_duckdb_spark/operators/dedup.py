@@ -183,9 +183,40 @@ def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     # tree cost ~1.1 s of driver-side Py4J per plan BUILD at r4 — pure
     # per-query latency, invisible at 100 TB but 6% of the sf0.1 bench.
     # The parsed plan and generated code are identical either way.
+    token_h = f"{token_hash60_sparksql('t')} % {PH_P}L"
+    return _minhash_signatures_impl(docs, id_col, text_col, token_h)
+
+
+def minhash_signatures_fast(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """xxhash64 production twin of :func:`minhash_signatures`.
+
+    Identical pipeline shape (narrow-map signatures, same shingle fold,
+    same permutation family, same banding downstream) with the token
+    hash swapped from md5-hex-parse to Spark's native ``xxhash64`` —
+    one vectorized JVM intrinsic instead of a digest + 15-char hex
+    decode, ~2x cheaper per token. The price: DuckDB cannot reproduce
+    xxhash64, so this path is NOT bit-auditable by the SQL oracle; it
+    is gated instead by the pytest twin check (tests/test_fastpath.py)
+    that its near-dup pair set agrees with the portable path's on the
+    fixtures. At 100 TB — where hashing dominates wall and the
+    per-query plan floor vanishes — run THIS path in production and
+    sample-audit with the portable twin, the same differential pattern
+    as x3 (exact Jaccard) vs x2 (sketch).
+    """
+    docs = widen(docs)
+    token_h = f"pmod(xxhash64(t), {PH_P}L)"
+    return _minhash_signatures_impl(docs, id_col, text_col, token_h)
+
+
+def _minhash_signatures_impl(
+    docs: DataFrame, id_col: str, text_col: str, token_hash_sql: str
+) -> DataFrame:
+    """Shared minhash pipeline over a token-hash SQL fragment (``t``)."""
     th_sql = (
         f"transform(filter(split(lower({text_col}), '\\\\s+'), t -> t != ''), "
-        f"t -> {token_hash60_sparksql('t')} % {PH_P}L)"
+        f"t -> {token_hash_sql})"
     )
     docs = docs.selectExpr(id_col, f"{th_sql} AS _th")
     shingles_sql = (
@@ -345,6 +376,12 @@ def x2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reads it), so the CONSUMER owns cleanup — the harnesses
     # (diffcheck/bench) clearCache after evaluating each operator.
     sig = minhash_signatures(d, "doc_id", "text").persist()
+    return _neardup_pairs_from_signatures(sig)
+
+
+def _neardup_pairs_from_signatures(sig: DataFrame) -> DataFrame:
+    """Banded-LSH pairs + signature-estimated Jaccard >= 0.5 from a
+    (doc_id, sig) frame — shared by the portable and fast paths."""
     pairs = lsh_candidate_pairs(sig, "doc_id")
     # Verify candidates with estimated Jaccard from the signatures that
     # rode through the bucket join (no re-join, no re-shuffle of text).
@@ -362,6 +399,25 @@ def x2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("jaccard_est"),
     )
     return est.filter(F.col("jaccard_est") >= 0.5).orderBy("id_a", "id_b")
+
+
+@query("x2f_minhash_neardup_fast")
+def x2f_minhash_neardup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64 production path of x2 — same pipeline, native hashing.
+
+    No SQL oracle (DuckDB cannot compute xxhash64), so the driver
+    records a rows-only check; the REAL gate is tests/test_fastpath.py,
+    which asserts this path's pair set agrees with oracle-audited x2 on
+    the fixtures. x2 (portable md5) is the auditable twin you sample-
+    audit with; this is what you run over 100 TB, where the ~2x/token
+    hash saving is hours of cluster time and the sketch family
+    (permutations, banding, skew cap) is IDENTICAL — only the token
+    hash primitive differs. Mirrors the x3 (exact) / x2 (sketch)
+    differential pattern one level down.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures_fast(d, "doc_id", "text").persist()
+    return _neardup_pairs_from_signatures(sig)
 
 
 # ---------------------------------------------------------------------------
@@ -656,13 +712,20 @@ def x4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB-oracle-checked instead of rows-only.
     """
     d = widen(load_table(spark, sf_dir, "documents"))
-    # Built as ONE SQL string parsed JVM-side: composing the 60-term
-    # majority-vote tree through the Column API cost 1.9 s of Py4J per
-    # plan build (measured, r4) — the dominant cost of this operator at
-    # bench SF, dwarfing the actual hashing. Identical parsed plan.
+    return _simhash_impl(d, token_hash60_sparksql("t"))
+
+
+def _simhash_impl(d: DataFrame, token_hash_sql: str) -> DataFrame:
+    """60-bit simhash over a token-hash SQL fragment (``t``).
+
+    Built as ONE SQL string parsed JVM-side: composing the 60-term
+    majority-vote tree through the Column API cost 1.9 s of Py4J per
+    plan build (measured, r4) — the dominant cost of this operator at
+    bench SF, dwarfing the actual hashing. Identical parsed plan.
+    """
     th_sql = (
         "transform(filter(split(lower(text), '\\\\s+'), t -> t != ''), "
-        f"t -> {token_hash60_sparksql('t')})"
+        f"t -> {token_hash_sql})"
     )
     # project _h first so the split+hash runs once; _n derives from it
     d = d.selectExpr("doc_id", f"{th_sql} AS _h").selectExpr(
@@ -677,6 +740,22 @@ def x4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.selectExpr("doc_id", f"({simhash_sql}) AS simhash").orderBy(
         "doc_id"
     )
+
+
+@query("x4f_simhash_fast")
+def x4f_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64 production path of x4 — same majority vote, native hash.
+
+    Bits 0-59 of ``xxhash64(token)`` replace the md5-derived 60-bit
+    hash; everything else (tokenizer, per-bit majority, band scheme in
+    x4b's pairing) is byte-identical code. Rows-only at the driver
+    (xxhash64 has no DuckDB twin); tests/test_fastpath.py gates its
+    Hamming-radius pair set against the oracle-audited portable x4b
+    pairs. The production default at 100 TB for the same reason as x2f:
+    the hash is the wall there, and it's ~2x cheaper per token.
+    """
+    d = widen(load_table(spark, sf_dir, "documents"))
+    return _simhash_impl(d, "xxhash64(t)")
 
 
 #: Max Hamming distance for a SimHash near-dup pair (standard radius).
@@ -729,6 +808,12 @@ def x4b_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fully oracle-checked via the portable simhash (see x4).
     """
     sig = x4_simhash(spark, sf_dir)
+    return simhash_pairs_from_signatures(sig)
+
+
+def simhash_pairs_from_signatures(sig: DataFrame) -> DataFrame:
+    """Hamming<=K pairs from a (doc_id, simhash) frame via band tables —
+    shared by the portable (x4b) and fast (test-gated x4f) paths."""
     keys = F.array(
         *[
             F.struct(
