@@ -559,6 +559,13 @@ def x3_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup terminates the recursion on cyclic graphs), then min(l)
     # per vertex IS the connected component — the declarative twin of
     # the Spark side's iterate-to-fixpoint label propagation.
+    # ORACLE-SIZE ASSUMPTION (ADVICE r4): reach materializes one row
+    # per (vertex, reachable vertex) = O(sum of component size^2).
+    # Fine while the fixtures' near-dup clusters stay small (pairs/
+    # triples); if a fixture ever grows a giant cluster, switch to a
+    # min-label iterative CTE (carry only the current min per vertex)
+    # before the ORACLE becomes the bottleneck — the Spark side
+    # already is min-label-iterative and doesn't care.
     oracle=f"""
     WITH RECURSIVE p AS (
       SELECT id_a, id_b FROM ({_X2_ORACLE}) x2

@@ -125,7 +125,18 @@ def _band_keys(vec_col):
         keys.append(
             F.struct(F.lit(band).alias("band"), key.alias("bkey"))
         )
-    return F.array(*keys)
+    # Dimension guard (ADVICE r4): the Spark-side slice would silently
+    # prefix-project a short vector while the oracle's fixed-width
+    # list_inner_product errors or diverges — if the fixture dims ever
+    # change, fail LOUDLY on both engines instead of drifting apart.
+    return F.when(F.size(vec_col) == N_DIMS, F.array(*keys)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"_band_keys expects {N_DIMS}-dim embeddings, got "),
+                F.size(vec_col).cast("string"),
+            )
+        )
+    )
 
 
 def _cos_sql(a: str, b: str) -> str:
@@ -529,9 +540,22 @@ def x7_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py proves x7b recovers every same-label pair
     this twin emits plus the cross-label ones the label blocking hides.
     """
-    emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") < X7_CAP
-    )
+    full = load_table(spark, sf_dir, "embeddings")
+    # Make the truncation OBSERVABLE (ADVICE r4): a consumer running x7
+    # on a corpus past the cap gets silently incomplete pairs otherwise.
+    # The count is one column-pruned scan — trivial next to the
+    # quadratic join this operator exists to bound.
+    n_total = full.count()
+    if n_total > X7_CAP:
+        import warnings
+
+        warnings.warn(
+            f"x7_embedding_neardup input has {n_total} vectors; only "
+            f"vec_id < {X7_CAP} are compared (arithmetic-pin twin). "
+            "Use x7b_embedding_neardup_lsh for full-corpus near-dup.",
+            stacklevel=2,
+        )
+    emb = full.filter(F.col("vec_id") < X7_CAP)
     a = emb.select(
         F.col("vec_id").alias("id_a"),
         F.col("label").alias("lbl"),
@@ -868,6 +892,17 @@ def x62_semdedup(
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup via k-means cells.
 
+    NOTE — flat differential twin, superseded at scale: the SCALE.md
+    100x trial measured this flat-IVF assignment at O(n^2/cell) (76x
+    wall at 100x data), so ``x63_semdedup_hier`` is the DEFAULT
+    semantic-dedup path; x62 remains registered as its flat
+    differential twin (equal-granularity recall gate in
+    tests/test_similarity.py) and for corpora small enough that a flat
+    codebook is simpler. The registered oracle is generated from the
+    DEFAULT ``N_CELLS``; calling with a non-default ``n_cells`` (the
+    scale-trial path) voids the oracle pairing — compare such runs
+    against a regenerated oracle, not the registry's.
+
     Cluster the corpus embeddings with the IVF codebook
     (``_ivf_centroids``: deterministic seeds + one Lloyd step), then
     compare vectors only WITHIN their cell and drop every vector whose
@@ -1045,7 +1080,13 @@ def x63_semdedup_hier(
     n_coarse: int = None,
     n_fine: int = None,
 ) -> DataFrame:
-    """Hierarchical SemDeDup: the fix for x62's measured assignment wall.
+    """Hierarchical SemDeDup — the DEFAULT semantic-dedup path.
+
+    (x62 is the flat differential twin; it hits a measured O(n^2/cell)
+    assignment wall at 100x and is superseded at scale by this entry.)
+    The registered oracle is generated from the DEFAULT
+    ``N_COARSE``/``N_FINE``; parameterized invocations void the oracle
+    pairing (regenerate it from the passed knobs instead).
 
     Same drop rule as x62 (cosine >= NEARDUP_T to any lower-id
     cellmate, kept or not), but cells come from a TWO-LEVEL quantizer:

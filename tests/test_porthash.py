@@ -41,19 +41,27 @@ TOKENS = [
 
 
 def _duck_hashes(vals: list[str]) -> list[int]:
+    # Explicit index + ORDER BY (ADVICE r4): VALUES rows have no
+    # guaranteed scan order, so positional zipping against the input
+    # list would flake under any plan change.
     con = duckdb.connect()
-    rows = ", ".join("(?)" for _ in vals)
+    rows = ", ".join(f"({i}, ?)" for i in range(len(vals)))
     q = (
-        f"SELECT {token_hash60_sql('t')} FROM (VALUES {rows}) v(t)"
+        f"SELECT {token_hash60_sql('t')} FROM (VALUES {rows}) v(i, t) "
+        "ORDER BY i"
     )
     return [r[0] for r in con.sql(q, params=vals).fetchall()]
 
 
 def test_token_hash60_matches_duckdb(spark):
-    sdf = spark.createDataFrame([(t,) for t in TOKENS], ["t"])
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TOKENS)], ["i", "t"]
+    )
     got = [
-        r[0]
-        for r in sdf.select(token_hash60(F.col("t"))).collect()
+        r[1]
+        for r in sorted(
+            sdf.select("i", token_hash60(F.col("t"))).collect()
+        )
     ]
     assert got == _duck_hashes(TOKENS)
 
