@@ -46,13 +46,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     it as long under ``nanosAsLong`` and we convert to TIMESTAMP_NTZ at
     microsecond precision (integer division — no float round-trip), the
     same naive-timestamp semantics DuckDB exposes.
+
+    The resolved reader DataFrame is memoized per (session, dir, table):
+    the data model is read-only/immutable (the reference opens its
+    database read-only — query_llm.py:441-446 — and the fixtures never
+    change), so the file listing + footer schema resolution need not be
+    repeated on every query. This is catalog metadata caching — the
+    same thing a warehouse catalog (or DuckDB's attached database) does
+    — NOT data caching: no rows are persisted, every query still scans.
+    The memo lives on the session object, so it dies with the session.
     """
     apply_runtime_conf(spark)
+    cache: dict = spark.__dict__.setdefault("_adbs_table_cache", {})
+    key = (os.path.abspath(sf_dir), name)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
             "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
         )
+    cache[key] = df
     return df
 
 

@@ -66,27 +66,47 @@ def main() -> int:
 
     n = spark.sparkContext.defaultParallelism
     spark.range(0, n, 1, n).mapInPandas(_ident, "id long").count()
-    # Compile every headline plan once at the smallest SF: whole-stage
-    # codegen sources are identical across SFs, so this populates the
-    # Janino class cache (x2's 32-permutation minhash alone costs ~5 s
-    # of one-time compilation). Timings below then measure execution,
-    # which is what the sec/query comparison is about.
-    warm_dir = "/root/testdata/sf0.001"
+    # Warm every headline plan TWICE at sf0.01 (1/10 of the measured
+    # SF, different files): the first pass populates the Janino class
+    # cache (x2's 32-permutation minhash alone costs ~5 s of one-time
+    # compilation), the second drives the generated code past the JVM's
+    # tiered-JIT thresholds so C2-compiled code is what gets measured.
+    # Measured effect at sf0.1 (r5): x2 5.3 s half-warm -> 2.7 s steady,
+    # q3 1.37 -> 0.95, x22 1.72 -> 0.86. Timings below then measure
+    # steady-state execution — the regime a 100 TB run lives in, and
+    # what the sec/query comparison is about. (DuckDB needs no analogue:
+    # it has no JIT; its first run IS steady-state.)
+    warm_dir = "/root/testdata/sf0.01"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        for name in HEADLINE:
-            QUERIES[name](spark, warm_dir).count()
-        spark.catalog.clearCache()  # drop sf0.001 persisted frames
+        for _ in range(2):
+            for name in HEADLINE:
+                QUERIES[name](spark, warm_dir).count()
+            spark.catalog.clearCache()  # drop sf0.01 persisted frames
 
+    # Two reps per query, report the MIN: host noise is one-sided (a
+    # noisy-neighbor burst can only ADD wall time), so min-of-reps is
+    # the standard steady-state estimator. Applied symmetrically to the
+    # DuckDB side below. r4/r5 measured 1.2-2x run-to-run swings on
+    # identical commits from load alone (BENCHLOG.md).
+    REPS = 2
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        QUERIES[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
-        # Outside the timing: release frames the operator persist()ed
-        # for intra-plan reuse (caches never carry between headline
-        # queries — each builds a distinct plan — but they would
-        # accumulate memory across the loop).
-        spark.catalog.clearCache()
+    for rep in range(REPS):
+        for name in HEADLINE:
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).count()
+            wall = round(time.time() - t0, 3)
+            if rep == 0 or wall < timings[name]:
+                timings[name] = wall
+            # Outside the timing: release frames the operator persist()ed
+            # for intra-plan reuse (caches never carry between headline
+            # queries — each builds a distinct plan — but they would
+            # accumulate memory across the loop).
+            spark.catalog.clearCache()
+    # Spark's work is done: tear the JVM down so the DuckDB co-timing
+    # below runs on a quiet machine (r5 measured the resident idle JVM +
+    # 32 python workers inflating DuckDB walls ~2x — that flatters the
+    # ratio, the opposite of conservative).
+    spark.stop()
 
     # Co-timed DuckDB oracle baseline: absolute walls drift with host
     # contention/frequency (r04 measured a uniform ~2x environment
@@ -108,16 +128,20 @@ def main() -> int:
             p = os.path.join(sf_dir, f"{t}.parquet")
             if os.path.exists(p):
                 con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
-        for name in HEADLINE:
-            if name in ORACLES:
-                t0 = time.time()
-                # count-wrapped, mirroring the Spark side's df.count():
-                # both engines may then prune unused output columns and
-                # drop the final sort — same work on both stopwatches
-                con.sql(
-                    f"SELECT count(*) FROM ({ORACLES[name]})"
-                ).fetchall()
-                duck_timings[name] = round(time.time() - t0, 3)
+        for rep in range(REPS):
+            for name in HEADLINE:
+                if name in ORACLES:
+                    t0 = time.time()
+                    # count-wrapped, mirroring the Spark side's
+                    # df.count(): both engines may then prune unused
+                    # output columns and drop the final sort — same
+                    # work on both stopwatches
+                    con.sql(
+                        f"SELECT count(*) FROM ({ORACLES[name]})"
+                    ).fetchall()
+                    wall = round(time.time() - t0, 3)
+                    if rep == 0 or wall < duck_timings[name]:
+                        duck_timings[name] = wall
     except Exception:
         duck_timings = {}
 
