@@ -87,8 +87,9 @@ def main() -> int:
     # noisy-neighbor burst can only ADD wall time), so min-of-reps is
     # the standard steady-state estimator. Applied symmetrically to the
     # DuckDB side below. r4/r5 measured 1.2-2x run-to-run swings on
-    # identical commits from load alone (BENCHLOG.md).
-    REPS = 2
+    # identical commits from load alone (BENCHLOG.md) — this VM has
+    # noisy neighbors (r5: load1 ~3 with zero local processes running).
+    REPS = 3
     timings: dict[str, float] = {}
     for rep in range(REPS):
         for name in HEADLINE:
@@ -102,6 +103,26 @@ def main() -> int:
             # queries — each builds a distinct plan — but they would
             # accumulate memory across the loop).
             spark.catalog.clearCache()
+    # Measure Spark's fixed per-query floor: the cheapest analytic
+    # query expressible (5-row scan -> one shuffle -> agg), min of 5.
+    # Everything in it — plan analysis, AQE stage rounds, job/task
+    # scheduling — is paid by EVERY headline query regardless of data
+    # volume, and is the regime-dependent part of the ratio: at 100 TB
+    # a query runs minutes and the floor is noise; at sf0.1 half the
+    # headline queries are sub-300 ms and the floor is most of their
+    # wall. Reported so the ratio can be decomposed from driver
+    # artifacts alone (see BENCHLOG.md r5 scale curve).
+    floor = None
+    try:
+        region = os.path.join(sf_dir, "region.parquet")
+        walls = []
+        for _ in range(5):
+            t0 = time.time()
+            spark.read.parquet(region).groupBy("r_name").count().count()
+            walls.append(time.time() - t0)
+        floor = round(min(walls), 3)
+    except Exception:
+        pass
     # Spark's work is done: tear the JVM down so the DuckDB co-timing
     # below runs on a quiet machine (r5 measured the resident idle JVM +
     # 32 python workers inflating DuckDB walls ~2x — that flatters the
@@ -114,8 +135,11 @@ def main() -> int:
     # carries the SAME-PROCESS DuckDB total over the oracle-paired
     # headline queries. The ratio is the environment-independent
     # number; the oracle runs AFTER Spark so it cannot warm Spark's
-    # caches, and single-threaded DuckDB underuses the 32 cores Spark
-    # gets — the ratio is conservative, not flattering.
+    # caches. NOTE: DuckDB's default thread count is ALL cores (32
+    # here — verified via current_setting('threads'); an earlier
+    # comment claimed single-threaded, which was wrong), so this is a
+    # fair 32-core vs 32-core comparison of a distributed engine's
+    # local mode against a purpose-built single-node engine.
     duck_timings: dict[str, float] = {}
     try:
         import duckdb
@@ -166,6 +190,20 @@ def main() -> int:
                 "spark_vs_duckdb_ratio": (
                     round(spark_on_oracle / duck_total, 2)
                     if duck_total > 0
+                    else None
+                ),
+                # Fixed per-query overhead (min-of-5 trivial query) and
+                # the ratio with that floor subtracted from every
+                # oracle-paired query — the volume-proportional part of
+                # the comparison, i.e. what survives scale-up.
+                "per_query_floor_sec": floor,
+                "ratio_minus_floor": (
+                    round(
+                        (spark_on_oracle - floor * len(duck_timings))
+                        / duck_total,
+                        2,
+                    )
+                    if floor is not None and duck_total > 0
                     else None
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

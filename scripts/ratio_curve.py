@@ -1,0 +1,187 @@
+"""Ratio-vs-scale curve: Spark/DuckDB headline ratio at 4 scale points.
+
+Usage::
+
+    python scripts/ratio_curve.py [--factor 8] [--keep]
+
+Times the oracle-paired headline set (bench.HEADLINE) on BOTH engines at
+sf0.001, sf0.01, sf0.1, and an sf0.1 x FACTOR corpus built shard-style
+(below), emitting one JSON line per scale point. Purpose: substantiate
+the per-query-floor claim quantitatively (VERDICT r4 item 8) — Spark
+pays a fixed ~0.1 s job-submission/AQE floor per query that dominates
+sub-second queries at small SF and vanishes as queries become
+compute-bound, so the ratio must fall monotonically with SF.
+
+The x FACTOR corpus is weak-scaling by SHARD REPLICATION, the shape a
+bigger TPC-H SF actually has:
+
+- keyed tables get per-replica key offsets (custkey/orderkey/suppkey/
+  partkey/user_id/vec_id), so every join keeps its base fan-out —
+  FACTOR independent shards, no artificial key collisions;
+- ``documents`` get per-replica word suffixes (same trick as
+  scripts/scale_trial.py) so replicas of one doc do NOT collide at the
+  shingle level and the true-duplicate rate stays the base corpus's;
+- ``nation``/``region`` are dimension constants and stay as-is.
+
+Both engines read the same scaled parquet; both are timed min-of-2 with
+the Spark JVM stopped before the DuckDB pass (bench.py methodology).
+The workdir is repo-local (.scale/) and gitignored.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bench import HEADLINE  # noqa: E402
+from ask_duckdb_spark.operators import ORACLES, QUERIES  # noqa: E402
+from ask_duckdb_spark.session import get_spark  # noqa: E402
+from ask_duckdb_spark.sources.catalog import TABLES, load_table  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+#: Per-replica key offsets — larger than any base key.
+KEY_OFF = 100_000_000
+
+#: key columns to offset per replica, per table.
+OFFSETS: dict[str, tuple[str, ...]] = {
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey", "o_custkey"),
+    "lineitem": ("l_orderkey", "l_suppkey", "l_partkey"),
+    "events": ("user_id",),
+    "embeddings": ("vec_id",),
+}
+
+
+def build_scaled(spark, factor: int, workdir: str) -> None:
+    rep = F.col("_r")
+    for t in TABLES:
+        src = load_table(spark, BASE, t)
+        dst = os.path.join(workdir, f"{t}.parquet")
+        if t in ("nation", "region"):
+            src.write.mode("overwrite").parquet(dst)
+            continue
+        df = src.crossJoin(spark.range(factor).select(F.col("id").alias("_r")))
+        if t == "documents":
+            perturbed = F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w: F.concat(w, F.lit("~"), rep.cast("string")),
+                ),
+                " ",
+            )
+            df = df.select(
+                (F.col("doc_id") + rep * KEY_OFF).alias("doc_id"),
+                perturbed.alias("text"),
+                *[c for c in src.columns if c not in ("doc_id", "text")],
+            )
+        else:
+            cols = []
+            off = OFFSETS.get(t, ())
+            for c in src.columns:
+                cols.append(
+                    (F.col(c) + rep * KEY_OFF).alias(c) if c in off else F.col(c)
+                )
+            df = df.select(*cols)
+        df.repartition(32).write.mode("overwrite").parquet(dst)
+
+
+def spark_pass(spark, sf_dir: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for rep in range(2):
+        for name in HEADLINE:
+            if name not in ORACLES:
+                continue
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).count()
+            w = round(time.time() - t0, 3)
+            if rep == 0 or w < out[name]:
+                out[name] = w
+            spark.catalog.clearCache()
+    return out
+
+
+def duck_pass(sf_dir: str) -> dict[str, float]:
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'"
+                    if os.path.isdir(p)
+                    else f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    out: dict[str, float] = {}
+    for rep in range(2):
+        for name in HEADLINE:
+            if name not in ORACLES:
+                continue
+            t0 = time.time()
+            con.sql(f"SELECT count(*) FROM ({ORACLES[name]})").fetchall()
+            w = round(time.time() - t0, 3)
+            if rep == 0 or w < out[name]:
+                out[name] = w
+    con.close()
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=8)
+    ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--skip-build", action="store_true")
+    args = ap.parse_args()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    workdir = os.path.join(repo, ".scale", f"sfx{args.factor}")
+    points = [
+        ("0.001", "/root/testdata/sf0.001"),
+        ("0.01", "/root/testdata/sf0.01"),
+        ("0.1", BASE),
+        (f"0.1x{args.factor}", workdir),
+    ]
+
+    if not args.skip_build:
+        spark = get_spark("ratio_curve_build")
+        build_scaled(spark, args.factor, workdir)
+        spark.stop()
+
+    # All Spark passes first (one JVM), then all DuckDB passes on the
+    # then-quiet machine — same ordering discipline as bench.py.
+    spark_results: dict[str, dict[str, float]] = {}
+    spark = None
+    for label, d in points:
+        spark_results[label] = spark_pass(d, warm_dir="/root/testdata/sf0.01")
+    duck_results = {label: duck_pass(d) for label, d in points}
+
+    for label, _ in points:
+        s, k = spark_results[label], duck_results[label]
+        st, kt = round(sum(s.values()), 3), round(sum(k.values()), 3)
+        print(
+            json.dumps(
+                {
+                    "sf": label,
+                    "spark_total": st,
+                    "duck_total": kt,
+                    "ratio": round(st / kt, 2) if kt else None,
+                    "spark_queries": s,
+                    "duck_queries": k,
+                }
+            )
+        )
+    if not args.keep and os.path.isdir(workdir):
+        shutil.rmtree(workdir)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
