@@ -155,12 +155,19 @@ def main() -> int:
         build_scaled(spark, args.factor, workdir)
         spark.stop()
 
-    # All Spark passes first (one JVM), then all DuckDB passes on the
-    # then-quiet machine — same ordering discipline as bench.py.
+    # All Spark passes first (one JVM, one JIT warm), then all DuckDB
+    # passes on the then-quiet machine — bench.py's ordering discipline.
+    spark = get_spark("ratio_curve")
+    QUERIES["g1_count_star"](spark, BASE).count()
+    for _ in range(2):
+        for name in HEADLINE:
+            if name in ORACLES:
+                QUERIES[name](spark, "/root/testdata/sf0.01").count()
+        spark.catalog.clearCache()
     spark_results: dict[str, dict[str, float]] = {}
-    spark = None
     for label, d in points:
-        spark_results[label] = spark_pass(d, warm_dir="/root/testdata/sf0.01")
+        spark_results[label] = spark_pass(spark, d)
+    spark.stop()
     duck_results = {label: duck_pass(d) for label, d in points}
 
     for label, _ in points:
