@@ -977,3 +977,122 @@ def x53_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# X64 paragraph-level dedup (MassiveText / RefinedWeb-style)
+# ---------------------------------------------------------------------------
+
+#: Words per "paragraph" block. The synthetic fixtures carry no
+#: newline structure, so the paragraph unit is a fixed 10-word block —
+#: the operator is the corpus-wide first-occurrence paragraph dedup of
+#: MassiveText (Rae et al. 2021 §A1.2) / RefinedWeb; on real data the
+#: splitter would be split(text, '\n\n') and NOTHING else changes.
+PARA_W = 10
+
+
+@query(
+    "x64_paragraph_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+      FROM documents
+    ), blocks AS (
+      -- range() here is the LIST function (x2's oracle uses the same
+      -- trick); the TABLE function cannot be lateral-correlated.
+      SELECT doc_id, b.idx AS idx, b.block AS block FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(CAST(ceil(len(tk) / {PARA_W}.0) AS BIGINT),
+                                   1) + 1),
+                 i -> struct_pack(
+                   idx := i,
+                   block := array_to_string(
+                     list_slice(tk, (i - 1) * {PARA_W} + 1, i * {PARA_W}), ' ')
+                 ))) AS b
+        FROM toks
+      )
+    ), ranked AS (
+      SELECT doc_id, idx, block,
+             row_number() OVER (PARTITION BY block ORDER BY doc_id, idx) AS rn
+      FROM blocks
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
+           coalesce(
+             string_agg(CASE WHEN rn = 1 THEN block END, ' ' ORDER BY idx),
+             ''
+           ) AS dedup_text
+    FROM ranked
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def x64_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph dedup: keep each block's FIRST occurrence.
+
+    The paragraph-level pass LLM corpora run between exact-doc dedup
+    (x1) and near-dup dedup (x2): boilerplate blocks repeated across
+    documents (headers, navigation, license text) are removed from
+    every document except the lexicographically first (doc_id, idx)
+    that contains them, and surviving blocks are re-joined in document
+    order.
+
+    Scale shape: one shuffle keyed on the block text to decide first
+    occurrence (``min(struct(doc_id, idx))`` window — partial-aggregable
+    map-side), one shuffle keyed on doc_id to reassemble. Block rows
+    are (doc_id, idx, block) — the corpus itself, chunked — so shuffle
+    volume is O(corpus), the floor for any corpus-wide dedup. At
+    100 TB the block key should be a digest (x1b's trick) with the
+    block text carried only on the reassembly side; at fixture scale
+    the text IS the key so the oracle can reproduce it verbatim.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = widen(d).select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "").alias("tk"),
+    )
+    blocks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        F.ceil(F.size("tk") / PARA_W).cast("long"), F.lit(1)
+                    ),
+                ),
+                lambda i: F.array_join(
+                    F.slice("tk", (i - 1) * PARA_W + 1, PARA_W), " "
+                ),
+            )
+        ).alias("idx0", "block"),
+    ).select("doc_id", (F.col("idx0") + 1).alias("idx"), "block")
+    first = F.min(F.struct("doc_id", "idx")).over(W.partitionBy("block"))
+    flagged = blocks.withColumn(
+        "kept",
+        (F.col("doc_id") == first["doc_id"]) & (F.col("idx") == first["idx"]),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_blocks"),
+            F.sum(F.col("kept").cast("long")).cast("bigint").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("kept"), F.struct("idx", "block")
+                            )
+                        )
+                    ),
+                    lambda s: s["block"],
+                ),
+                " ",
+            ).alias("dedup_text"),
+        )
+        .orderBy("doc_id")
+    )
