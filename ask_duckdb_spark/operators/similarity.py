@@ -1131,3 +1131,189 @@ def x63_semdedup_hier(
             F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X65 product quantization + asymmetric distance (IVF-PQ's storage half)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8      #: subspaces (64 dims -> 8 x 8)
+PQ_SUB = 8    #: dims per subspace
+PQ_K = 16     #: codes per subspace codebook
+PQ_NQ = 3     #: query batch: vec_id < 3
+PQ_TOPK = 5
+
+
+def _l2sq_sql(a: str, b: str) -> str:
+    """Portable squared-L2 over two 8-dim list exprs: sequential left
+    fold of squared diffs (x*x, never pow) — bit-identical on both
+    engines (0.0-init vs first-element-init agree because 0.0+x == x)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _l2sq_duck(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {PQ_SUB} + 1), i -> "
+        f"(CAST(({a})[i] AS DOUBLE) - CAST(({b})[i] AS DOUBLE)) * "
+        f"(CAST(({a})[i] AS DOUBLE) - CAST(({b})[i] AS DOUBLE))), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def _x65_oracle() -> str:
+    """DuckDB twin of x65, generated from the same PQ_* constants —
+    codebook build, encode (argmin with lowest-code tie-break), query
+    LUT, ADC accumulation in fixed m-order, and the per-query top-k."""
+    return f"""
+    WITH cb AS (
+      SELECT t.m, vec_id AS k,
+             list_slice(embedding, t.m * {PQ_SUB} + 1,
+                        t.m * {PQ_SUB} + {PQ_SUB}) AS cbv
+      FROM embeddings, range({PQ_M}) t(m)
+      WHERE vec_id < {PQ_K}
+    ), cbm AS (
+      SELECT m, list(cbv ORDER BY k) AS cbs FROM cb GROUP BY m
+    ), dbv AS (
+      SELECT vec_id, t.m,
+             list_slice(embedding, t.m * {PQ_SUB} + 1,
+                        t.m * {PQ_SUB} + {PQ_SUB}) AS sv
+      FROM embeddings, range({PQ_M}) t(m)
+      WHERE vec_id >= {PQ_K}
+    ), enc AS (
+      SELECT vec_id, m,
+             CAST(list_position(dists, list_min(dists)) - 1 AS BIGINT)
+               AS code
+      FROM (
+        SELECT d.vec_id, d.m,
+               list_transform(c.cbs, cv -> {_l2sq_duck("d.sv", "cv")})
+                 AS dists
+        FROM dbv d JOIN cbm c USING (m)
+      )
+    ), qlut AS (
+      SELECT q.vec_id AS qid, c.m,
+             list_transform(c.cbs, cv ->
+               {_l2sq_duck(
+                   "list_slice(q.embedding, c.m * %d + 1, c.m * %d + %d)"
+                   % (PQ_SUB, PQ_SUB, PQ_SUB), "cv")}) AS d2s
+      FROM embeddings q CROSS JOIN cbm c
+      WHERE q.vec_id < {PQ_NQ}
+    ), adc AS (
+      SELECT qid, vec_id,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE), list(d2 ORDER BY m)),
+               (acc, v) -> acc + v) AS dist
+      FROM (
+        SELECT l.qid, e.vec_id, e.m, l.d2s[e.code + 1] AS d2
+        FROM enc e JOIN qlut l USING (m)
+      )
+      GROUP BY qid, vec_id
+    )
+    SELECT qid, vec_id, rnk, ROUND(dist, 6) AS adc_dist
+    FROM (
+      SELECT qid, vec_id, dist,
+             CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY dist, vec_id) AS INTEGER) AS rnk
+      FROM adc
+    )
+    WHERE rnk <= {PQ_TOPK}
+    ORDER BY qid, rnk
+    """
+
+
+@query("x65_pq_adc_topk", oracle=_x65_oracle())
+def x65_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k — IVF-PQ's storage/search half.
+
+    PQ is how billion-vector ANN indexes actually store vectors at
+    100 TB: each 64-dim float vector (256 B) becomes {PQ_M} 4-bit codes
+    (4 B here, 64x smaller), and query-time distance is the sum of
+    {PQ_M} table lookups (ADC, Jegou et al. 2011) — no float vector is
+    ever touched after encoding. Composes with x27's IVF cells (coarse
+    quantizer -> per-cell PQ scan) for the full IVF-PQ design.
+
+    Scale shape: the codebook ({PQ_M} x {PQ_K} subvectors — CONSTANT
+    size regardless of corpus) broadcasts; encoding is a narrow map
+    (argmin over the broadcast codebook per subspace, lowest-code tie-
+    break); the per-query LUT ({PQ_NQ} x {PQ_M} x {PQ_K} distances) also
+    broadcasts; ADC accumulates per (query, vector) in fixed m-order —
+    a deterministic fold, partial-aggregation-friendly, one shuffle.
+    Codebooks are seed vectors (vec_id < {PQ_K} per subspace) — the
+    Lloyd-refinement pattern that would train them at quality is
+    demonstrated in ``_ivf_centroids``; arithmetic, not quality, is
+    what the oracle pins here.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    sub = (
+        f"transform(sequence(0, {PQ_M - 1}), "
+        f"m -> slice(embedding, m * {PQ_SUB} + 1, {PQ_SUB}))"
+    )
+    # codebook: (m, cbs = [16 subvectors ordered by seed id])
+    cbm = (
+        emb.filter(F.col("vec_id") < PQ_K)
+        .selectExpr("vec_id AS k", f"posexplode({sub}) AS (m, cbv)")
+        .groupBy("m")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("k", "cbv"))),
+                lambda s: s["cbv"],
+            ).alias("cbs")
+        )
+    )
+    # encode: narrow map against the broadcast codebook
+    enc = (
+        emb.filter(F.col("vec_id") >= PQ_K)
+        .selectExpr("vec_id", f"posexplode({sub}) AS (m, sv)")
+        .join(F.broadcast(cbm), "m")
+        .selectExpr(
+            "vec_id",
+            "m",
+            f"transform(cbs, cv -> {_l2sq_sql('sv', 'cv')}) AS dists",
+        )
+        .selectExpr(
+            "vec_id",
+            "m",
+            "CAST(array_position(dists, array_min(dists)) - 1 AS BIGINT)"
+            " AS code",
+        )
+    )
+    # per-query distance lookup tables (constant size -> broadcast)
+    qlut = (
+        emb.filter(F.col("vec_id") < PQ_NQ)
+        .selectExpr("vec_id AS qid", f"posexplode({sub}) AS (m, qsv)")
+        .join(F.broadcast(cbm), "m")
+        .selectExpr(
+            "qid", "m",
+            f"transform(cbs, cv -> {_l2sq_sql('qsv', 'cv')}) AS d2s",
+        )
+    )
+    adc = (
+        enc.join(F.broadcast(qlut), "m")
+        .selectExpr("qid", "vec_id", "m", "d2s[CAST(code AS INT)] AS d2")
+        .groupBy("qid", "vec_id")
+        .agg(
+            # fixed m-order fold => bit-identical to the oracle's
+            # ORDER BY m reduce (parallel sum() would be order-unstable)
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "d2"))),
+                    lambda s: s["d2"],
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, v: acc + v,
+            ).alias("dist")
+        )
+    )
+    w = W.partitionBy("qid").orderBy("dist", "vec_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= PQ_TOPK)
+        .select(
+            "qid", "vec_id", "rnk", F.round("dist", 6).alias("adc_dist")
+        )
+        .orderBy("qid", "rnk")
+    )
