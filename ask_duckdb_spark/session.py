@@ -54,7 +54,16 @@ def default_parallelism() -> int:
 
 
 def apply_runtime_conf(spark: SparkSession) -> SparkSession:
-    """Pin runtime-settable confs on an existing session (idempotent)."""
+    """Pin runtime-settable confs on an existing session (idempotent).
+
+    Pinned once per session object: the loop is ~9 Py4J round-trips and
+    load_table calls this on EVERY table load — ~25 ms per query of
+    pure driver latency at bench scale. Nothing in the repo unpins a
+    conf mid-session, so a session-scoped flag is safe; callers that
+    deliberately change confs (tests) construct fresh sessions.
+    """
+    if spark.__dict__.get("_adbs_conf_pinned"):
+        return spark
     for k, v in RUNTIME_CONF.items():
         try:
             if spark.conf.get(k, None) != v:
@@ -62,6 +71,7 @@ def apply_runtime_conf(spark: SparkSession) -> SparkSession:
         except Exception:
             # Non-settable on this session/version: leave as-is.
             pass
+    spark.__dict__["_adbs_conf_pinned"] = True
     return spark
 
 
