@@ -1096,3 +1096,123 @@ def x64_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# X68 repeated-window span detection (exact-substring dedup signal)
+# ---------------------------------------------------------------------------
+
+#: Token-window width for cross-document repeated-substring detection.
+#: Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+#: Better") use 50-token spans over a suffix array; at fixture doc
+#: lengths an 8-token window gives the same signal, and the width is a
+#: single shared constant on both engines.
+W_SPAN = 8
+
+
+def _x68_oracle() -> str:
+    """x68's DuckDB twin, generated from the SAME constants as the
+    Spark side (W_SPAN/PH_B/PH_P + the shared token-hash primitive) —
+    the x2 discipline: nothing hand-copied, the sides cannot drift."""
+    k1 = W_SPAN - 1
+    return f"""
+    WITH th AS (
+      SELECT doc_id,
+             list_transform({_TOKENS_SQL},
+                            t -> {token_hash60_sql('t')} % {PH_P}) AS th
+      FROM documents
+    ), wins AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(th) - {k1}, 1) + 1),
+               i -> CASE WHEN len(list_slice(th, i, i + {k1})) = 0
+                         THEN CAST(0 AS BIGINT)
+                         ELSE list_reduce(list_slice(th, i, i + {k1}),
+                                          (a, b) -> (a * {PH_B} + b) % {PH_P})
+                    END)) AS h
+      FROM th
+    ), phd AS (
+      SELECT h, doc_id, count(*) AS c FROM wins GROUP BY h, doc_id
+    ), dup AS (
+      SELECT h FROM phd GROUP BY h HAVING count(*) >= 2
+    ), dpd AS (
+      SELECT doc_id, SUM(c) AS n_dup FROM phd JOIN dup USING (h)
+      GROUP BY doc_id
+    ), nw AS (
+      SELECT doc_id, count(*) AS n FROM wins GROUP BY doc_id
+    )
+    SELECT nw.doc_id,
+           CAST(nw.n AS BIGINT) AS n_windows,
+           CAST(coalesce(dpd.n_dup, 0) AS BIGINT) AS n_dup_windows,
+           ROUND(coalesce(dpd.n_dup, 0) / CAST(nw.n AS DOUBLE), 6)
+             AS dup_ratio
+    FROM nw LEFT JOIN dpd USING (doc_id)
+    ORDER BY nw.doc_id
+    """
+
+
+@query("x68_repeated_window_spans", oracle=_x68_oracle())
+def x68_repeated_window_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-window spans: what fraction of each doc
+    is an exact token-window duplicate of ANOTHER document.
+
+    The exact-substring dedup signal of Lee et al. 2022: overlapping
+    W_SPAN-token windows (stride 1) are hashed with the portable
+    polynomial fold (x2's shingle construction, width 8), and a window
+    counts as duplicated when its hash occurs in >= 2 DISTINCT
+    documents — intra-document repetition is x39's job, not this one.
+    Output per document: window count, duplicated-window count, and
+    the duplicated fraction — the score a pipeline thresholds to cut
+    or trim boilerplate-heavy documents. Distinct from x64 (disjoint
+    block FIRST-occurrence rewrite): x68 measures overlapping-span
+    duplication without rewriting anything.
+
+    Scale shape: window hashing is a narrow map (hash space, no window
+    strings materialized); the only corpus-sized shuffle is the
+    (h, doc_id) partial-count — the word-count shape, map-side
+    combinable, and the floor for any corpus-wide duplicate scan. The
+    dup-hash set and the per-doc rollups are shuffles of aggregated
+    frames. No self-join anywhere: a window repeated in k docs costs k
+    rows, not C(k, 2) pairs.
+    """
+    d = widen(load_table(spark, sf_dir, "documents"))
+    token_h = f"{token_hash60_sparksql('t')} % {PH_P}L"
+    th_sql = (
+        "transform(filter(split(lower(text), '\\\\s+'), t -> t != ''), "
+        f"t -> {token_h})"
+    )
+    wins_sql = (
+        f"transform(sequence(1, greatest(size(_th) - {W_SPAN - 1}, 1)), "
+        f"i -> aggregate(slice(_th, i, {W_SPAN}), CAST(0 AS BIGINT), "
+        f"(acc, x) -> (acc * {PH_B}L + x) % {PH_P}L))"
+    )
+    wins = d.selectExpr("doc_id", f"{th_sql} AS _th").selectExpr(
+        "doc_id", f"explode({wins_sql}) AS h"
+    )
+    per_h_doc = wins.groupBy("h", "doc_id").agg(F.count("*").alias("c"))
+    dup_h = (
+        per_h_doc.groupBy("h")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dup_per_doc = (
+        per_h_doc.join(dup_h, "h")
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_dup"))
+    )
+    n_win = wins.groupBy("doc_id").agg(F.count("*").alias("n"))
+    return (
+        n_win.join(dup_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_windows"),
+            F.coalesce(F.col("n_dup"), F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_windows"),
+            F.round(
+                F.coalesce(F.col("n_dup"), F.lit(0)) / F.col("n"), 6
+            ).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )

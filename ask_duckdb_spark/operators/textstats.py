@@ -42,6 +42,7 @@ from ..functions.porthash import (  # noqa: E402
     PH_P,
     perm_constants,
     token_hash60,
+    token_hash60_sparksql,
     token_hash60_sql,
 )
 from ..functions.text import char_ngrams, tokens  # noqa: E402
@@ -1327,4 +1328,218 @@ def x61_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("alpha_frac") > 0.8)
             & (F.col("top_bigram_frac") < 0.2)
         ).alias("passes_gopher"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X66 DSIR-style importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+#: Hashed n-gram feature buckets. DSIR uses 10k; 64 keeps the fixture
+#: bucket table humanly auditable and the construction is identical —
+#: the bucket count is one shared constant on both engines.
+NB_DSIR = 64
+
+
+def _x66_oracle() -> str:
+    """x66's DuckDB twin, generated from the same constants
+    (NB_DSIR + the shared token-hash primitive)."""
+    h = token_hash60_sql("toks[i] || ' ' || toks[i + 1]")
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> {h} % {NB_DSIR})) AS b
+      FROM tk WHERE len(toks) >= 2
+    ), counts AS (
+      SELECT b,
+             SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+             SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS cr
+      FROM feats GROUP BY b
+    ), tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM counts),
+    lw AS (
+      SELECT b,
+             ln((ct + 1) / CAST(tt + {NB_DSIR} AS DOUBLE))
+           - ln((cr + 1) / CAST(tr + {NB_DSIR} AS DOUBLE)) AS w
+      FROM counts CROSS JOIN tot
+    )
+    SELECT f.doc_id, ROUND(SUM(lw.w), 6) AS dsir_logweight
+    FROM feats f JOIN lw USING (b)
+    WHERE f.source <> 'src0'
+    GROUP BY f.doc_id
+    ORDER BY dsir_logweight DESC, f.doc_id
+    LIMIT 20
+    """
+
+
+@query("x66_dsir_importance", oracle=_x66_oracle())
+def x66_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights: raw documents ranked by how much
+    they look like the target domain (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling").
+
+    src0 plays the target domain (the quality corpus you want more
+    of); every other source is the raw pool. Features are hashed word
+    bigrams into NB_DSIR buckets (the portable token-hash primitive,
+    so the oracle regenerates identical features); each side's bucket
+    distribution is estimated with add-one smoothing, and a raw doc's
+    log importance weight is the sum over its bigram occurrences of
+    ``ln p_target(b) - ln p_raw(b)``. Top-20 by (rounded weight,
+    doc_id) — the resampling step then keeps documents with
+    probability proportional to the weight; the deterministic top-k
+    IS that step's test-stable twin.
+
+    Scale shape: feature hashing is a narrow map; the bucket table is
+    NB_DSIR rows built by ONE map-side-combinable shuffle and
+    broadcast back; scoring is the broadcast join + one doc-keyed
+    partial-aggregable sum. The corpus is scanned twice (estimate,
+    then score) — at 100 TB both passes are embarrassingly parallel
+    and nothing quadratic or driver-bound exists anywhere.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hh = token_hash60_sparksql(
+        "concat(element_at(_tk, i), ' ', element_at(_tk, i + 1))"
+    )
+    bg_sql = (
+        "CASE WHEN size(_tk) >= 2 THEN "
+        f"transform(sequence(1, size(_tk) - 1), i -> {hh} % {NB_DSIR}) "
+        "ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+    feats = d.selectExpr(
+        "doc_id",
+        "source",
+        "filter(split(lower(text), '\\\\s+'), t -> t != '') AS _tk",
+    ).selectExpr("doc_id", "source", f"explode({bg_sql}) AS b")
+    is_tgt = F.col("source") == "src0"
+    counts = feats.groupBy("b").agg(
+        F.sum(F.when(is_tgt, 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~is_tgt, 1).otherwise(0)).alias("cr"),
+    )
+    tot = counts.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )
+    lw = counts.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("ct") + 1) / (F.col("tt") + NB_DSIR).cast("double"))
+            - F.log((F.col("cr") + 1) / (F.col("tr") + NB_DSIR).cast("double"))
+        ).alias("w"),
+    )
+    scored = (
+        feats.filter(~is_tgt)
+        .join(F.broadcast(lw), "b")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("w"), 6).alias("dsir_logweight"))
+    )
+    return scored.orderBy(
+        F.col("dsir_logweight").desc(), "doc_id"
+    ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# X67 BPE merge learning (Sennrich et al. 2016)
+# ---------------------------------------------------------------------------
+
+#: Merge rounds to learn. Real tokenizers learn 30-50k; the loop is
+#: identical per round, so a small K keeps the fixture check fast while
+#: exercising the full iterative machinery.
+BPE_MERGES = 8
+
+
+def _bpe_merge_expr(l: str, r: str):
+    """Greedy left-to-right merge of adjacent (l, r) into l+r over the
+    ``syms`` array — a JVM-side fold, no UDF. Greedy-left semantics
+    match the classic BPE scan (on 'aaa' with (a,a): [aa, a])."""
+    lr = l + r
+    return F.aggregate(
+        F.col("syms"),
+        F.expr("CAST(array() AS ARRAY<STRING>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(l))
+            & (x == F.lit(r)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(lr))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+@query("x67_bpe_learn")
+def x67_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the corpus's first BPE_MERGES byte-pair-encoding merges
+    (Sennrich et al. 2016) — the tokenizer-training step of an LLM
+    data pipeline, as an iterative distributed algorithm.
+
+    Each round counts adjacent symbol pairs across the WEIGHTED
+    vocabulary (pair frequency = sum of word frequencies), picks the
+    global argmax with a deterministic tie-break (freq DESC, l, r —
+    binary string order, identical in the JVM and the pytest
+    reference for ASCII corpora), merges it everywhere, and repeats.
+
+    No SQL oracle: the K-round argmax-then-rewrite loop is genuinely
+    iterative (each round's input depends on the previous round's
+    winner), the registry's non-SQL-expressible category alongside
+    x54. The correctness gate is tests/test_bpe.py: merges must EQUAL
+    a pure-Python reference BPE on the same corpus.
+
+    Scale shape: the corpus is touched ONCE (word-count shuffle into a
+    frequency-weighted vocabulary — the classic BPE trick: all
+    iteration happens on the vocab, whose size is distinct WORDS, not
+    corpus tokens). Each round is one map-side-combinable pair-count
+    shuffle over the vocab plus a single-ROW collect (the argmax —
+    inherently sequential, O(K) driver round-trips of one row each;
+    the rewrite itself is a distributed narrow fold). The vocab frame
+    is re-persisted per round and the predecessor released; at 100 TB
+    you would checkpoint every ~10 rounds to truncate lineage —
+    nothing else changes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wf"))
+    )
+    vocab = wf.selectExpr(
+        "wf", "filter(split(w, ''), c -> c != '') AS syms"
+    ).persist()
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for rank in range(1, BPE_MERGES + 1):
+            pairs = (
+                vocab.selectExpr(
+                    "wf",
+                    "CASE WHEN size(syms) >= 2 THEN "
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> struct(element_at(syms, i) AS l, "
+                    "element_at(syms, i + 1) AS r)) "
+                    "ELSE CAST(array() AS ARRAY<STRUCT<l: STRING, "
+                    "r: STRING>>) END AS ps",
+                )
+                .selectExpr("wf", "explode(ps) AS p")
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("wf").alias("freq"))
+            )
+            top = pairs.orderBy(
+                F.col("freq").desc(), "l", "r"
+            ).limit(1).collect()
+            if not top:
+                break
+            l, r, freq = top[0]["l"], top[0]["r"], int(top[0]["freq"])
+            merges.append((rank, l, r, freq))
+            nxt = vocab.select(
+                "wf", _bpe_merge_expr(l, r).alias("syms")
+            ).persist()
+            nxt.count()  # materialize before releasing the parent
+            vocab.unpersist()
+            vocab = nxt
+    finally:
+        vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_rank INT, lhs STRING, rhs STRING, freq BIGINT"
     )
