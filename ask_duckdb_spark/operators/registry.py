@@ -21,6 +21,14 @@ def query(name: str, oracle: str | None = None):
 
     ``oracle`` is the equivalent DuckDB SQL (omit for ops that are not
     SQL-expressible — the driver then records a weaker rows-only check).
+
+    Registered callables build a FRESH plan per call, deliberately: a
+    returned DataFrame carries mutable queryExecution state (AQE
+    finalization, the codegen-count caveat in plans/checks.py), so
+    sharing one object across callers would make plan inspection
+    order-sensitive. Callers that re-execute one plan many times
+    (bench.py's reps) hoist the build themselves — prepared-statement
+    reuse belongs at the call site that owns the lifecycle.
     """
 
     def deco(fn):
