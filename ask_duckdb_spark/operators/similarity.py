@@ -543,14 +543,16 @@ def x7_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = load_table(spark, sf_dir, "embeddings")
     # Make the truncation OBSERVABLE (ADVICE r4): a consumer running x7
     # on a corpus past the cap gets silently incomplete pairs otherwise.
-    # The count is one column-pruned scan — trivial next to the
-    # quadratic join this operator exists to bound.
-    n_total = full.count()
-    if n_total > X7_CAP:
+    # LIMIT-1 existence probe, not a count: parquet min/max stats prune
+    # every row group below the cap, so this reads ~one row group at
+    # any corpus size (a full count() here re-scanned the table per
+    # plan BUILD — the no-materialize gate's regression class; x7 is
+    # that gate's one documented bounded-probe exception).
+    if full.filter(F.col("vec_id") >= X7_CAP).take(1):
         import warnings
 
         warnings.warn(
-            f"x7_embedding_neardup input has {n_total} vectors; only "
+            f"x7_embedding_neardup input exceeds vec_id {X7_CAP}; only "
             f"vec_id < {X7_CAP} are compared (arithmetic-pin twin). "
             "Use x7b_embedding_neardup_lsh for full-corpus near-dup.",
             stacklevel=2,

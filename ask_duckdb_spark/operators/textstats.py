@@ -604,7 +604,6 @@ def x33_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     train = d.filter(F.col("source") != "src0")
-    n_train = train.count()
     train_grams = train.select(
         "doc_id", F.explode(char_ngrams(F.col("text"), 8)).alias("g")
     )
@@ -613,10 +612,14 @@ def x33_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
+    # n_train rides in as a lazy broadcast scalar (x22's n_docs trick)
+    # — an eager train.count() here would re-scan the corpus on every
+    # plan BUILD (the regression class tests/test_plans.py's
+    # no-materialize gate pins).
+    n_train = train.agg(F.count("*").cast("bigint").alias("n_train"))
     return contaminated.agg(
-        F.count("*").cast("bigint").alias("n_contaminated"),
-        F.lit(n_train).cast("bigint").alias("n_train"),
-    )
+        F.count("*").cast("bigint").alias("n_contaminated")
+    ).crossJoin(F.broadcast(n_train))
 
 
 @query(

@@ -110,9 +110,18 @@ def test_operators_build_without_materializing(spark, monkeypatch):
     count/collect/toPandas during plan construction re-scans input on
     every build (x3 regressed this way once, via an eager corpus
     count). Parquet footer/schema reads are fine; materialization is
-    not. x29 is the one documented exception: iterate-to-fixpoint must
-    execute its convergence checks at build time."""
-    from pyspark.sql import DataFrame
+    not. Documented exceptions: x29 (iterate-to-fixpoint convergence
+    checks) and x67 (per-round BPE argmax) — iterative algorithms
+    execute at build by nature.
+
+    Patches the CONCRETE classic DataFrame class: on Spark 4,
+    ``pyspark.sql.DataFrame`` is an abstract facade whose methods the
+    classic implementation overrides, so patching the facade
+    intercepts nothing (this gate was silently vacuous until r5)."""
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame  # Spark 4
+    except ImportError:  # pragma: no cover - Spark 3 layout
+        from pyspark.sql import DataFrame
 
     def _trip(kind):
         def fail(self, *a, **kw):
@@ -121,8 +130,14 @@ def test_operators_build_without_materializing(spark, monkeypatch):
 
     for kind in ("count", "collect", "toPandas", "take", "head"):
         monkeypatch.setattr(DataFrame, kind, _trip(kind))
+    # x7 additionally allowed: its ADVICE-r4 cap warning is a bounded
+    # LIMIT-1 existence probe (stat-pruned), not a scan.
     for name, fn in QUERIES.items():
-        if name == "x29_dedup_clusters":
+        if name in (
+            "x29_dedup_clusters",
+            "x67_bpe_learn",
+            "x7_embedding_neardup",
+        ):
             continue
         fn(spark, SF_DIR)  # raises if any operator materializes
 
