@@ -1319,3 +1319,129 @@ def x65_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid", "rnk")
     )
+
+
+# --- x69: PageRank over the k-NN graph (iterative, unrolled oracle) ----
+
+PR_ITERS = 3  # power-iteration rounds (unrolled in the oracle)
+PR_DAMP = 0.85  # standard damping factor
+
+
+def _x69_oracle() -> str:
+    """x69's DuckDB twin: the SAME generated band-key/knn construction
+    as x44's oracle (shared generators, never hand-copied) with the
+    PR_ITERS power iterations UNROLLED as chained CTEs — an iterative
+    algorithm with a full value-hash oracle. All literals are cast to
+    DOUBLE (DuckDB parses 1.0 as DECIMAL; Spark uses double) so the
+    arithmetic is IEEE-identical on both engines."""
+    knn = f"""
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+             a.embedding AS ea, b.embedding AS eb
+      FROM bk a JOIN bk b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id <> b.vec_id
+    ), knn AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (
+                 PARTITION BY src
+                 ORDER BY {_cos_sql("ea", "eb")} DESC, dst
+               ) AS rnk
+        FROM pairs
+      ) WHERE rnk <= {KNN_K}
+    ), outd AS (
+      SELECT src, count(*) AS od FROM knn GROUP BY src
+    ), nodes AS (SELECT vec_id AS v FROM embeddings),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (
+      SELECT v, CAST(1.0 AS DOUBLE) / nn.n AS r FROM nodes CROSS JOIN nn
+    )"""
+    iters = []
+    for k in range(1, PR_ITERS + 1):
+        iters.append(f"""
+    r{k} AS (
+      SELECT nodes.v,
+             CAST({1 - PR_DAMP} AS DOUBLE) / nn.n
+               + CAST({PR_DAMP} AS DOUBLE) * coalesce(m.inflow, 0) AS r
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS v, SUM(p.r / o.od) AS inflow
+        FROM knn e JOIN r{k - 1} p ON e.src = p.v
+        JOIN outd o ON e.src = o.src
+        GROUP BY e.dst
+      ) m ON m.v = nodes.v
+    )""")
+    return f"""
+    WITH {_band_keys_sql()},{knn},{",".join(iters)}
+    SELECT v AS vec_id, ROUND(r, 6) AS pagerank
+    FROM r{PR_ITERS}
+    ORDER BY pagerank DESC, vec_id
+    LIMIT 10
+    """
+
+
+@query("x69_knn_pagerank", oracle=_x69_oracle())
+def x69_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the x44 k-NN graph: the top-10 most
+    central vectors in the embedding manifold.
+
+    The graph-analytics member of the similarity family: x44's kNN
+    edges (banded candidates, exact cosine rerank, top-{KNN_K} per
+    vector) power-iterated {PR_ITERS} rounds with damping {PR_DAMP} —
+    the representativeness/diversity score used to pick exemplar
+    documents for curriculum or coreset selection. Simplified variant
+    without dangling-mass redistribution (a vector with no banded
+    candidates contributes nothing) — both engines compute the
+    identical rule, and the oracle UNROLLS the iterations as chained
+    CTEs, so even this iterative algorithm carries a full value-hash
+    oracle (unlike x29/x67, whose iteration counts are data-dependent).
+
+    Scale shape: the edge frame is built once and persisted (~{KNN_K}
+    rows/vector); each iteration is one dst-keyed partial-aggregable
+    shuffle of rank contributions plus a broadcast of the single-row
+    node count — the canonical distributed PageRank, linear per round.
+    At 100 TB you would checkpoint ranks every ~10 rounds; at
+    {PR_ITERS} rounds lineage is fine.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = (
+        x44_knn_graph(spark, sf_dir).select("src", "dst").persist()
+    )
+    outd = edges.groupBy("src").agg(F.count("*").alias("od"))
+    e = (
+        edges.join(outd, "src")
+        .select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"), "od")
+        .persist()
+    )
+    nodes = emb.select(F.col("vec_id").alias("v"))
+    nn = nodes.agg(F.count("*").alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "v", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(PR_ITERS):
+        inflow = (
+            e.join(ranks, e["e_src"] == ranks["v"])
+            .select(
+                F.col("e_dst").alias("iv"),
+                (F.col("r") / F.col("od")).alias("c"),
+            )
+            .groupBy("iv")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(inflow, F.col("v") == F.col("iv"), "left")
+            .select(
+                "v",
+                (
+                    F.lit(1 - PR_DAMP) / F.col("n")
+                    + F.lit(PR_DAMP) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return (
+        ranks.select("v", F.round("r", 6).alias("pagerank"))
+        .select(F.col("v").alias("vec_id"), "pagerank")
+        .orderBy(F.col("pagerank").desc(), "vec_id")
+        .limit(10)
+    )
