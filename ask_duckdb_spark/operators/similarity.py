@@ -1445,3 +1445,135 @@ def x69_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pagerank").desc(), "vec_id")
         .limit(10)
     )
+
+
+# --- x70: Lloyd's k-means, multi-round, unrolled-iteration oracle ----
+
+LLOYD_ITERS = 3  # refinement rounds (unrolled in the oracle)
+
+
+def _lloyd_oracle() -> str:
+    """x70's DuckDB twin: x27's seed/assign/quantized-remean fragments
+    (same generators and constants) repeated LLOYD_ITERS times as
+    chained CTEs. The QSCALE quantized mean makes every round's
+    centroids BIT-identical across engines (integer sums, one double
+    division), so assignments — and therefore the whole iteration
+    chain — never diverge and the output needs no rounding."""
+    blocks = [
+        f"""c0 AS (
+      SELECT vec_id AS cell, embedding AS cv
+      FROM embeddings WHERE vec_id < {N_CELLS}
+    )"""
+    ]
+    for k in range(1, LLOYD_ITERS + 1):
+        cos = _cos_sql("e.embedding", "c.cv")
+        blocks.append(
+            f"""a{k} AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {cos} DESC, c.cell) AS rn
+        FROM embeddings e CROSS JOIN c{k - 1} c
+      ) WHERE rn = 1
+    ), pd{k} AS (
+      SELECT a{k}.cell,
+             unnest(range(0, len(e.embedding))) AS pos,
+             unnest(list_transform(e.embedding,
+                    v -> CAST(floor(CAST(v AS DOUBLE) * {QSCALE}) AS BIGINT)))
+               AS q
+      FROM embeddings e JOIN a{k} USING (vec_id)
+    ), m{k} AS (
+      SELECT cell, pos,
+             (CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / {QSCALE}
+               AS c
+      FROM pd{k} GROUP BY cell, pos
+    ), c{k} AS (
+      SELECT cell, list(c ORDER BY pos) AS cv FROM m{k} GROUP BY cell
+    )"""
+        )
+    k = LLOYD_ITERS
+    return f"""
+    WITH {", ".join(blocks)},
+    sizes AS (
+      SELECT cell, CAST(count(*) AS BIGINT) AS n_members
+      FROM a{k} GROUP BY cell
+    )
+    SELECT m.cell, CAST(m.pos AS INTEGER) AS pos, m.c AS centroid_val,
+           s.n_members
+    FROM m{k} m JOIN sizes s USING (cell)
+    ORDER BY m.cell, pos
+    """
+
+
+def _quantized_mean():
+    return (
+        (
+            F.sum(
+                F.floor(F.col("v").cast("double") * QSCALE).cast("long")
+            ).cast("double")
+            / F.count("*").cast("double")
+        )
+        / QSCALE
+    ).alias("m")
+
+
+@query("x70_kmeans_lloyd", oracle=_lloyd_oracle())
+def x70_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embeddings: LLOYD_ITERS assign/remean
+    rounds from deterministic seeds; output the final codebook
+    (cell, pos, centroid_val) with each cell's final member count.
+
+    The distributed ML-training-step showpiece: x27's codebook is
+    seeds + ONE refinement; this runs the full iterative loop. Each
+    round broadcasts the tiny codebook, assigns every vector to its
+    nearest centroid (per-vector window, lowest-cell tie-break), and
+    re-averages per (cell, pos) with the QSCALE quantized mean —
+    order-independent integer sums, so centroids are BIT-identical to
+    the oracle's and the rounds can never drift apart. Like x69 the
+    iteration count is fixed, so the oracle simply unrolls it as
+    chained CTEs — full value-hash coverage for an iterative
+    algorithm, no rounding anywhere.
+
+    Scale shape: per round, one corpus-wide broadcast-join +
+    per-vector window (no shuffle of embeddings beyond the vec_id
+    window) and one (cell, pos)-keyed map-side-combinable shuffle of
+    quantized partial sums — the canonical distributed Lloyd step. At
+    100 TB checkpoint the assignment every few rounds to truncate
+    lineage; N_CELLS scales as n / target_cell_size (x62's knob
+    discipline).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cv")
+    )
+    assigned = None
+    per_dim = None
+    for _ in range(LLOYD_ITERS):
+        assigned = _assign_cells(emb, cents).select("cell", "embedding")
+        per_dim = (
+            assigned.select(
+                "cell", F.posexplode("embedding").alias("pos", "v")
+            )
+            .groupBy("cell", "pos")
+            .agg(_quantized_mean())
+        )
+        cents = per_dim.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.m,
+            ).alias("cv")
+        )
+    sizes = assigned.groupBy("cell").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    return (
+        per_dim.join(sizes, "cell")
+        .select(
+            "cell",
+            F.col("pos").cast("int").alias("pos"),
+            F.col("m").alias("centroid_val"),
+            "n_members",
+        )
+        .orderBy("cell", "pos")
+    )

@@ -96,3 +96,35 @@ def test_x66_ranks_target_domain_docs_first(spark, dsir_corpus):
     # The pure-target doc must score positive (more target-like than
     # raw-like), the pure-off-domain doc negative.
     assert w[100] > 0 > w[101]
+
+
+def test_x70_iterations_move_the_codebook(spark):
+    """Three Lloyd rounds must produce a DIFFERENT codebook than x27's
+    one-step refinement (else the loop is vacuous), every cell must
+    survive with members, and each centroid must stay 64-dim."""
+    from ask_duckdb_spark.operators.similarity import (
+        N_CELLS,
+        _ivf_centroids,
+    )
+    from tests.conftest import SF_DIR_001
+
+    rows = QUERIES["x70_kmeans_lloyd"](spark, SF_DIR_001).collect()
+    assert len(rows) == N_CELLS * 64
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append((r.pos, r.centroid_val))
+        assert r.n_members > 0
+    assert len(by_cell) == N_CELLS
+
+    from ask_duckdb_spark.sources.catalog import load_table
+
+    one_step = {
+        r["cell"]: list(r["cv"])
+        for r in _ivf_centroids(
+            load_table(spark, SF_DIR_001, "embeddings")
+        ).collect()
+    }
+    moved = any(
+        [v for _, v in sorted(by_cell[c])] != one_step[c] for c in one_step
+    )
+    assert moved, "3 Lloyd rounds produced x27's 1-step codebook"
