@@ -1459,6 +1459,24 @@ def _lloyd_oracle() -> str:
     centroids BIT-identical across engines (integer sums, one double
     division), so assignments — and therefore the whole iteration
     chain — never diverge and the output needs no rounding."""
+    k = LLOYD_ITERS
+    return f"""
+    WITH {_lloyd_ctes()},
+    sizes AS (
+      SELECT cell, CAST(count(*) AS BIGINT) AS n_members
+      FROM a{k} GROUP BY cell
+    )
+    SELECT m.cell, CAST(m.pos AS INTEGER) AS pos, m.c AS centroid_val,
+           s.n_members
+    FROM m{k} m JOIN sizes s USING (cell)
+    ORDER BY m.cell, pos
+    """
+
+
+def _lloyd_ctes() -> str:
+    """Shared WITH-body for the Lloyd chain: ``c0 → (a{k}, pd{k},
+    m{k}, c{k}) × LLOYD_ITERS`` — consumed by x70 (codebook output)
+    and x72 (per-cell exemplar output)."""
     blocks = [
         f"""c0 AS (
       SELECT vec_id AS cell, embedding AS cv
@@ -1492,18 +1510,7 @@ def _lloyd_oracle() -> str:
       SELECT cell, list(c ORDER BY pos) AS cv FROM m{k} GROUP BY cell
     )"""
         )
-    k = LLOYD_ITERS
-    return f"""
-    WITH {", ".join(blocks)},
-    sizes AS (
-      SELECT cell, CAST(count(*) AS BIGINT) AS n_members
-      FROM a{k} GROUP BY cell
-    )
-    SELECT m.cell, CAST(m.pos AS INTEGER) AS pos, m.c AS centroid_val,
-           s.n_members
-    FROM m{k} m JOIN sizes s USING (cell)
-    ORDER BY m.cell, pos
-    """
+    return ", ".join(blocks)
 
 
 def _quantized_mean():
@@ -1543,27 +1550,9 @@ def x70_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage; N_CELLS scales as n / target_cell_size (x62's knob
     discipline).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") < N_CELLS).select(
-        F.col("vec_id").alias("cell"), F.col("embedding").alias("cv")
+    per_dim, assigned, _ = _lloyd_loop(
+        load_table(spark, sf_dir, "embeddings")
     )
-    assigned = None
-    per_dim = None
-    for _ in range(LLOYD_ITERS):
-        assigned = _assign_cells(emb, cents).select("cell", "embedding")
-        per_dim = (
-            assigned.select(
-                "cell", F.posexplode("embedding").alias("pos", "v")
-            )
-            .groupBy("cell", "pos")
-            .agg(_quantized_mean())
-        )
-        cents = per_dim.groupBy("cell").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s.m,
-            ).alias("cv")
-        )
     sizes = assigned.groupBy("cell").agg(
         F.count("*").cast("bigint").alias("n_members")
     )
@@ -1577,3 +1566,92 @@ def x70_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell", "pos")
     )
+
+
+def _lloyd_loop(emb: DataFrame):
+    """LLOYD_ITERS assign/remean rounds from the deterministic seeds.
+
+    Returns ``(per_dim, assigned, cents)`` for the FINAL round:
+    per-dimension quantized means, the (vec_id, embedding, cell)
+    assignment, and the rebuilt codebook — the Spark twin of
+    ``_lloyd_ctes``'s ``m{K} / a{K} / c{K}``."""
+    cents = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cv")
+    )
+    assigned = None
+    per_dim = None
+    for _ in range(LLOYD_ITERS):
+        assigned = _assign_cells(emb, cents)
+        per_dim = (
+            assigned.select(
+                "cell", F.posexplode("embedding").alias("pos", "v")
+            )
+            .groupBy("cell", "pos")
+            .agg(_quantized_mean())
+        )
+        cents = per_dim.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.m,
+            ).alias("cv")
+        )
+    return per_dim, assigned, cents
+
+
+@query(
+    "x72_cell_exemplars",
+    oracle=f"""
+    WITH {{ctes}},
+    scored AS (
+      SELECT a.cell, a.vec_id,
+             {{cos}} AS sim,
+             row_number() OVER (
+               PARTITION BY a.cell
+               ORDER BY {{cos}} DESC, a.vec_id) AS rn
+      FROM a{LLOYD_ITERS} a
+      JOIN embeddings e USING (vec_id)
+      JOIN c{LLOYD_ITERS} c ON a.cell = c.cell
+    )
+    SELECT cell, vec_id AS exemplar_id, sim
+    FROM scored WHERE rn = 1
+    ORDER BY cell
+    """.replace("{ctes}", _lloyd_ctes()).replace(
+        "{cos}", _cos_sql("e.embedding", "c.cv")
+    ),
+)
+def x72_cell_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coreset exemplars: the most-central member of every k-means
+    cell — one representative vector per region of the embedding
+    manifold (k-center-style coreset selection for curriculum seeds or
+    few-shot pools).
+
+    Composes the x70 Lloyd chain: after the final round, each cell's
+    members are scored by cosine against the cell's (bit-identical,
+    QSCALE-quantized) centroid and the argmax wins, lowest vec_id on
+    ties. Cosines are double left-folds on both engines, so the sim
+    column hashes exactly with no rounding — the full oracle extends
+    x70's unrolled CTEs by one window.
+
+    Scale shape: everything x70 pays, plus one broadcast of the tiny
+    codebook and a per-cell window over the final assignment (cell-
+    keyed shuffle of (vec_id, sim) pairs — vectors themselves stay
+    put). N_CELLS exemplars out, whatever the corpus size.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, assigned, cents = _lloyd_loop(emb)
+    scored = (
+        assigned.join(F.broadcast(cents), "cell")
+        .withColumn(
+            "sim", cosine_similarity(F.col("embedding"), F.col("cv"))
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("cell").orderBy(F.col("sim").desc(), "vec_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return scored.select(
+        "cell", F.col("vec_id").alias("exemplar_id"), "sim"
+    ).orderBy("cell")
