@@ -1546,3 +1546,85 @@ def x67_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "merge_rank INT, lhs STRING, rhs STRING, freq BIGINT"
     )
+
+
+# ---------------------------------------------------------------------------
+# X71 mixture application: x60's weights materialized as a sample
+# ---------------------------------------------------------------------------
+
+SAMPLE_BUDGET = 200  # total docs in the mixed sample (binds at fixture size)
+
+
+@query(
+    "x71_mixture_sample",
+    oracle=f"""
+    WITH n AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+      GROUP BY 1
+    ), p AS (
+      SELECT source, pow(CAST(n_docs AS DOUBLE), 0.7) AS raw FROM n
+    ), quota AS (
+      SELECT source,
+             CAST(floor(ROUND(raw / (SELECT sum(raw) FROM p), 6)
+                        * {SAMPLE_BUDGET}) AS BIGINT) AS k
+      FROM p
+    ), ranked AS (
+      SELECT d.source, d.doc_id,
+             row_number() OVER (
+               PARTITION BY d.source
+               ORDER BY (d.doc_id * 2654435761) % 4294967296, d.doc_id
+             ) AS rn
+      FROM documents d
+    )
+    SELECT r.source, r.doc_id
+    FROM ranked r JOIN quota q USING (source)
+    WHERE r.rn <= q.k
+    ORDER BY r.source, r.doc_id
+    """,
+)
+def x71_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the temperature-scaled mixture: select each
+    source's quota of documents deterministically.
+
+    Composes x60 (alpha=0.7 source weights) with x23/x32's
+    reproducible-sampling discipline: quota_s = floor(round(w_s, 6) *
+    SAMPLE_BUDGET) — the ROUND(6) first makes the double identical on
+    both engines (x60's policy), so the floor can never straddle an
+    engine-dependent ulp — and each source contributes its quota of
+    docs ranked by the multiplicative hash (stable under corpus
+    growth: a doc's rank only changes when earlier-hashed docs
+    arrive). This is the step that turns mixing WEIGHTS into an actual
+    training corpus manifest.
+
+    Scale shape: one combinable count shuffle for the weights
+    (broadcast back as |sources| rows), one source-partitioned
+    window for the ranking. The window sorts each source's partition;
+    at 100 TB the rank would ride a bucketed sort or a quantile-sketch
+    threshold on the hash (select h < t_s with t_s from x37's sketch
+    machinery) — same contract, no global window.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n = d.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    p = n.select(
+        "source", F.pow(F.col("n_docs").cast("double"), F.lit(0.7)).alias("raw")
+    )
+    tot = p.agg(F.sum("raw").alias("t"))
+    quota = p.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.floor(
+            F.round(F.col("raw") / F.col("t"), 6) * SAMPLE_BUDGET
+        ).cast("bigint").alias("k"),
+    )
+    h = (F.col("doc_id") * 2654435761) % 4294967296
+    ranked = d.select("source", "doc_id").withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("source").orderBy(h.asc(), F.col("doc_id"))
+        ),
+    )
+    return (
+        ranked.join(F.broadcast(quota), "source")
+        .filter(F.col("rn") <= F.col("k"))
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    )
