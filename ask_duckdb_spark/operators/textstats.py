@@ -1628,3 +1628,99 @@ def x71_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id")
         .orderBy("source", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# X73 source drift: pairwise Jensen-Shannon divergence over hashed buckets
+# ---------------------------------------------------------------------------
+
+
+def _x73_oracle() -> str:
+    h = token_hash60_sql("t")
+    return f"""
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                t -> t <> '')) AS t
+      FROM documents
+    ), cnt AS (
+      SELECT source, {h} % {NB_DSIR} AS b, count(*) AS c
+      FROM toks GROUP BY source, b
+    ), srcs AS (SELECT DISTINCT source FROM documents),
+    grid AS (
+      SELECT s.source, g.b, coalesce(cnt.c, 0) AS c
+      FROM srcs s CROSS JOIN range(0, {NB_DSIR}) g(b)
+      LEFT JOIN cnt ON cnt.source = s.source AND cnt.b = g.b
+    ), tot AS (
+      SELECT source, sum(c) AS n FROM grid GROUP BY source
+    ), p AS (
+      SELECT grid.source, grid.b,
+             (grid.c + 1) / CAST(tot.n + {NB_DSIR} AS DOUBLE) AS p
+      FROM grid JOIN tot USING (source)
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           ROUND(SUM(
+             0.5 * a.p * ln(a.p / ((a.p + b.p) / 2))
+           + 0.5 * b.p * ln(b.p / ((a.p + b.p) / 2))
+           ), 6) AS jsd
+    FROM p a JOIN p b ON a.b = b.b AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY src_a, src_b
+    """
+
+
+@query("x73_source_divergence", oracle=_x73_oracle())
+def x73_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitor: Jensen-Shannon divergence between every
+    pair of sources' token distributions.
+
+    The check a pipeline runs when a new crawl lands: hash unigrams
+    into NB_DSIR buckets (x66's portable feature space), smooth each
+    source's bucket distribution add-one over the FULL bucket grid
+    (absent buckets count 0 on both engines — the grid is generated,
+    not observed), and report JSD = ½KL(Pa‖M) + ½KL(Pb‖M) per ordered
+    source pair. Symmetric, bounded by ln 2, zero iff identical —
+    unlike x59's 8-gram containment (verbatim overlap), this moves
+    when the VOCABULARY usage drifts even with zero shared text.
+
+    Scale shape: one combinable (source, bucket) count shuffle over
+    the corpus; everything after operates on the |sources| × NB_DSIR
+    grid — broadcast-scale however large the corpus. ROUND 6 absorbs
+    ln-sum addition order (x22/x60 policy).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(tokens(F.col("text"))).alias("t")
+    )
+    cnt = toks.select(
+        "source", (token_hash60(F.col("t")) % NB_DSIR).alias("b")
+    ).groupBy("source", "b").agg(F.count("*").alias("c"))
+    srcs = d.select("source").distinct()
+    grid = (
+        srcs.crossJoin(spark.range(NB_DSIR).select(F.col("id").alias("b")))
+        .join(cnt, ["source", "b"], "left")
+        .select("source", "b", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    tot = grid.groupBy("source").agg(F.sum("c").alias("n"))
+    p = grid.join(tot, "source").select(
+        "source",
+        "b",
+        ((F.col("c") + 1) / (F.col("n") + NB_DSIR).cast("double")).alias("p"),
+    )
+    a = p.select(
+        F.col("source").alias("src_a"), "b", F.col("p").alias("pa")
+    )
+    b = p.select(
+        F.col("source").alias("src_b"), "b", F.col("p").alias("pb")
+    )
+    m = (F.col("pa") + F.col("pb")) / 2
+    term = 0.5 * F.col("pa") * F.log(F.col("pa") / m) + 0.5 * F.col(
+        "pb"
+    ) * F.log(F.col("pb") / m)
+    return (
+        a.join(b, "b")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.round(F.sum(term), 6).alias("jsd"))
+        .orderBy("src_a", "src_b")
+    )
