@@ -210,10 +210,12 @@ def minhash_signatures_fast(
     return _minhash_signatures_impl(docs, id_col, text_col, token_h)
 
 
-def _minhash_signatures_impl(
+def _shingle_sets_impl(
     docs: DataFrame, id_col: str, text_col: str, token_hash_sql: str
 ) -> DataFrame:
-    """Shared minhash pipeline over a token-hash SQL fragment (``t``)."""
+    """(id, _bh): the DISTINCT shingle-hash set per document — the
+    exact set whose Jaccard the minhash signatures estimate. Shared by
+    the signature pipeline and x74's exact-truth evaluation."""
     th_sql = (
         f"transform(filter(split(lower({text_col}), '\\\\s+'), t -> t != ''), "
         f"t -> {token_hash_sql})"
@@ -224,7 +226,14 @@ def _minhash_signatures_impl(
         f"i -> aggregate(slice(_th, i, {SHINGLE_K}), CAST(0 AS BIGINT), "
         f"(acc, x) -> (acc * {PH_B}L + x) % {PH_P}L))"
     )
-    docs = docs.selectExpr(id_col, f"array_distinct({shingles_sql}) AS _bh")
+    return docs.selectExpr(id_col, f"array_distinct({shingles_sql}) AS _bh")
+
+
+def _minhash_signatures_impl(
+    docs: DataFrame, id_col: str, text_col: str, token_hash_sql: str
+) -> DataFrame:
+    """Shared minhash pipeline over a token-hash SQL fragment (``t``)."""
+    docs = _shingle_sets_impl(docs, id_col, text_col, token_hash_sql)
     sig_sql = "array(" + ", ".join(
         f"array_min(transform(_bh, h -> (h * {a}L + {b}L) % {PH_P}L))"
         for a, b in _PERMS
@@ -1215,4 +1224,149 @@ def x68_repeated_window_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ratio"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x74: sketch-quality evaluation — precision/recall of the MinHash-LSH
+# pair set (x2) against EXACT shingle-set Jaccard >= 0.5 ground truth.
+# The measurement a pipeline owner runs before trusting a sketch config
+# (N_HASHES / band geometry) on a new corpus: the banding S-curve and the
+# +-1/sqrt(N_HASHES) estimator noise both show up here as fp/fn counts.
+# ---------------------------------------------------------------------------
+
+
+def _x74_oracle() -> str:
+    k1 = SHINGLE_K - 1
+    return f"""
+    WITH th AS (
+      SELECT doc_id,
+             list_transform({_TOKENS_SQL},
+                            t -> {token_hash60_sql('t')} % {PH_P}) AS th
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(th) - {k1}, 1) + 1),
+               i -> CASE WHEN len(list_slice(th, i, i + {k1})) = 0
+                         THEN CAST(0 AS BIGINT)
+                         ELSE list_reduce(list_slice(th, i, i + {k1}),
+                                          (a, b) -> (a * {PH_B} + b) % {PH_P})
+                    END)) AS bh
+      FROM th
+    ), post AS (
+      SELECT doc_id, unnest(bh) AS h FROM sh
+    ), sizes AS (
+      SELECT doc_id, len(bh) AS n FROM sh
+    ), ov AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM post a JOIN post b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), truth AS (
+      SELECT id_a, id_b
+      FROM ov
+      JOIN sizes sa ON sa.doc_id = ov.id_a
+      JOIN sizes sb ON sb.doc_id = ov.id_b
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+    ), pred AS (
+      SELECT id_a, id_b FROM ({_X2_ORACLE}) x2
+    ), j AS (
+      SELECT coalesce(p.id_a, t.id_a) AS id_a,
+             p.id_a IS NOT NULL AS in_pred,
+             t.id_a IS NOT NULL AS in_truth
+      FROM pred p FULL OUTER JOIN truth t
+        ON p.id_a = t.id_a AND p.id_b = t.id_b
+    )
+    SELECT CAST(sum(CASE WHEN in_pred THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+           CAST(sum(CASE WHEN in_truth THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+           CAST(sum(CASE WHEN in_pred AND in_truth THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN in_pred AND NOT in_truth THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN in_truth AND NOT in_pred THEN 1 ELSE 0 END)
+                AS BIGINT) AS fn,
+           ROUND(CAST(sum(CASE WHEN in_pred AND in_truth THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / greatest(sum(CASE WHEN in_pred THEN 1 ELSE 0 END), 1), 6)
+             AS precision,
+           ROUND(CAST(sum(CASE WHEN in_pred AND in_truth THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / greatest(sum(CASE WHEN in_truth THEN 1 ELSE 0 END), 1), 6)
+             AS recall
+    FROM j
+    """
+
+
+@query("x74_neardup_eval", oracle=_x74_oracle())
+def x74_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of x2's LSH pair set vs exact Jaccard >= 0.5.
+
+    Ground truth is EXACT Jaccard over the same distinct shingle-hash
+    sets the signatures sketch (``_shingle_sets_impl`` — so the eval
+    isolates the SKETCH error, not featurization differences), built
+    with an inverted-index join: explode shingles, join postings on the
+    hash, count overlap, Jaccard from the inclusion-exclusion identity.
+    Prediction is x2's banded-LSH + estimator-filtered pair set. A full
+    outer join on the pair key yields tp/fp/fn; precision and recall
+    are single exact divisions (ROUND 6).
+
+    Scale (100 TB): the truth side is audit-scale, like x3 — shingle
+    postings are near-unique so the join is output-bounded, but a
+    degenerate corpus (one shingle shared by 10^6 docs) makes it
+    quadratic; at scale run the eval on a hash-sampled document subset
+    (x23's Knuth sampler) — sketch precision/recall is a corpus-level
+    statistic a 1% sample estimates to +-1%. The pred side (x2) scales
+    by design; the comparison join moves only pair ids.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    token_h = f"{token_hash60_sparksql('t')} % {PH_P}L"
+    sh = _shingle_sets_impl(d, "doc_id", "text", token_h).persist()
+    post = sh.select("doc_id", F.explode("_bh").alias("h"))
+    sizes = sh.select("doc_id", F.size("_bh").alias("n"))
+    overlap = (
+        post.alias("a")
+        .join(post.alias("b"), "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    truth = (
+        overlap.join(sizes.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumnRenamed("n", "na")
+        .join(sizes.withColumnRenamed("doc_id", "id_b"), "id_b")
+        .withColumnRenamed("n", "nb")
+        .filter(
+            F.col("c").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("c"))
+            >= 0.5
+        )
+        .select("id_a", "id_b")
+    )
+    pred = x2_minhash_neardup(spark, sf_dir).select("id_a", "id_b")
+    j = pred.withColumn("in_pred", F.lit(True)).join(
+        truth.withColumn("in_truth", F.lit(True)),
+        ["id_a", "id_b"],
+        "full_outer",
+    )
+    in_pred = F.col("in_pred").isNotNull()
+    in_truth = F.col("in_truth").isNotNull()
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return j.agg(
+        cnt(in_pred).cast("bigint").alias("n_pred"),
+        cnt(in_truth).cast("bigint").alias("n_truth"),
+        cnt(in_pred & in_truth).cast("bigint").alias("tp"),
+        cnt(in_pred & ~in_truth).cast("bigint").alias("fp"),
+        cnt(in_truth & ~in_pred).cast("bigint").alias("fn"),
+        F.round(
+            cnt(in_pred & in_truth).cast("double")
+            / F.greatest(cnt(in_pred), F.lit(1)),
+            6,
+        ).alias("precision"),
+        F.round(
+            cnt(in_pred & in_truth).cast("double")
+            / F.greatest(cnt(in_truth), F.lit(1)),
+            6,
+        ).alias("recall"),
     )

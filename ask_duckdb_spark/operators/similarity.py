@@ -1655,3 +1655,116 @@ def x72_cell_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "cell", F.col("vec_id").alias("exemplar_id"), "sim"
     ).orderBy("cell")
+
+
+# ---------------------------------------------------------------------------
+# x75: hard-negative mining — triplet construction for contrastive
+# embedding training (anchor, hardest positive, hardest negative). The
+# standard retrieval-training data op (e.g. DPR/SimCSE pipelines):
+# negatives that are NEAR the anchor but differently labeled teach the
+# margin; easy random negatives teach nothing.
+# ---------------------------------------------------------------------------
+
+#: Anchors for the registered entry: the first N_ANCHOR vectors (small,
+#: broadcastable side — the corpus side stays unreduced).
+N_ANCHOR = 20
+
+
+def _x75_oracle() -> str:
+    cos = _cos_sql("a.ed", "c.ed")
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS ed
+      FROM embeddings
+    ), a AS (SELECT * FROM e WHERE vec_id < {N_ANCHOR}),
+    s AS (
+      SELECT a.vec_id AS anchor_id, a.label AS al,
+             c.vec_id AS cid, c.label AS cl, {cos} AS sim
+      FROM a JOIN e c ON c.vec_id <> a.vec_id
+    ), pos AS (
+      SELECT anchor_id, cid, sim,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY sim DESC, cid) AS rn
+      FROM s WHERE cl = al
+    ), neg AS (
+      SELECT anchor_id, cid, sim,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY sim DESC, cid) AS rn
+      FROM s WHERE cl <> al
+    )
+    SELECT p.anchor_id, p.cid AS pos_id, ROUND(p.sim, 6) AS pos_sim,
+           n.cid AS neg_id, ROUND(n.sim, 6) AS neg_sim,
+           ROUND(p.sim - n.sim, 6) AS margin
+    FROM pos p JOIN neg n USING (anchor_id)
+    WHERE p.rn = 1 AND n.rn = 1
+    ORDER BY p.anchor_id
+    """
+
+
+@query("x75_hard_negatives", oracle=_x75_oracle())
+def x75_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-anchor hardest positive + hardest negative (triplet mining).
+
+    For each anchor (vec_id < N_ANCHOR): the highest-cosine SAME-label
+    neighbor (the hardest positive — furthest in-class member by the
+    mirror argument) and the highest-cosine OTHER-label neighbor (the
+    hardest negative); ``margin = pos_sim - neg_sim`` is the triplet's
+    difficulty. Ranking uses the raw fold-exact cosine (bit-identical
+    across engines — functions/vectors.py discipline), ties broken by
+    vec_id; only the OUTPUT sims are rounded.
+
+    Both argmaxes come from ONE pass over the scored pairs: min(struct)
+    aggregates (map-side combinable) over the same cross product, not
+    two window sorts. The anchor side is the broadcast (N_ANCHOR rows);
+    the corpus side streams through narrowly.
+
+    Scale (100 TB): anchors-broadcast x corpus scan is O(|A| * n)
+    cosines — the exact-mining shape, linear in the corpus for a
+    bounded anchor batch (training loops mine in such batches). For
+    corpus-scale anchor sets, prune candidates with x6's band keys or
+    x27's IVF cells first and mine within buckets; this entry is the
+    exactness anchor those approximations are measured against.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < N_ANCHOR).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("al"),
+        F.col("embedding").alias("av"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "al",
+            "label",
+            "vec_id",
+            cosine_similarity(F.col("embedding"), F.col("av")).alias("sim"),
+        )
+    )
+    # argmax as min(struct(-sim, id)): partial-aggregable, one shuffle.
+    def best(cond):
+        return F.min(
+            F.when(
+                cond,
+                F.struct(
+                    (-F.col("sim")).alias("neg"),
+                    F.col("vec_id").alias("id"),
+                    F.col("sim").alias("sim"),
+                ),
+            )
+        )
+
+    agg = scored.groupBy("anchor_id").agg(
+        best(F.col("label") == F.col("al")).alias("p"),
+        best(F.col("label") != F.col("al")).alias("n"),
+    )
+    return agg.select(
+        "anchor_id",
+        F.col("p.id").alias("pos_id"),
+        F.round(F.col("p.sim"), 6).alias("pos_sim"),
+        F.col("n.id").alias("neg_id"),
+        F.round(F.col("n.sim"), 6).alias("neg_sim"),
+        F.round(F.col("p.sim") - F.col("n.sim"), 6).alias("margin"),
+    ).orderBy("anchor_id")

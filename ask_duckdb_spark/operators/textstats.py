@@ -1724,3 +1724,318 @@ def x73_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(term), 6).alias("jsd"))
         .orderBy("src_a", "src_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# x76: BM25 ranked retrieval — the lexical-search side of a data pipeline
+# (mining training docs for a topic, building retrieval eval sets). The
+# reference has no retrieval operator (its engine runs arbitrary SQL,
+# reference: query_llm.py:400); this is north-star SURVEY §2.9 surface.
+# ---------------------------------------------------------------------------
+
+#: DuckDB twin of functions/text.tokens() — whitespace tokens of the
+#: lowercased text, empties dropped (same fragment the x8/x22 oracles
+#: inline; named here for the r5 additions).
+_TOKENS_ORACLE = (
+    r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+)
+
+#: Fixed query-term set for the registered entry (present in the synthetic
+#: corpus vocabulary); the callable computes the same plan for any term set.
+BM25_TERMS: tuple[str, ...] = ("vector", "customer", "spark")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@query(
+    "x76_bm25_topk",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKENS_ORACLE}) AS tok FROM documents
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl
+      FROM (SELECT d.doc_id, coalesce(dl.dl, 0) AS dl
+            FROM documents d LEFT JOIN dl USING (doc_id))
+    ), tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks
+      WHERE tok IN ({", ".join(repr(t) for t in BM25_TERMS)})
+      GROUP BY 1, 2
+    ), df AS (
+      SELECT tok, count(*) AS df FROM tf GROUP BY 1
+    ), contrib AS (
+      SELECT tf.doc_id,
+             ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * ({BM25_K1} + 1)
+               / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                  + {BM25_B} * dl.dl / s.avgdl)) AS c
+      FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats s
+    )
+    SELECT doc_id, ROUND(sum(c), 6) AS bm25
+    FROM contrib GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+)
+def x76_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 documents for a fixed bag-of-words query.
+
+    Okapi BM25 (Robertson & Walker 1994): per matched term,
+    ``idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` with
+    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``, summed per document
+    (ROUND 6 on both engines — sum order is the only float hazard).
+
+    Scale (100 TB): the IN-list term filter lands BEFORE the (doc, tok)
+    shuffle, so only rows for the |Q| query terms move — the exchange is
+    O(matching postings), not O(corpus tokens). df (≤ |Q| rows) and the
+    (N, avgdl) scalar ride in as broadcasts; doc length joins on the
+    already-aggregated tf frame keyed by doc_id; the final top-10 is a
+    TakeOrderedAndProject. For interactive QPS you'd materialize the
+    (tok → postings) index once (x22's tf frame bucketed by tok) and
+    reuse it across queries instead of rescanning.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = (
+        d.join(dl, "doc_id", "left")
+        .select(F.coalesce("dl", F.lit(0)).alias("dl"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        )
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log(
+        1
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    contrib = (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (idf * F.col("tf") * (BM25_K1 + 1) / denom).alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.round(F.sum("c"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# x77: Zipf rank-frequency slope — a one-number corpus health check
+# (natural text sits near -1; boilerplate/generated text drifts off).
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP_N = 100
+
+
+@query(
+    "x77_zipf_slope",
+    oracle=rf"""
+    WITH freq AS (
+      SELECT tok, count(*) AS f
+      FROM (SELECT unnest({_TOKENS_ORACLE}) AS tok FROM documents)
+      GROUP BY 1 ORDER BY f DESC, tok LIMIT {ZIPF_TOP_N}
+    ), ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS r FROM freq
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           ROUND(regr_slope(ln(f), ln(r)), 4) AS zipf_slope,
+           ROUND(regr_intercept(ln(f), ln(r)), 4) AS zipf_intercept
+    FROM ranked
+    """,
+)
+def x77_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS slope of ln(freq) vs ln(rank) over the top-100 terms.
+
+    Zipf's law says the slope is ≈ -1 for natural language; a corpus
+    whose head diverges (template spam flattens it, key-collapse
+    steepens it) fails the monitor. Both engines run their native
+    ``regr_slope`` aggregate; ROUND 4 absorbs the accumulation-order
+    wobble of the 100-term sums (the x28b lesson: ln-scale values are
+    O(1-10), so 4 dp leaves ~1e10 x headroom over the 1e-14 noise).
+
+    Scale (100 TB): one word-count shuffle (map-side combinable) + a
+    TakeOrdered of the top 100; the regression runs on 100 rows on a
+    single post-limit partition. The term-frequency frame is the same
+    exchange x9/x22 build — in a shared pipeline it's computed once.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("f"))
+        .orderBy(F.col("f").desc(), "tok")
+        .limit(ZIPF_TOP_N)
+    )
+    ranked = freq.select(
+        "f",
+        F.row_number()
+        .over(W.orderBy(F.col("f").desc(), "tok"))
+        .alias("r"),
+    )
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.round(F.regr_slope(F.log("f"), F.log("r")), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(F.log("f"), F.log("r")), 4).alias(
+            "zipf_intercept"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x78: curriculum bins — decile-bucket the corpus by a continuous quality
+# signal (here x10's unique_ratio) so a training loader can schedule
+# easy→hard (or filter the bottom deciles) with one precomputed column.
+# ---------------------------------------------------------------------------
+
+N_CURRICULUM_BINS = 10
+
+
+@query(
+    "x78_curriculum_bins",
+    oracle=rf"""
+    WITH scored AS (
+      SELECT doc_id,
+             ROUND(CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / greatest(len(toks), 1), 6) AS score
+      FROM (SELECT doc_id, {_TOKENS_ORACLE} AS toks FROM documents)
+    ), binned AS (
+      SELECT doc_id, score,
+             ntile({N_CURRICULUM_BINS}) OVER (ORDER BY score, doc_id) AS bin
+      FROM scored
+    )
+    SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+           min(score) AS min_score, max(score) AS max_score,
+           ROUND(avg(score), 6) AS avg_score
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def x78_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-decile curriculum binning with per-bin statistics.
+
+    ``ntile(10)`` over (score, doc_id) — the score is ROUNDed to 6 dp
+    BEFORE ordering so both engines rank the identical values and the
+    doc_id tiebreak makes the assignment fully deterministic. Output is
+    the bin manifest a curriculum sampler consumes (count + score range
+    per decile); joining ``binned`` back to the corpus is the loader's
+    one extra hash join.
+
+    Scale (100 TB): a global ntile is a single-partition sort — fine
+    for this bounded manifest but NOT for assigning bins to 10^11 rows.
+    At scale, replace the window with quantile cutpoints (x37's GK
+    sketch or approxQuantile) broadcast as a 9-value array and assign
+    via ``width_bucket``-style comparisons — a narrow map. The registry
+    entry keeps the exact-window form because it is the semantics the
+    cutpoint version approximates (and the differential anchor for it).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("score"),
+    )
+    binned = scored.select(
+        "score",
+        F.ntile(N_CURRICULUM_BINS)
+        .over(W.orderBy("score", "doc_id"))
+        .alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+            F.round(F.avg("score"), 6).alias("avg_score"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x79: vocabulary growth (Heaps' law) — distinct-token count at corpus
+# deciles. Sub-linear growth is the natural-text signature; a vocabulary
+# that grows linearly means ID-like junk tokens (and a tokenizer about to
+# blow its budget).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x79_vocab_growth",
+    oracle=rf"""
+    WITH first_seen AS (
+      SELECT tok, min(doc_id) AS fs
+      FROM (SELECT doc_id, unnest({_TOKENS_ORACLE}) AS tok FROM documents)
+      GROUP BY 1
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    cp AS (
+      SELECT k, CAST(ceil(n.n_docs * k / 10.0) AS BIGINT) AS docs
+      FROM range(1, 11) t(k) CROSS JOIN n
+    )
+    SELECT cp.k AS decile, cp.docs AS docs_processed,
+           CAST(count(f.tok) AS BIGINT) AS vocab_size
+    FROM cp LEFT JOIN first_seen f ON f.fs < cp.docs
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+)
+def x79_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law curve: |vocab| after each tenth of the corpus.
+
+    "Corpus order" is doc_id order (the fixtures' ids are contiguous
+    0..n-1 — TESTDATA.md — so ``doc_id < ceil(n*k/10)`` IS the first
+    k/10th). Computed from each token's FIRST-seen doc (one word-count
+    shuffle, map-side combinable ``min``), then counted under each of
+    10 broadcast checkpoints — never by re-scanning per checkpoint.
+
+    Scale (100 TB): first_seen is the same (token)-keyed exchange every
+    term-frequency op builds; the checkpoint fan-out replicates only
+    the AGGREGATED vocab frame 10x through a broadcast nested-loop
+    against a 10-row dim, and the final count is map-side combinable.
+    The curve that would need a true ordered scan (per-doc cumulative
+    vocab) is deliberately not the contract — decile granularity keeps
+    the plan shuffle-minimal.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    first_seen = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"), "doc_id")
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("fs"))
+    )
+    n = d.agg(F.count("*").alias("n_docs"))
+    cp = (
+        spark.range(1, 11)
+        .select(F.col("id").alias("k"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "k",
+            F.ceil(F.col("n_docs") * F.col("k") / 10.0)
+            .cast("bigint")
+            .alias("docs"),
+        )
+    )
+    return (
+        F.broadcast(cp)
+        .join(first_seen, first_seen.fs < cp.docs, "left")
+        .groupBy(F.col("k").alias("decile"), F.col("docs").alias("docs_processed"))
+        .agg(F.count("tok").cast("bigint").alias("vocab_size"))
+        .orderBy("decile")
+    )

@@ -1,0 +1,226 @@
+"""Semantic gates for the round-5 continuation operators x74-x79.
+
+All six carry full value-hashed DuckDB oracles (scripts/diffcheck.py);
+these tests pin the invariants oracle equality can't see, on hand-built
+inputs where the right answer is known by construction: x74's confusion
+counts must be internally consistent and perfect on an exact-duplicate
+corpus, x75 must pick the planted nearest same/other-label vectors,
+x76 must rank by term presence with BM25's saturation, x77 must
+reproduce a hand-computed OLS slope, and x78/x79 must partition /
+accumulate the real fixture exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from ask_duckdb_spark.operators import QUERIES
+from tests.conftest import SF_DIR, SF_DIR_001
+
+
+def _write_documents(spark, tmpdir: str, rows: list[tuple[int, str, str]]):
+    df = spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmpdir}/documents.parquet"
+    )
+
+
+# ---------------------------------------------------------------------------
+# x74 — sketch eval confusion counts
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(spark, tmp_path_factory):
+    """Docs 0/1 byte-identical (exact Jaccard 1.0 -> truth AND sketch
+    must pair them); docs 2/3 share no vocabulary with anything."""
+    dup = " ".join(f"w{i % 7} common{i % 5}" for i in range(30))
+    rows = [
+        (0, dup, "srcA"),
+        (1, dup, "srcA"),
+        (2, " ".join(f"x{i}" for i in range(30)), "srcA"),
+        (3, " ".join(f"y{i}" for i in range(30)), "srcA"),
+    ]
+    d = tmp_path_factory.mktemp("x74corpus")
+    _write_documents(spark, str(d), rows)
+    return str(d)
+
+
+def test_x74_perfect_on_exact_duplicates(spark, dup_corpus):
+    row = QUERIES["x74_neardup_eval"](spark, dup_corpus).collect()[0]
+    assert (row.n_pred, row.n_truth) == (1, 1)
+    assert (row.tp, row.fp, row.fn) == (1, 0, 0)
+    assert row.precision == 1.0 and row.recall == 1.0
+
+
+def test_x74_counts_consistent_on_fixture(spark):
+    row = QUERIES["x74_neardup_eval"](spark, SF_DIR_001).collect()[0]
+    assert row.tp + row.fp == row.n_pred
+    assert row.tp + row.fn == row.n_truth
+    assert 0.0 <= row.precision <= 1.0 and 0.0 <= row.recall <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# x75 — hard-negative mining
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def triplet_corpus(spark, tmp_path_factory):
+    """Anchor 0 (label 0). Planted: id 30 = near-identical SAME label
+    (hardest positive), id 40 = near-identical OTHER label (hardest
+    negative); ids 31/41 are remote members of each class."""
+
+    def vec(a, b):
+        return [float(a), float(b), 0.0, 0.0]
+
+    rows = [
+        (0, vec(1.0, 0.0), 0),
+        (30, vec(0.99, 0.14), 0),   # cos ~0.990
+        (31, vec(0.0, 1.0), 0),     # cos 0
+        (40, vec(0.999, 0.045), 1), # cos ~0.999 — the hard negative
+        (41, vec(-1.0, 0.0), 1),    # cos -1
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = tmp_path_factory.mktemp("x75corpus")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{d}/embeddings.parquet"
+    )
+    return str(d)
+
+
+def test_x75_picks_planted_extremes(spark, triplet_corpus):
+    out = {
+        r.anchor_id: r
+        for r in QUERIES["x75_hard_negatives"](spark, triplet_corpus).collect()
+    }
+    a = out[0]
+    assert a.pos_id == 30 and a.neg_id == 40
+    # the planted negative is CLOSER than the positive: negative margin
+    assert a.margin < 0
+    assert a.margin == pytest.approx(a.pos_sim - a.neg_sim, abs=2e-6)
+
+
+def test_x75_fixture_invariants(spark):
+    rows = QUERIES["x75_hard_negatives"](spark, SF_DIR_001).collect()
+    assert len(rows) == 20  # one triplet per anchor
+    for r in rows:
+        assert r.pos_id != r.anchor_id and r.neg_id != r.anchor_id
+        assert -1.0 <= r.pos_sim <= 1.0 and -1.0 <= r.neg_sim <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# x76 — BM25
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def bm25_corpus(spark, tmp_path_factory):
+    """Doc 0 carries all three query terms, doc 1 one term, doc 2 none;
+    docs 3+ are filler so idf is meaningful."""
+    rows = [
+        (0, "vector customer spark vector pad pad pad pad", "srcA"),
+        (1, "customer pad pad pad pad pad pad pad", "srcA"),
+        (2, "pad pad pad pad pad pad pad pad", "srcA"),
+    ] + [
+        (3 + i, f"filler{i} pad pad pad pad pad pad pad", "srcA")
+        for i in range(7)
+    ]
+    d = tmp_path_factory.mktemp("x76corpus")
+    _write_documents(spark, str(d), rows)
+    return str(d)
+
+
+def test_x76_ranks_by_term_coverage(spark, bm25_corpus):
+    rows = QUERIES["x76_bm25_topk"](spark, bm25_corpus).collect()
+    ids = [r.doc_id for r in rows]
+    # only docs containing >=1 query term score at all
+    assert set(ids) == {0, 1}
+    assert ids[0] == 0  # full-coverage doc wins
+    assert rows[0].bm25 > rows[1].bm25 > 0
+
+
+def test_x76_fixture_topk_shape(spark):
+    rows = QUERIES["x76_bm25_topk"](spark, SF_DIR_001).collect()
+    assert len(rows) == 10
+    scores = [r.bm25 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# x77 — Zipf slope
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def zipf_corpus(spark, tmp_path_factory):
+    """Exact frequencies a:8 b:4 c:2 d:1 — OLS slope computable by hand."""
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    d = tmp_path_factory.mktemp("x77corpus")
+    _write_documents(spark, str(d), [(0, text, "srcA")])
+    return str(d)
+
+
+def test_x77_matches_hand_ols(spark, zipf_corpus):
+    row = QUERIES["x77_zipf_slope"](spark, zipf_corpus).collect()[0]
+    assert row.n_terms == 4
+    xs = [math.log(r) for r in (1, 2, 3, 4)]
+    ys = [math.log(f) for f in (8, 4, 2, 1)]
+    mx, my = sum(xs) / 4, sum(ys) / 4
+    slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+    assert row.zipf_slope == pytest.approx(round(slope, 4), abs=1e-4)
+    assert row.zipf_slope < 0
+
+
+# ---------------------------------------------------------------------------
+# x78 — curriculum bins
+# ---------------------------------------------------------------------------
+
+
+def test_x78_partitions_fixture_exactly(spark):
+    rows = sorted(
+        QUERIES["x78_curriculum_bins"](spark, SF_DIR).collect(),
+        key=lambda r: r.bin,
+    )
+    assert [r.bin for r in rows] == list(range(1, 11))
+    assert sum(r.n_docs == 50 for r in rows) == 10  # 500 docs, even ntile
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.min_score >= prev.max_score  # deciles are ordered
+        assert prev.min_score <= prev.avg_score <= prev.max_score
+
+
+# ---------------------------------------------------------------------------
+# x79 — vocabulary growth
+# ---------------------------------------------------------------------------
+
+
+def test_x79_monotone_and_exact_tail(spark):
+    from pyspark.sql import functions as F
+
+    from ask_duckdb_spark.functions.text import tokens
+    from ask_duckdb_spark.sources.catalog import load_table
+
+    rows = sorted(
+        QUERIES["x79_vocab_growth"](spark, SF_DIR).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    assert [r.docs_processed for r in rows] == [50 * k for k in range(1, 11)]
+    sizes = [r.vocab_size for r in rows]
+    assert sizes == sorted(sizes)
+    full_vocab = (
+        load_table(spark, SF_DIR, "documents")
+        .select(F.explode(tokens(F.col("text"))).alias("t"))
+        .agg(F.countDistinct("t"))
+        .collect()[0][0]
+    )
+    assert sizes[-1] == full_vocab
