@@ -583,21 +583,20 @@ def x3_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "x29_dedup_clusters",
-    # Transitive closure as a recursive CTE: reach(v, l) accumulates
-    # every label reachable from v over the symmetric edge set (UNION
-    # dedup terminates the recursion on cyclic graphs), then min(l)
-    # per vertex IS the connected component — the declarative twin of
-    # the Spark side's iterate-to-fixpoint label propagation.
-    # ORACLE-SIZE ASSUMPTION (ADVICE r4): reach materializes one row
-    # per (vertex, reachable vertex) = O(sum of component size^2).
-    # Fine while the fixtures' near-dup clusters stay small (pairs/
-    # triples); if a fixture ever grows a giant cluster, switch to a
-    # min-label iterative CTE (carry only the current min per vertex)
-    # before the ORACLE becomes the bottleneck — the Spark side
-    # already is min-label-iterative and doesn't care.
-    oracle=f"""
+# Transitive closure as a recursive CTE: reach(v, l) accumulates
+# every label reachable from v over the symmetric edge set (UNION
+# dedup terminates the recursion on cyclic graphs), then min(l)
+# per vertex IS the connected component — the declarative twin of
+# BOTH Spark-side algorithms (x29 min-label propagation and x80
+# large-star/small-star), which compute the same clusters.
+# ORACLE-SIZE ASSUMPTION (ADVICE r4): reach materializes one row
+# per (vertex, reachable vertex) = O(sum of component size^2).
+# Fine while the fixtures' near-dup clusters stay small (pairs/
+# triples); if a fixture ever grows a giant cluster, switch to a
+# min-label iterative CTE (carry only the current min per vertex)
+# before the ORACLE becomes the bottleneck — the Spark side
+# already is min-label-iterative and doesn't care.
+_CC_ORACLE = f"""
     WITH RECURSIVE p AS (
       SELECT id_a, id_b FROM ({_X2_ORACLE}) x2
     ), edges AS (
@@ -611,8 +610,10 @@ def x3_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT v AS doc_id, min(l) AS cluster
     FROM reach GROUP BY v ORDER BY doc_id
-    """,
-)
+    """
+
+
+@query("x29_dedup_clusters", oracle=_CC_ORACLE)
 def x29_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over x2's pair graph.
 
@@ -1370,3 +1371,121 @@ def x74_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x80: connected components via alternating large-star / small-star
+# (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond").
+# x29's min-label propagation needs O(component diameter) rounds — fine
+# for near-dup clusters (diameter 2-3), fatal on chain-shaped graphs. The
+# star algorithm converges in O(log n) rounds regardless of diameter:
+# the 100 TB default whenever the component shape is unknown.
+# ---------------------------------------------------------------------------
+
+CC_MAX_ROUNDS = 20  # ~log2(vertices) + slack; raises on non-convergence
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """LS: for each u, connect every LARGER neighbor to m = min(N(u)+{u}).
+
+    Input/output are directed (u, v) frames; input must be symmetric.
+    """
+    mi = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    m = F.least(F.col("mv"), F.col("u"))
+    # No distinct here: duplicates are harmless to the next stage's
+    # min-aggregates and each distinct is a shuffle per round.
+    return (
+        sym.join(mi, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """SS: for each u, connect every SMALLER-or-self node to the min.
+
+    Normalizes to (big, small) first; emits (v, m) for v in N(u)+{u},
+    v != m. Output is the star-edge frame (child -> tentative root).
+    """
+    # No distinct on d: min-aggregation and the output distinct absorb
+    # duplicates; dropping it saves a shuffle per round.
+    d = e.filter(F.col("u") != F.col("v")).select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mi = d.groupBy("u").agg(F.min("v").alias("mv"))
+    rewired = (
+        d.join(mi, "u")
+        .filter(F.col("v") != F.col("mv"))
+        .select(F.col("v").alias("u"), F.col("mv").alias("v"))
+    )
+    selfed = mi.select("u", F.col("mv").alias("v"))
+    return rewired.union(selfed).distinct()
+
+
+@query("x80_cc_star", oracle=_CC_ORACLE)
+def x80_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of x2's near-dup graph, star-contraction.
+
+    Alternates large-star (hang big neighbors off each neighborhood
+    min) and small-star (point small neighbors at the min) until the
+    edge set reaches a fixpoint — at which point every component is a
+    star centered at its global minimum, and the star edges ARE the
+    (doc_id, cluster) assignment. Same output contract and same
+    recursive-CTE oracle as x29; the pytest gate additionally asserts
+    x80 == x29 row-for-row on the fixtures.
+
+    Scale (100 TB): each round is two keyed shuffles of the CURRENT
+    edge frame (which only shrinks toward one edge per vertex) — and
+    the round count is O(log n) in the vertex count, independent of
+    component diameter, vs x29's O(diameter). On web-scale dedup
+    graphs, boilerplate chains routinely have diameters in the
+    hundreds; this is the variant that terminates there. Convergence
+    is detected with one (count, hash-sum) checksum job per round on
+    the cached frame; non-convergence inside CC_MAX_ROUNDS raises
+    rather than returning split components.
+    """
+    pairs = x2_minhash_neardup(spark, sf_dir).select("id_a", "id_b")
+    e = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    def _checksum(df: DataFrame) -> tuple:
+        # (count, sum of row hashes): equal checksums on equal-count
+        # edge sets mean a fixpoint up to a 2^-64 hash-cancellation —
+        # one single-stage job on the cached frame vs an anti-join
+        # (~2 s/round of probe cost at any input size). A false
+        # "stable" would surface immediately in the oracle gate.
+        row = df.agg(
+            F.count("*").alias("n"), F.sum(F.xxhash64("u", "v")).alias("h")
+        ).collect()[0]
+        return (row.n, row.h)
+
+    converged = False
+    prev_cs = _checksum(e)
+    for _ in range(CC_MAX_ROUNDS):
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        nxt = _small_star(_large_star(sym)).persist()
+        cs = _checksum(nxt)
+        e.unpersist()
+        e = nxt
+        if cs == prev_cs:
+            converged = True
+            break
+        prev_cs = cs
+    if not converged:
+        e.unpersist()
+        raise RuntimeError(
+            f"x80 star contraction did not converge in {CC_MAX_ROUNDS} "
+            "rounds — raise CC_MAX_ROUNDS (needs ~log2 |V|)"
+        )
+    # Fixpoint edges are (child -> root) stars; the roots themselves
+    # never appear on the child side, so union in their self-rows.
+    children = e.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("cluster")
+    )
+    roots = e.select(
+        F.col("v").alias("doc_id"), F.col("v").alias("cluster")
+    ).distinct()
+    return children.union(roots).distinct().orderBy("doc_id")

@@ -224,3 +224,37 @@ def test_x79_monotone_and_exact_tail(spark):
         .collect()[0][0]
     )
     assert sizes[-1] == full_vocab
+
+
+# ---------------------------------------------------------------------------
+# x80 — star-contraction connected components
+# ---------------------------------------------------------------------------
+
+
+def test_x80_equals_x29_min_label(spark):
+    """Both CC algorithms must produce identical (doc_id, cluster)
+    assignments on the fixture near-dup graph."""
+    star = sorted(
+        map(tuple, QUERIES["x80_cc_star"](spark, SF_DIR_001).collect())
+    )
+    prop = sorted(
+        map(tuple, QUERIES["x29_dedup_clusters"](spark, SF_DIR_001).collect())
+    )
+    assert star == prop
+
+
+def test_x80_chain_component(spark, tmp_path_factory):
+    """A 4-doc chain a~b~c~d (adjacent overlap only) must collapse to
+    ONE cluster labeled by the minimum doc id — the diameter-3 case
+    star contraction exists for."""
+    base = [f"tok{i}" for i in range(30)]
+    rows = []
+    for i in range(4):
+        # 10-token sliding overlap between consecutive docs
+        rows.append((i, " ".join(base[i * 5 : i * 5 + 20]), "srcA"))
+    d = tmp_path_factory.mktemp("x80chain")
+    _write_documents(spark, str(d), rows)
+    out = QUERIES["x80_cc_star"](spark, str(d)).collect()
+    clusters = {r.doc_id: r.cluster for r in out}
+    # every doc that appears must map to cluster 0 (transitive closure)
+    assert set(clusters.values()) <= {0}
