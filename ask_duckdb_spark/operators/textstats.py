@@ -2039,3 +2039,193 @@ def x79_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("tok").cast("bigint").alias("vocab_size"))
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# x81: token-budget selection — "best docs until the budget runs out",
+# the selection step between scoring (x10/x78) and packing (x30/x54):
+# given a token budget, keep the highest-quality documents whose
+# cumulative token count fits.
+# ---------------------------------------------------------------------------
+
+#: Budget as a fraction of total corpus tokens (SF-independent).
+BUDGET_FRACTION = 0.5
+
+
+@query(
+    "x81_token_budget_select",
+    oracle=rf"""
+    WITH scored AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             ROUND(CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / greatest(len(toks), 1), 6) AS score
+      FROM (SELECT doc_id, {_TOKENS_ORACLE} AS toks FROM documents)
+    ), budget AS (
+      SELECT CAST(floor(sum(n_tokens) * {BUDGET_FRACTION}) AS BIGINT) AS b
+      FROM scored
+    ), cum AS (
+      SELECT doc_id, score, n_tokens,
+             sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id, score, n_tokens, cum_tokens
+    FROM cum CROSS JOIN budget
+    WHERE cum_tokens <= budget.b
+    ORDER BY score DESC, doc_id
+    """,
+)
+def x81_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy quality-first selection under a 50%-of-corpus token budget.
+
+    Rank every document by (rounded) quality score, take the running
+    token total in that order, and keep the prefix that fits the
+    budget — the deterministic version of "train on the best half".
+    The score is ROUNDed before ordering (identical ranks on both
+    engines); the cumulative sum is integer-exact; the budget is
+    ``floor(total * fraction)``, also exact.
+
+    Scale (100 TB): a global ORDER BY + running sum is a single-
+    partition window — correct semantics, wrong physics at 10^11 docs.
+    The scale path: histogram the (score, n_tokens) distribution (one
+    map-side-combinable aggregation over rounded scores), find the
+    score cutoff where the cumulative budget lands, broadcast that
+    cutoff, and keep ``score > cutoff`` as a narrow filter (+ one
+    boundary-score partial sort for the exact edge). This entry is the
+    exact-semantics anchor that cutoff version approximates; the
+    fixture-scale window form doubles as its differential oracle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("score"),
+    )
+    budget = scored.agg(
+        F.floor(F.sum("n_tokens") * BUDGET_FRACTION)
+        .cast("bigint")
+        .alias("b")
+    )
+    cum = scored.select(
+        "doc_id",
+        "score",
+        "n_tokens",
+        F.sum("n_tokens")
+        .over(
+            W.orderBy(F.col("score").desc(), "doc_id").rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        )
+        .alias("cum_tokens"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(budget))
+        .filter(F.col("cum_tokens") <= F.col("b"))
+        .select("doc_id", "score", "n_tokens", "cum_tokens")
+        .orderBy(F.col("score").desc(), "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x82: per-source dataset card — the one-table corpus summary a mixing
+# recipe (x60/x71) starts from: volume, token mass, quality pass rate,
+# within-source duplication, length profile.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x82_source_card",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, source, text, {_TOKENS_ORACLE} AS toks FROM documents
+    ), per_doc AS (
+      SELECT doc_id, source, text,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CASE WHEN len(toks) >= 20
+                   AND CAST(len(list_filter(toks,
+                         t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
+                       / greatest(len(toks), 1) BETWEEN 0.01 AND 0.5
+                   AND CAST(len(list_distinct(toks)) AS DOUBLE)
+                       / greatest(len(toks), 1) >= 0.2
+                  THEN 1 ELSE 0 END AS ok
+      FROM t
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)                    AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT)               AS total_tokens,
+           ROUND(CAST(sum(ok) AS DOUBLE) / count(*), 6) AS quality_ok_rate,
+           CAST(count(DISTINCT text) AS BIGINT)        AS n_distinct_texts,
+           ROUND(1.0 - CAST(count(DISTINCT text) AS DOUBLE) / count(*), 6)
+                                                       AS dup_ratio,
+           CAST(min(n_tokens) AS BIGINT)               AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT)               AS max_tokens
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def x82_source_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card: volume, tokens, quality, duplication.
+
+    One grouped aggregation produces the table a dataset README (or a
+    mixing-weight recipe) needs per source: doc count, token mass,
+    x10-rule pass rate, distinct-text count (within-source exact-dup
+    rate), and the token-length range. All counts are exact integers;
+    the two rates are single divisions ROUNDed to 6.
+
+    Scale (100 TB): everything except ``count(DISTINCT text)`` is
+    map-side combinable in one source-keyed shuffle. The distinct-text
+    count shuffles md5 digests (16 B/doc — x1b's trick) under the same
+    source key via a two-level aggregate; Catalyst plans the
+    count-distinct expansion automatically. Source cardinality is tiny,
+    so AQE coalesces the output; a skewed mega-source is exactly what
+    the partial aggregation absorbs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    safe_n = F.greatest(n, F.lit(1))
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS["en"]))).cast(
+            "double"
+        )
+        / safe_n
+    )
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / safe_n
+    ok = (
+        F.when(
+            (n >= 20)
+            & stop_ratio.between(0.01, 0.5)
+            & (uniq_ratio >= 0.2),
+            1,
+        )
+        .otherwise(0)
+        .alias("ok")
+    )
+    per_doc = d.select(
+        "source",
+        # digest, not full text, through the distinct-count shuffle
+        F.md5("text").alias("th"),
+        n.cast("bigint").alias("n_tokens"),
+        ok,
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(
+                F.sum("ok").cast("double") / F.count("*"), 6
+            ).alias("quality_ok_rate"),
+            F.countDistinct("th").cast("bigint").alias("n_distinct_texts"),
+            F.round(
+                1.0 - F.countDistinct("th").cast("double") / F.count("*"), 6
+            ).alias("dup_ratio"),
+            F.min("n_tokens").cast("bigint").alias("min_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -258,3 +258,51 @@ def test_x80_chain_component(spark, tmp_path_factory):
     clusters = {r.doc_id: r.cluster for r in out}
     # every doc that appears must map to cluster 0 (transitive closure)
     assert set(clusters.values()) <= {0}
+
+
+# ---------------------------------------------------------------------------
+# x81 — token-budget selection
+# ---------------------------------------------------------------------------
+
+
+def test_x81_budget_respected_and_maximal(spark):
+    from pyspark.sql import functions as F
+
+    from ask_duckdb_spark.functions.text import tokens
+    from ask_duckdb_spark.sources.catalog import load_table
+
+    rows = QUERIES["x81_token_budget_select"](spark, SF_DIR).collect()
+    total = (
+        load_table(spark, SF_DIR, "documents")
+        .select(F.size(tokens(F.col("text"))).alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    budget = total // 2
+    assert rows, "selection must be non-empty"
+    assert rows[-1].cum_tokens <= budget
+    # greedy prefix: every kept doc's cum is its predecessors' + itself
+    running = 0
+    for r in rows:
+        running += r.n_tokens
+        assert r.cum_tokens == running
+    # scores non-increasing in selection order
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# x82 — per-source dataset card
+# ---------------------------------------------------------------------------
+
+
+def test_x82_card_covers_corpus(spark):
+    rows = QUERIES["x82_source_card"](spark, SF_DIR).collect()
+    assert len(rows) == 20  # fixture has 20 sources
+    assert sum(r.n_docs for r in rows) == 500
+    for r in rows:
+        assert 0.0 <= r.quality_ok_rate <= 1.0
+        assert 0.0 <= r.dup_ratio < 1.0
+        assert r.n_distinct_texts <= r.n_docs
+        assert r.min_tokens <= r.max_tokens
+        assert r.total_tokens >= r.n_docs * r.min_tokens
