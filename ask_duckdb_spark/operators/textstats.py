@@ -2229,3 +2229,142 @@ def x82_source_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# x83: the SCALE PATH for x81 — budget selection via a score-histogram
+# cutoff instead of a global window. Same output contract, same oracle;
+# the pytest gate asserts row-identical results vs x81, the twin pattern
+# of x29<->x80 and x62<->x63.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x83_budget_select_cutoff",
+    # Same oracle as x81: the cutoff construction reproduces the exact
+    # greedy-prefix semantics, so the declarative twin is unchanged.
+    oracle=rf"""
+    WITH scored AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             ROUND(CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / greatest(len(toks), 1), 6) AS score
+      FROM (SELECT doc_id, {_TOKENS_ORACLE} AS toks FROM documents)
+    ), budget AS (
+      SELECT CAST(floor(sum(n_tokens) * {BUDGET_FRACTION}) AS BIGINT) AS b
+      FROM scored
+    ), cum AS (
+      SELECT doc_id, score, n_tokens,
+             sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id, score, n_tokens, cum_tokens
+    FROM cum CROSS JOIN budget
+    WHERE cum_tokens <= budget.b
+    ORDER BY score DESC, doc_id
+    """,
+)
+def x83_budget_select_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x81's semantics without the global window — the 100 TB plan.
+
+    Three-stage cutoff construction:
+
+    1. HISTOGRAM: group docs by their ROUNDed score — at 6 dp in
+       [0, 1] that is <= 10^6 + 1 distinct keys no matter the corpus
+       size, so the per-score (token mass, doc count) frame is bounded
+       and its descending-cumsum window is legitimately single-
+       partition AT ANY SCALE.
+    2. CUTOFF: the lowest score whose strictly-higher-scores mass
+       still fits the budget; everything ABOVE it is kept by a narrow
+       broadcast filter — no window decides those rows' fate.
+    3. BOUNDARY: only docs AT the cutoff score need their running sum
+       COMPARED to the budget to split kept from dropped at the token
+       edge. (All kept rows still carry a within-score running sum to
+       reconstruct the global ``cum_tokens`` column — but that window
+       is PARTITIONED by the score key, i.e. distributed, unlike
+       x81's single-partition global sort.)
+
+    Global ``cum_tokens`` is reconstructed as (higher-scores offset +
+    within-score running sum), bit-equal to x81's global window (ints
+    throughout). Residual skew note: a corpus where ONE rounded score
+    holds 10^10 docs serializes stage 3; the fix is one more histogram
+    level (bucket by doc_id ranges within the boundary score), same
+    trick one level down.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("score"),
+    )
+    hist = scored.groupBy("score").agg(
+        F.sum("n_tokens").alias("mass"), F.count("*").alias("cnt")
+    )
+    # bounded frame: descending cumulative mass, budget, cutoff pick
+    cumhist = hist.select(
+        "score",
+        "mass",
+        F.sum("mass")
+        .over(
+            W.orderBy(F.col("score").desc()).rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        )
+        .alias("cum_mass"),
+    )
+    budget = scored.agg(
+        F.floor(F.sum("n_tokens") * BUDGET_FRACTION)
+        .cast("bigint")
+        .alias("b")
+    )
+    # offset = mass strictly above this score; scores with offset < b
+    # participate (fully if cum_mass <= b, at the boundary otherwise)
+    levels = cumhist.crossJoin(F.broadcast(budget)).select(
+        "score",
+        (F.col("cum_mass") - F.col("mass")).alias("offset"),
+        (F.col("cum_mass") <= F.col("b")).alias("full_keep"),
+        "b",
+    )
+    keep_levels = levels.filter(F.col("offset") < F.col("b"))
+    tagged = scored.join(F.broadcast(keep_levels), "score")
+    # fully-kept scores: the filter needs no window; the distributed
+    # per-score running sum only rebuilds the cum_tokens column
+    full = tagged.filter(F.col("full_keep")).select(
+        "doc_id",
+        "score",
+        "n_tokens",
+        (
+            F.col("offset")
+            + F.sum("n_tokens").over(
+                W.partitionBy("score")
+                .orderBy("doc_id")
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+        ).alias("cum_tokens"),
+    )
+    # boundary score: running sum decides the exact edge
+    edge = (
+        tagged.filter(~F.col("full_keep"))
+        .select(
+            "doc_id",
+            "score",
+            "n_tokens",
+            "b",
+            (
+                F.col("offset")
+                + F.sum("n_tokens").over(
+                    W.partitionBy("score")
+                    .orderBy("doc_id")
+                    .rowsBetween(W.unboundedPreceding, W.currentRow)
+                )
+            ).alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= F.col("b"))
+        .drop("b")
+    )
+    return full.unionByName(edge).orderBy(F.col("score").desc(), "doc_id")

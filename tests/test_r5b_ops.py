@@ -306,3 +306,23 @@ def test_x82_card_covers_corpus(spark):
         assert r.n_distinct_texts <= r.n_docs
         assert r.min_tokens <= r.max_tokens
         assert r.total_tokens >= r.n_docs * r.min_tokens
+
+
+# ---------------------------------------------------------------------------
+# x83 — cutoff-histogram budget selection (x81's scale path)
+# ---------------------------------------------------------------------------
+
+
+def test_x83_equals_x81_exact_window(spark):
+    """The distributed cutoff construction must reproduce the global
+    window's selection row-for-row, cum_tokens included."""
+    exact = sorted(
+        map(tuple, QUERIES["x81_token_budget_select"](spark, SF_DIR).collect())
+    )
+    cutoff = sorted(
+        map(
+            tuple,
+            QUERIES["x83_budget_select_cutoff"](spark, SF_DIR).collect(),
+        )
+    )
+    assert cutoff == exact
