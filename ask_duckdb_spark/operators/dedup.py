@@ -1489,3 +1489,99 @@ def x80_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("doc_id"), F.col("v").alias("cluster")
     ).distinct()
     return children.union(roots).distinct().orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# x85: cluster canonicalization — the dedup pipeline's LAST step. x80
+# gives components; a keep POLICY picks one representative per cluster.
+# Min-id (x29/x24's implicit policy) is arbitrary; real pipelines keep
+# the highest-QUALITY member (the cleanest crawl of a mirrored page).
+# ---------------------------------------------------------------------------
+
+_X85_SCORE_SQL = """
+      SELECT doc_id,
+             ROUND(CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / greatest(len(toks), 1), 6) AS score
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> '') AS toks
+        FROM documents
+      )
+"""
+
+
+@query(
+    "x85_cluster_keep_best",
+    oracle=f"""
+    WITH cc AS (
+      SELECT doc_id, cluster FROM ({_CC_ORACLE}) c
+    ), scored AS ({_X85_SCORE_SQL}
+    ), lab AS (
+      SELECT s.doc_id, coalesce(cc.cluster, s.doc_id) AS cluster, s.score
+      FROM scored s LEFT JOIN cc USING (doc_id)
+    ), best AS (
+      SELECT cluster, doc_id AS keep_id,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY score DESC, doc_id) AS rn
+      FROM lab
+    )
+    SELECT l.doc_id, l.cluster,
+           CASE WHEN b.keep_id = l.doc_id THEN 1 ELSE 0 END AS kept
+    FROM lab l
+    JOIN (SELECT cluster, keep_id FROM best WHERE rn = 1) b USING (cluster)
+    ORDER BY l.doc_id
+    """,
+)
+def x85_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the highest-quality member of every near-dup cluster.
+
+    Composes the pipeline end-to-end: x80's star-contraction components
+    (docs outside the pair graph become their own singleton cluster),
+    the x78 quality score (ROUNDed before comparison so both engines
+    rank identically, doc_id tiebreak), and an argmax-per-cluster
+    selection emitted as a full-corpus (doc_id, cluster, kept) manifest
+    — the frame a training loader filters on ``kept = 1``.
+
+    Scale (100 TB): the cluster frame is O(docs in components) — tiny
+    next to the corpus — so the label join is effectively a broadcast;
+    the argmax is one map-side-combinable min(struct) per cluster key
+    (no window over the corpus); the manifest join back is the same
+    cluster-keyed exchange. Policy changes (keep longest, keep newest)
+    swap the struct's first field only.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("score"),
+    )
+    cc = x80_cc_star(spark, sf_dir)
+    lab = scored.join(cc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster", "doc_id").alias("cluster"),
+        "score",
+    )
+    best = lab.groupBy("cluster").agg(
+        F.min(
+            F.struct(
+                (-F.col("score")).alias("neg"),
+                F.col("doc_id").alias("keep_id"),
+            )
+        ).alias("b")
+    )
+    return (
+        lab.join(best, "cluster")
+        .select(
+            "doc_id",
+            "cluster",
+            F.when(F.col("b.keep_id") == F.col("doc_id"), 1)
+            .otherwise(0)
+            .alias("kept"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1768,3 +1768,113 @@ def x75_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n.sim"), 6).alias("neg_sim"),
         F.round(F.col("p.sim") - F.col("n.sim"), 6).alias("margin"),
     ).orderBy("anchor_id")
+
+
+# ---------------------------------------------------------------------------
+# x84: dimension-truncation recall — does a 16-dim prefix of the
+# embedding preserve the 64-dim neighbor structure? The measurement
+# behind matryoshka-style storage tiering: serve ANN from a short
+# prefix (4x less memory/bandwidth), re-rank survivors at full width.
+# ---------------------------------------------------------------------------
+
+TRUNC_DIMS = 16
+TRUNC_K = 10
+TRUNC_QUERIES = 10  # vec_id < this are the probe queries
+
+
+def _x84_oracle() -> str:
+    full_cos = _cos_sql("q.ed", "c.ed")
+    trunc_cos = _cos_sql("q.td", "c.td")
+    return f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS ed,
+             list_transform(embedding[1:{TRUNC_DIMS}],
+                            v -> CAST(v AS DOUBLE)) AS td
+      FROM embeddings
+    ), q AS (SELECT * FROM e WHERE vec_id < {TRUNC_QUERIES}),
+    full_rank AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {full_cos} DESC, c.vec_id) AS rn
+      FROM q JOIN e c ON c.vec_id <> q.vec_id
+    ), trunc_rank AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {trunc_cos} DESC, c.vec_id) AS rn
+      FROM q JOIN e c ON c.vec_id <> q.vec_id
+    )
+    SELECT f.qid AS query_id,
+           CAST(count(t.cid) AS BIGINT) AS n_overlap,
+           ROUND(CAST(count(t.cid) AS DOUBLE) / {TRUNC_K}, 6) AS recall
+    FROM full_rank f
+    LEFT JOIN trunc_rank t
+      ON t.qid = f.qid AND t.cid = f.cid AND t.rn <= {TRUNC_K}
+    WHERE f.rn <= {TRUNC_K}
+    GROUP BY f.qid ORDER BY f.qid
+    """
+
+
+@query("x84_truncation_recall", oracle=_x84_oracle())
+def x84_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of prefix-truncated cosine against full-width cosine.
+
+    For each probe query (vec_id < TRUNC_QUERIES): rank the corpus by
+    64-dim cosine and by 16-dim-prefix cosine, and count how many of
+    the full-width top-10 survive in the truncated top-10. Per-query
+    ``recall`` near 1.0 licenses serving the short prefix from memory
+    and re-ranking at full width — the standard two-tier ANN layout.
+    Ranking uses raw fold-exact cosines (ties by vec_id); only the
+    recall ratio is rounded.
+
+    Scale (100 TB): both rankings share ONE corpus scan with the probe
+    side broadcast (TRUNC_QUERIES rows); per (query, candidate) row the
+    two cosines differ only in fold length, so the scan is
+    O(|Q| * n * d) — the same cost class as x5, twice. The per-query
+    top-k is a partial-aggregable window at |Q| keys. At production
+    scale the full-width ranking would come from x27's IVF path and
+    the truncated one from the prefix — this entry is the exactness
+    anchor measuring what the truncation alone loses.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < TRUNC_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            cosine_similarity(F.col("embedding"), F.col("qv")).alias("fc"),
+            cosine_similarity(
+                F.slice(F.col("embedding"), 1, TRUNC_DIMS),
+                F.slice(F.col("qv"), 1, TRUNC_DIMS),
+            ).alias("tc"),
+        )
+    )
+    fw = W.partitionBy("qid").orderBy(F.col("fc").desc(), "vec_id")
+    tw = W.partitionBy("qid").orderBy(F.col("tc").desc(), "vec_id")
+    ranked = scored.select(
+        "qid",
+        "vec_id",
+        F.row_number().over(fw).alias("frn"),
+        F.row_number().over(tw).alias("trn"),
+    )
+    return (
+        ranked.filter(F.col("frn") <= TRUNC_K)
+        .groupBy(F.col("qid").alias("query_id"))
+        .agg(
+            F.sum(F.when(F.col("trn") <= TRUNC_K, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_overlap"),
+            F.round(
+                F.sum(F.when(F.col("trn") <= TRUNC_K, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / TRUNC_K,
+                6,
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

@@ -326,3 +326,52 @@ def test_x83_equals_x81_exact_window(spark):
         )
     )
     assert cutoff == exact
+
+
+# ---------------------------------------------------------------------------
+# x84 — truncation recall
+# ---------------------------------------------------------------------------
+
+
+def test_x84_recall_bounds_and_selfconsistency(spark):
+    rows = QUERIES["x84_truncation_recall"](spark, SF_DIR_001).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r.n_overlap <= 10
+        assert r.recall == pytest.approx(r.n_overlap / 10, abs=1e-9)
+
+
+def test_x84_full_width_truncation_is_identity(spark, tmp_path_factory):
+    """If every embedding's tail is zero, the 16-dim prefix ranking
+    equals the full ranking — recall must be exactly 1.0."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)] + [0.0] * 48, i % 3)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = tmp_path_factory.mktemp("x84zero")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    out = QUERIES["x84_truncation_recall"](spark, str(d)).collect()
+    assert all(r.recall == 1.0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# x85 — cluster canonicalization
+# ---------------------------------------------------------------------------
+
+
+def test_x85_one_keeper_per_cluster(spark):
+    rows = QUERIES["x85_cluster_keep_best"](spark, SF_DIR_001).collect()
+    assert len(rows) == 500  # full-corpus manifest
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for members in by_cluster.values():
+        assert sum(m.kept for m in members) == 1
+    # kept count = number of clusters = dedup survivor count
+    assert sum(r.kept for r in rows) == len(by_cluster)
