@@ -1585,3 +1585,93 @@ def x85_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x86: document novelty — what fraction of each doc's token windows is
+# NEW at its position in corpus order? The directional complement of
+# x68 (symmetric cross-doc duplication): the Lee et al. 2022 analysis
+# curve ("later crawl snapshots contribute mostly seen text") that
+# decides whether ingesting another snapshot is worth the tokens.
+# ---------------------------------------------------------------------------
+
+
+def _x86_oracle() -> str:
+    k1 = W_SPAN - 1
+    return f"""
+    WITH th AS (
+      SELECT doc_id,
+             list_transform({_TOKENS_SQL},
+                            t -> {token_hash60_sql('t')} % {PH_P}) AS th
+      FROM documents
+    ), wins AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(th) - {k1}, 1) + 1),
+               i -> CASE WHEN len(list_slice(th, i, i + {k1})) = 0
+                         THEN CAST(0 AS BIGINT)
+                         ELSE list_reduce(list_slice(th, i, i + {k1}),
+                                          (a, b) -> (a * {PH_B} + b) % {PH_P})
+                    END)) AS h
+      FROM th
+    ), first_seen AS (
+      SELECT h, min(doc_id) AS fs FROM wins GROUP BY h
+    )
+    SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_distinct_windows,
+           CAST(sum(CASE WHEN f.fs = w.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           ROUND(CAST(sum(CASE WHEN f.fs = w.doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS novelty_ratio
+    FROM wins w JOIN first_seen f USING (h)
+    GROUP BY w.doc_id ORDER BY w.doc_id
+    """
+
+
+@query("x86_novelty_ratio", oracle=_x86_oracle())
+def x86_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fraction of token windows unseen in EARLIER docs.
+
+    Corpus order is doc_id order (ingestion order in the fixtures). A
+    document's DISTINCT W_SPAN-token window hashes are compared against
+    each hash's global first-seen doc: windows whose first occurrence
+    IS this doc are novel. ``novelty_ratio`` near 0 marks a document
+    (or, aggregated by source, a whole snapshot) that re-delivers
+    already-held text — the signal for stopping ingestion, where x68's
+    symmetric dup_ratio can't distinguish the original from the copy.
+
+    Scale (100 TB): identical shape to x68 — narrow-map window hashing,
+    one (h)-keyed map-side-combinable ``min`` shuffle for first-seen,
+    one (h)-keyed join of the per-doc distinct windows against the
+    aggregated first-seen frame, one doc-keyed rollup. No self-join; a
+    window repeated in k docs costs k rows.
+    """
+    d = widen(load_table(spark, sf_dir, "documents"))
+    token_h = f"{token_hash60_sparksql('t')} % {PH_P}L"
+    th_sql = (
+        "transform(filter(split(lower(text), '\\\\s+'), t -> t != ''), "
+        f"t -> {token_h})"
+    )
+    wins_sql = (
+        f"transform(sequence(1, greatest(size(_th) - {W_SPAN - 1}, 1)), "
+        f"i -> aggregate(slice(_th, i, {W_SPAN}), CAST(0 AS BIGINT), "
+        f"(acc, x) -> (acc * {PH_B}L + x) % {PH_P}L))"
+    )
+    wins = (
+        d.selectExpr("doc_id", f"{th_sql} AS _th")
+        .selectExpr("doc_id", f"explode(array_distinct({wins_sql})) AS h")
+    )
+    first_seen = wins.groupBy("h").agg(F.min("doc_id").alias("fs"))
+    novel = F.when(F.col("fs") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        wins.join(first_seen, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_distinct_windows"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            F.round(
+                F.sum(novel).cast("double") / F.count("*"), 6
+            ).alias("novelty_ratio"),
+        )
+        .orderBy("doc_id")
+    )

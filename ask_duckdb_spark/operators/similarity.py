@@ -1878,3 +1878,142 @@ def x84_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x87: ANN recall evaluation — x74's pattern applied to vectors: how
+# much of the EXACT cosine top-10 does the banded-LSH candidate set
+# (x6's construction) retain, per probe query? The measurement that
+# tunes (N_BANDS, BAND_BITS) on a new embedding distribution before
+# trusting the ANN path in production.
+# ---------------------------------------------------------------------------
+
+ANN_EVAL_QUERIES = 10
+ANN_EVAL_K = 10
+
+
+def _x87_oracle() -> str:
+    cos = _cos_sql("q.ed", "c.ed")
+    return f"""
+    WITH {_band_keys_sql()},
+    e AS (
+      SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS ed
+      FROM embeddings
+    ), q AS (SELECT * FROM e WHERE vec_id < {ANN_EVAL_QUERIES}),
+    exact AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {cos} DESC, c.vec_id) AS rn
+      FROM q JOIN e c ON c.vec_id <> q.vec_id
+    ), qb AS (
+      SELECT vec_id AS qid, band, bkey FROM bk
+      WHERE vec_id < {ANN_EVAL_QUERIES}
+    ), cand AS (
+      SELECT DISTINCT qb.qid, b.vec_id AS cid
+      FROM bk b JOIN qb ON b.band = qb.band AND b.bkey = qb.bkey
+      WHERE b.vec_id <> qb.qid
+    ), ann AS (
+      SELECT cand.qid, cand.cid,
+             row_number() OVER (PARTITION BY cand.qid
+                                ORDER BY {cos} DESC, c.vec_id) AS rn
+      FROM cand
+      JOIN q ON q.vec_id = cand.qid
+      JOIN e c ON c.vec_id = cand.cid
+    )
+    SELECT x.qid AS query_id,
+           CAST(count(a.cid) AS BIGINT) AS n_overlap,
+           ROUND(CAST(count(a.cid) AS DOUBLE) / {ANN_EVAL_K}, 6) AS recall
+    FROM exact x
+    LEFT JOIN ann a
+      ON a.qid = x.qid AND a.cid = x.cid AND a.rn <= {ANN_EVAL_K}
+    WHERE x.rn <= {ANN_EVAL_K}
+    GROUP BY x.qid ORDER BY x.qid
+    """
+
+
+@query("x87_ann_recall_eval", oracle=_x87_oracle())
+def x87_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the banded-LSH candidate ranking vs exact cosine.
+
+    For each probe (vec_id < ANN_EVAL_QUERIES): the exact top-10 by
+    full-corpus cosine, and the top-10 AMONG x6-style band-collision
+    candidates only; ``recall`` is their overlap over k. Recall < 1
+    decomposes the ANN error into the banding miss (the neighbor never
+    collided) — which (N_BANDS, BAND_BITS) tunes — as distinct from
+    x84's truncation loss. Raw fold-exact cosines rank; only the
+    recall ratio is rounded.
+
+    Scale (100 TB): the exact side is the audit (O(|Q| * n) — run on a
+    probe sample, like x74's truth side); the candidate side is the
+    production shape — the probes' band keys broadcast against the
+    banded corpus, so the scan is the colliding fraction only. Both
+    rankings are |Q|-key partial windows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < ANN_EVAL_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    exact = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            cosine_similarity(F.col("embedding"), F.col("qv")).alias("sim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.col("sim").desc(), "vec_id")
+            ),
+        )
+        .filter(F.col("rn") <= ANN_EVAL_K)
+        .select("qid", "vec_id")
+    )
+    banded = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(_band_keys(F.col("embedding"))).alias("bk"),
+    ).select("vec_id", "embedding", F.col("bk.band"), F.col("bk.bkey"))
+    qb = banded.filter(F.col("vec_id") < ANN_EVAL_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        "band",
+        "bkey",
+    )
+    ann = (
+        banded.join(F.broadcast(qb), ["band", "bkey"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .dropDuplicates(["qid", "vec_id"])
+        .select(
+            "qid",
+            "vec_id",
+            cosine_similarity(F.col("embedding"), F.col("qv")).alias("sim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.col("sim").desc(), "vec_id")
+            ),
+        )
+        .filter(F.col("rn") <= ANN_EVAL_K)
+        .select("qid", F.col("vec_id").alias("cid"))
+    )
+    hit = F.when(F.col("cid").isNotNull(), 1).otherwise(0)
+    return (
+        exact.join(
+            ann,
+            (exact.qid == ann.qid) & (exact.vec_id == ann.cid),
+            "left",
+        )
+        .select(exact.qid.alias("query_id"), ann.cid)
+        .groupBy("query_id")
+        .agg(
+            F.sum(hit).cast("bigint").alias("n_overlap"),
+            F.round(F.sum(hit).cast("double") / ANN_EVAL_K, 6).alias(
+                "recall"
+            ),
+        )
+        .orderBy("query_id")
+    )

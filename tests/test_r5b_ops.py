@@ -375,3 +375,50 @@ def test_x85_one_keeper_per_cluster(spark):
         assert sum(m.kept for m in members) == 1
     # kept count = number of clusters = dedup survivor count
     assert sum(r.kept for r in rows) == len(by_cluster)
+
+
+# ---------------------------------------------------------------------------
+# x86 — novelty ratio
+# ---------------------------------------------------------------------------
+
+
+def test_x86_novelty_known_by_construction(spark, tmp_path_factory):
+    """Doc 0: all-new. Doc 1: byte-copy of doc 0 -> novelty 0. Doc 2:
+    first half repeats doc 0, second half is fresh."""
+    a = " ".join(f"a{i}" for i in range(24))
+    fresh = " ".join(f"z{i}" for i in range(24))
+    rows = [
+        (0, a, "srcA"),
+        (1, a, "srcA"),
+        (2, " ".join(a.split()[:12]) + " " + fresh, "srcA"),
+        (3, " ".join(f"u{i}" for i in range(24)), "srcA"),
+    ]
+    d = tmp_path_factory.mktemp("x86corpus")
+    _write_documents(spark, str(d), rows)
+    out = {
+        r.doc_id: r
+        for r in QUERIES["x86_novelty_ratio"](spark, str(d)).collect()
+    }
+    assert out[0].novelty_ratio == 1.0  # first doc is all novel
+    assert out[1].novelty_ratio == 0.0  # exact copy adds nothing
+    assert 0.0 < out[2].novelty_ratio < 1.0  # mixed
+    assert out[3].novelty_ratio == 1.0  # disjoint vocabulary
+    # window accounting: doc 2 has 25 distinct windows (37 tokens)
+    assert out[2].n_novel < out[2].n_distinct_windows
+
+
+# ---------------------------------------------------------------------------
+# x87 — ANN recall eval
+# ---------------------------------------------------------------------------
+
+
+def test_x87_recall_bounds_and_floor(spark):
+    rows = QUERIES["x87_ann_recall_eval"](spark, SF_DIR_001).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r.n_overlap <= 10
+        assert r.recall == pytest.approx(r.n_overlap / 10, abs=1e-9)
+    # same banding geometry x6's recall gate holds >= 0.8 for on the
+    # fixture query; the 10-probe mean should clear the same bar
+    mean_recall = sum(r.recall for r in rows) / len(rows)
+    assert mean_recall >= 0.8
