@@ -268,3 +268,34 @@ def test_tpch_no_forced_broadcast_of_scaling_tables(spark):
             assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, name
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_r5_continuation_shuffle_budgets(spark):
+    """Plan-pins for the x74-x87 additions: the BM25 term filter must
+    land BEFORE the (doc, tok) exchange (the plan's only Filter over
+    the exploded tokens carries the IN-list), the top-k compiles to
+    TakeOrderedAndProject, the broadcast-anchor ops broadcast, and
+    every op stays inside its shuffle budget."""
+    bm25 = QUERIES["x76_bm25_topk"](spark, SF_DIR)
+    plan = checks.formatted_plan(bm25)
+    assert checks.has_take_ordered(bm25), plan
+    # the IN-list filter is visible pre-exchange (tok IN (vector,...))
+    assert "vector" in plan and "customer" in plan, plan
+    assert checks.num_shuffles(bm25) <= 7, plan
+
+    # broadcast-anchor scans: probes/anchors ride in as broadcasts
+    for name in ("x75_hard_negatives", "x84_truncation_recall",
+                 "x87_ann_recall_eval"):
+        df = QUERIES[name](spark, SF_DIR)
+        assert checks.has_broadcast_join(df), name
+
+    # word-count-shaped corpus stats: bounded exchanges, partial aggs
+    x79 = QUERIES["x79_vocab_growth"](spark, SF_DIR)
+    assert checks.num_shuffles(x79) <= 4
+    assert checks.has_partial_aggregate(x79)
+    x82 = QUERIES["x82_source_card"](spark, SF_DIR)
+    assert checks.num_shuffles(x82) <= 4
+    assert checks.has_partial_aggregate(x82)
+    x86 = QUERIES["x86_novelty_ratio"](spark, SF_DIR)
+    assert checks.num_shuffles(x86) <= 5
+    assert checks.has_partial_aggregate(x86)
