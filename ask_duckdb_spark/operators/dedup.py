@@ -1628,6 +1628,27 @@ def _x86_oracle() -> str:
     """
 
 
+def distinct_window_hashes(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, h): each document's DISTINCT W_SPAN-token window hashes —
+    x68/x86's narrow-map window construction, shared with the streaming
+    novelty ingest (streaming/novelty.py)."""
+    token_h = f"{token_hash60_sparksql('t')} % {PH_P}L"
+    th_sql = (
+        f"transform(filter(split(lower({text_col}), '\\\\s+'), t -> t != ''), "
+        f"t -> {token_h})"
+    )
+    wins_sql = (
+        f"transform(sequence(1, greatest(size(_th) - {W_SPAN - 1}, 1)), "
+        f"i -> aggregate(slice(_th, i, {W_SPAN}), CAST(0 AS BIGINT), "
+        f"(acc, x) -> (acc * {PH_B}L + x) % {PH_P}L))"
+    )
+    return docs.selectExpr(id_col, f"{th_sql} AS _th").selectExpr(
+        id_col, f"explode(array_distinct({wins_sql})) AS h"
+    )
+
+
 @query("x86_novelty_ratio", oracle=_x86_oracle())
 def x86_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document fraction of token windows unseen in EARLIER docs.
@@ -1647,20 +1668,7 @@ def x86_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     window repeated in k docs costs k rows.
     """
     d = widen(load_table(spark, sf_dir, "documents"))
-    token_h = f"{token_hash60_sparksql('t')} % {PH_P}L"
-    th_sql = (
-        "transform(filter(split(lower(text), '\\\\s+'), t -> t != ''), "
-        f"t -> {token_h})"
-    )
-    wins_sql = (
-        f"transform(sequence(1, greatest(size(_th) - {W_SPAN - 1}, 1)), "
-        f"i -> aggregate(slice(_th, i, {W_SPAN}), CAST(0 AS BIGINT), "
-        f"(acc, x) -> (acc * {PH_B}L + x) % {PH_P}L))"
-    )
-    wins = (
-        d.selectExpr("doc_id", f"{th_sql} AS _th")
-        .selectExpr("doc_id", f"explode(array_distinct({wins_sql})) AS h")
-    )
+    wins = distinct_window_hashes(d)
     first_seen = wins.groupBy("h").agg(F.min("doc_id").alias("fs"))
     novel = F.when(F.col("fs") == F.col("doc_id"), 1).otherwise(0)
     return (
