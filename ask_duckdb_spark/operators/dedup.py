@@ -1683,3 +1683,46 @@ def x86_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "x88_source_novelty",
+    oracle=f"""
+    WITH per_doc AS ({_x86_oracle().replace("ORDER BY w.doc_id", "")}
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(p.n_distinct_windows) AS BIGINT) AS n_windows,
+           CAST(sum(p.n_novel) AS BIGINT) AS n_novel,
+           ROUND(CAST(sum(p.n_novel) AS DOUBLE)
+                 / sum(p.n_distinct_windows), 6) AS novelty_ratio
+    FROM per_doc p JOIN documents d USING (doc_id)
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def x88_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x86 rolled up to source granularity — the ingest decision table.
+
+    Window-weighted novelty per source ("what fraction of the text
+    mass this source delivers is new to the corpus"): the number that
+    decides whether the next snapshot of a crawl source is worth its
+    processing cost. One extra doc-keyed join (source lookup) and one
+    source-keyed combinable aggregation on top of x86's frame.
+    """
+    per_doc = x86_novelty_ratio(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        per_doc.join(d, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_distinct_windows").cast("bigint").alias("n_windows"),
+            F.sum("n_novel").cast("bigint").alias("n_novel"),
+            F.round(
+                F.sum("n_novel").cast("double")
+                / F.sum("n_distinct_windows"),
+                6,
+            ).alias("novelty_ratio"),
+        )
+        .orderBy("source")
+    )

@@ -422,3 +422,12 @@ def test_x87_recall_bounds_and_floor(spark):
     # fixture query; the 10-probe mean should clear the same bar
     mean_recall = sum(r.recall for r in rows) / len(rows)
     assert mean_recall >= 0.8
+
+
+def test_x88_source_rollup_consistent_with_x86(spark):
+    per_doc = QUERIES["x86_novelty_ratio"](spark, SF_DIR_001).collect()
+    rolled = QUERIES["x88_source_novelty"](spark, SF_DIR_001).collect()
+    assert sum(r.n_docs for r in rolled) == len(per_doc)
+    assert sum(r.n_novel for r in rolled) == sum(r.n_novel for r in per_doc)
+    for r in rolled:
+        assert 0.0 <= r.novelty_ratio <= 1.0
