@@ -131,12 +131,17 @@ def test_operators_build_without_materializing(spark, monkeypatch):
     for kind in ("count", "collect", "toPandas", "take", "head"):
         monkeypatch.setattr(DataFrame, kind, _trip(kind))
     # x7 additionally allowed: its ADVICE-r4 cap warning is a bounded
-    # LIMIT-1 existence probe (stat-pruned), not a scan.
+    # LIMIT-1 existence probe (stat-pruned), not a scan. x80 (and x85,
+    # which composes it) joins x29 in the iterative class: its
+    # large-star/small-star loop runs per-round convergence checksums
+    # at build by nature.
     for name, fn in QUERIES.items():
         if name in (
             "x29_dedup_clusters",
             "x67_bpe_learn",
             "x7_embedding_neardup",
+            "x80_cc_star",
+            "x85_cluster_keep_best",
         ):
             continue
         fn(spark, SF_DIR)  # raises if any operator materializes
