@@ -2368,3 +2368,151 @@ def x83_budget_select_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("b")
     )
     return full.unionByName(edge).orderBy(F.col("score").desc(), "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# x89: hybrid retrieval — reciprocal-rank fusion of the BM25 lexical
+# ranking (x76's scorer) and the embedding cosine ranking (x5's scorer)
+# over doc_id == vec_id. The standard two-tower serving recipe
+# (Cormack et al. 2009 RRF): rank fusion needs no score calibration,
+# only INTEGER ranks — which also makes it hash-exact across engines.
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+RRF_TOP = 10
+
+
+@query(
+    "x89_hybrid_rrf",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKENS_ORACLE}) AS tok FROM documents
+      WHERE doc_id <> 0
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl
+      FROM (SELECT d.doc_id, coalesce(dl.dl, 0) AS dl
+            FROM documents d LEFT JOIN dl USING (doc_id)
+            WHERE d.doc_id <> 0)
+    ), tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks
+      WHERE tok IN ({", ".join(repr(t) for t in BM25_TERMS)})
+      GROUP BY 1, 2
+    ), df AS (
+      SELECT tok, count(*) AS df FROM tf GROUP BY 1
+    ), bm25 AS (
+      SELECT tf.doc_id, ROUND(sum(
+               ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * ({BM25_K1} + 1)
+               / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                  + {BM25_B} * dl.dl / s.avgdl))), 6) AS score
+      FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    ), trank AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS tr
+      FROM bm25
+    ), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    vrank AS (
+      SELECT e.vec_id AS doc_id,
+             row_number() OVER (
+               ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC,
+                        e.vec_id) AS vr
+      FROM embeddings e, q WHERE e.vec_id <> 0
+    )
+    SELECT coalesce(t.doc_id, v.doc_id) AS doc_id,
+           t.tr AS text_rank, v.vr AS vec_rank,
+           ROUND(coalesce(1.0 / ({RRF_K} + t.tr), 0)
+                 + coalesce(1.0 / ({RRF_K} + v.vr), 0), 6) AS rrf
+    FROM trank t FULL OUTER JOIN vrank v ON t.doc_id = v.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT {RRF_TOP}
+    """,
+)
+def x89_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid top-10: RRF over BM25 rank and embedding-cosine rank.
+
+    Document 0 plays the query (its embedding is the vector probe; the
+    BM25 terms are the lexical probe) and is excluded from both
+    rankings. Each candidate contributes ``1/(K + rank)`` per ranking
+    it appears in — a document with no query terms can still win on
+    vector rank alone and vice versa (the fixtures' embeddings only
+    cover a prefix of the docs at some SFs, which RRF absorbs by
+    construction). Ranks are integers, so the only float is the final
+    fused score: two exact divisions, ROUND 6.
+
+    Scale (100 TB): each ranking is its producer's known shape (BM25:
+    term-filtered postings exchange; cosine: broadcast-probe scan); at
+    serving scale both would be top-M candidate lists (M ~ 1000) from
+    their index paths (x76's postings, x27's IVF), making the fusion
+    join two M-row frames — this entry is the exact-semantics anchor
+    with full rankings. The fusion itself is one doc-keyed join of two
+    already-aggregated rank frames.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") != 0)
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = (
+        d.join(dl, "doc_id", "left")
+        .select(F.coalesce("dl", F.lit(0)).alias("dl"))
+        .agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    bm25 = (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(idf * F.col("tf") * (BM25_K1 + 1) / denom), 6
+            ).alias("score")
+        )
+    )
+    trank = bm25.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("score").desc(), "doc_id"))
+        .alias("tr"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    from ..functions.vectors import cosine_similarity
+
+    vrank = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_similarity(F.col("embedding"), F.col("qv")).alias("sim"),
+        )
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.col("sim").desc(), "doc_id"))
+            .alias("vr"),
+        )
+    )
+    fused = trank.join(vrank, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("tr").alias("text_rank"),
+        F.col("vr").alias("vec_rank"),
+        F.round(
+            F.coalesce(1.0 / (RRF_K + F.col("tr")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("vr")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(RRF_TOP)

@@ -431,3 +431,24 @@ def test_x88_source_rollup_consistent_with_x86(spark):
     assert sum(r.n_novel for r in rolled) == sum(r.n_novel for r in per_doc)
     for r in rolled:
         assert 0.0 <= r.novelty_ratio <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# x89 — hybrid RRF
+# ---------------------------------------------------------------------------
+
+
+def test_x89_fusion_arithmetic_and_query_exclusion(spark):
+    rows = QUERIES["x89_hybrid_rrf"](spark, SF_DIR_001).collect()
+    assert len(rows) == 10
+    assert all(r.doc_id != 0 for r in rows)  # query doc excluded
+    for r in rows:
+        want = 0.0
+        if r.text_rank is not None:
+            want += 1.0 / (60 + r.text_rank)
+        if r.vec_rank is not None:
+            want += 1.0 / (60 + r.vec_rank)
+        assert r.rrf == pytest.approx(round(want, 6), abs=1e-9)
+        assert r.text_rank is not None or r.vec_rank is not None
+    scores = [r.rrf for r in rows]
+    assert scores == sorted(scores, reverse=True)
