@@ -124,7 +124,11 @@ def x9_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS DOUBLE) / greatest(len(toks), 1)   AS stopword_ratio,
              CAST(len(list_distinct(toks)) AS DOUBLE)
                   / greatest(len(toks), 1)              AS unique_ratio,
-             CAST(length(list_aggregate(toks, 'string_agg', ''))
+             -- coalesce: list_aggregate over an EMPTY token list is
+             -- NULL in DuckDB while Spark's array_join gives '' — a
+             -- zero-token doc must read 0.0 on both engines (found by
+             -- tests/test_fuzz_differential.py)
+             CAST(coalesce(length(list_aggregate(toks, 'string_agg', '')), 0)
                   AS DOUBLE) / greatest(len(toks), 1)   AS avg_tok_len
       FROM (
         SELECT doc_id,

@@ -1,0 +1,153 @@
+"""Differential fuzzing: random corpora through Spark AND the oracle.
+
+The fixed fixtures exercise one data distribution; these tests generate
+adversarial miniature corpora (empty text, whitespace-only, unicode,
+single-token docs, exact duplicates) with hypothesis and assert the
+Spark result still matches the registered DuckDB oracle value-for-value
+— the same comparison discipline as scripts/diffcheck.py, applied to
+inputs nobody hand-picked.
+
+Ops under fuzz are the string-edge-sensitive ones whose oracles take no
+table but ``documents``: token stats (x8), quality gate (x10),
+normalized dedup (x35), novelty (x86), exact dedup (x1), fingerprint
+(x12), Zipf slope (x77 — degenerate regressions: 1-term corpora).
+Examples are small (<= 8 docs) and capped at 5 per op so the whole
+file stays under a minute.
+
+First catch (2026-08-14): x10's oracle returned NULL avg_tok_len on a
+zero-token document (DuckDB list_aggregate over an empty list) where
+Spark's array_join gives '' -> 0.0; fixed with coalesce in the oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ask_duckdb_spark.operators import ORACLES, QUERIES
+
+# words mix ascii, unicode, digits and an empty-ish fragment; texts mix
+# normal spacing with runs of whitespace
+_WORD = st.sampled_from(
+    ["the", "a", "naïve", "日本", "x1", "Mixed", "ß", "hash", "--", "0"]
+)
+_TEXT = st.lists(_WORD, min_size=0, max_size=12).map(" ".join)
+_DOC_TEXT = st.one_of(
+    _TEXT,
+    st.just(""),
+    st.just("   "),
+    st.just("\tone\ttab\t"),
+)
+
+
+@st.composite
+def corpus(draw):
+    n = draw(st.integers(min_value=1, max_value=8))
+    texts = [draw(_DOC_TEXT) for _ in range(n)]
+    if n >= 2 and draw(st.booleans()):
+        texts[1] = texts[0]  # plant an exact duplicate
+    return texts
+
+
+def _write_corpus(texts: list[str], d: str) -> None:
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["srcF"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+
+
+def _compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> None:
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}"
+    )
+    a = spark_pdf.reindex(sorted(spark_pdf.columns), axis=1)
+    b = duck_pdf.reindex(sorted(duck_pdf.columns), axis=1)
+    assert list(a.columns) == list(b.columns)
+    cols = list(a.columns)
+    a = a.sort_values(cols, kind="mergesort").reset_index(drop=True)
+    b = b.sort_values(cols, kind="mergesort").reset_index(drop=True)
+    for c in cols:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            assert (
+                (av.fillna(-1e308) - bv.fillna(-1e308)).abs() < 1e-9
+            ).all(), c
+        else:
+            assert av.astype(object).where(pd.notna(av), None).tolist() == (
+                bv.astype(object).where(pd.notna(bv), None).tolist()
+            ), c
+
+
+def _fuzz_one(spark, name: str, texts: list[str]) -> None:
+    with tempfile.TemporaryDirectory() as d:
+        _write_corpus(texts, d)
+        got = QUERIES[name](spark, d).toPandas()
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{os.path.join(d, 'documents.parquet')}'"
+        )
+        want = con.sql(ORACLES[name]).df()
+        _compare(got, want)
+
+
+_FUZZ_SETTINGS = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@_FUZZ_SETTINGS
+@given(texts=corpus())
+def test_fuzz_x8_token_stats(spark, texts):
+    _fuzz_one(spark, "x8_token_stats", texts)
+
+
+@_FUZZ_SETTINGS
+@given(texts=corpus())
+def test_fuzz_x10_quality_score(spark, texts):
+    _fuzz_one(spark, "x10_quality_score", texts)
+
+
+@_FUZZ_SETTINGS
+@given(texts=corpus())
+def test_fuzz_x35_dedup_normalized(spark, texts):
+    _fuzz_one(spark, "x35_dedup_normalized", texts)
+
+
+@_FUZZ_SETTINGS
+@given(texts=corpus())
+def test_fuzz_x86_novelty_ratio(spark, texts):
+    _fuzz_one(spark, "x86_novelty_ratio", texts)
+
+
+@_FUZZ_SETTINGS
+@given(texts=corpus())
+def test_fuzz_x1_dedup_exact(spark, texts):
+    _fuzz_one(spark, "x1_dedup_exact", texts)
+
+
+@_FUZZ_SETTINGS
+@given(texts=corpus())
+def test_fuzz_x12_fingerprint(spark, texts):
+    _fuzz_one(spark, "x12_fingerprint", texts)
+
+
+@_FUZZ_SETTINGS
+@given(texts=corpus())
+def test_fuzz_x77_zipf_slope(spark, texts):
+    _fuzz_one(spark, "x77_zipf_slope", texts)
