@@ -1744,12 +1744,18 @@ def x75_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # argmax as min(struct(-sim, id)): partial-aggregable, one shuffle.
+    # NULL-safe sort key: an undefined cosine (zero vector) must rank
+    # LAST like the oracle's ORDER BY sim DESC (NULLS LAST), but a NULL
+    # struct field sorts FIRST under min() — coalesce to +inf instead
+    # (found by tests/test_fuzz_differential.py's zero-vector probe).
     def best(cond):
         return F.min(
             F.when(
                 cond,
                 F.struct(
-                    (-F.col("sim")).alias("neg"),
+                    F.coalesce(-F.col("sim"), F.lit(float("inf"))).alias(
+                        "neg"
+                    ),
                     F.col("vec_id").alias("id"),
                     F.col("sim").alias("sim"),
                 ),
@@ -1760,6 +1766,10 @@ def x75_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         best(F.col("label") == F.col("al")).alias("p"),
         best(F.col("label") != F.col("al")).alias("n"),
     )
+    # Triplet semantics: an anchor with no same-label or no other-label
+    # candidate yields NO triplet (matches the oracle's inner joins) —
+    # found by tests/test_fuzz_differential.py on a 2-vector corpus.
+    agg = agg.filter(F.col("p").isNotNull() & F.col("n").isNotNull())
     return agg.select(
         "anchor_id",
         F.col("p.id").alias("pos_id"),

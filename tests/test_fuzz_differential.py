@@ -151,3 +151,78 @@ def test_fuzz_x12_fingerprint(spark, texts):
 @given(texts=corpus())
 def test_fuzz_x77_zipf_slope(spark, texts):
     _fuzz_one(spark, "x77_zipf_slope", texts)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-op fuzz: degenerate vectors (zeros, duplicates, one-class
+# label distributions) against the cosine-ranking oracles.
+# ---------------------------------------------------------------------------
+
+_COMPONENT = st.sampled_from([0.0, 1.0, -1.0, 0.5, 1e-3, 2.5])
+
+
+@st.composite
+def embeddings(draw):
+    n = draw(st.integers(min_value=2, max_value=8))
+    dim = 16
+    vecs = []
+    for i in range(n):
+        if draw(st.booleans()) and i > 0:
+            vecs.append(list(vecs[0][1]))  # planted duplicate vector
+        else:
+            vecs.append([draw(_COMPONENT) for _ in range(dim)])
+        vecs[-1] = (i, vecs[-1])
+    labels = [draw(st.integers(min_value=0, max_value=2)) for _ in range(n)]
+    return [(i, v, l) for (i, v), l in zip(vecs, labels)]
+
+
+def _write_embeddings(rows, d: str) -> None:
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "embeddings.parquet"))
+
+
+def _fuzz_emb(spark, name: str, rows) -> None:
+    with tempfile.TemporaryDirectory() as d:
+        _write_embeddings(rows, d)
+        got = QUERIES[name](spark, d).toPandas()
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{os.path.join(d, 'embeddings.parquet')}'"
+        )
+        want = con.sql(ORACLES[name]).df()
+        _compare(got, want)
+
+
+@_FUZZ_SETTINGS
+@given(rows=embeddings())
+def test_fuzz_x75_hard_negatives(spark, rows):
+    _fuzz_emb(spark, "x75_hard_negatives", rows)
+
+
+@_FUZZ_SETTINGS
+@given(rows=embeddings())
+def test_fuzz_x84_truncation_recall(spark, rows):
+    _fuzz_emb(spark, "x84_truncation_recall", rows)
+
+
+def test_zero_vector_corpus_x75_x84_match_oracle(spark):
+    """Deterministic probe of the nastiest embedding edge: a zero
+    vector (cosine undefined -> NULL/NaN ordering differences are a
+    classic cross-engine divergence)."""
+    rows = [
+        (0, [1.0] + [0.0] * 15, 0),
+        (1, [0.0] * 16, 0),          # zero vector, same label
+        (2, [0.5] * 16, 1),
+        (3, [-1.0] + [0.0] * 15, 1),
+    ]
+    _fuzz_emb(spark, "x75_hard_negatives", rows)
+    _fuzz_emb(spark, "x84_truncation_recall", rows)
