@@ -226,3 +226,82 @@ def test_zero_vector_corpus_x75_x84_match_oracle(spark):
     ]
     _fuzz_emb(spark, "x75_hard_negatives", rows)
     _fuzz_emb(spark, "x84_truncation_recall", rows)
+
+
+# ---------------------------------------------------------------------------
+# Events-op fuzz: degenerate event streams (duplicate timestamps,
+# single-event users, zero-variance values) against the windowed /
+# regression oracles. x28b's slope was the driver's red row for two
+# rounds — this is the edge-case net under its fix.
+# ---------------------------------------------------------------------------
+
+_TS_BASE = 1_700_000_000_000_000  # microseconds
+_VALUE = st.sampled_from([0.0, 1.5, -2.5, 100.25, 1e6])
+
+
+@st.composite
+def events(draw):
+    n = draw(st.integers(min_value=1, max_value=10))
+    rows = []
+    for i in range(n):
+        user = draw(st.integers(min_value=1, max_value=3))
+        # seconds offset; small ints force duplicate timestamps often
+        off = draw(st.integers(min_value=0, max_value=5))
+        rows.append(
+            (
+                i,
+                _TS_BASE + off * 1_000_000,
+                user,
+                draw(st.sampled_from(["click", "view", "purchase"])),
+                draw(_VALUE),
+                "{}",
+            )
+        )
+    return rows
+
+
+def _write_events(rows, d: str) -> None:
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [r[1] for r in rows], pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+
+
+def _fuzz_events(spark, name: str, rows) -> None:
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(rows, d)
+        got = QUERIES[name](spark, d).toPandas()
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"'{os.path.join(d, 'events.parquet')}'"
+        )
+        want = con.sql(ORACLES[name]).df()
+        _compare(got, want)
+
+
+@_FUZZ_SETTINGS
+@given(rows=events())
+def test_fuzz_x28b_user_value_trend(spark, rows):
+    _fuzz_events(spark, "x28b_user_value_trend_sql", rows)
+
+
+@_FUZZ_SETTINGS
+@given(rows=events())
+def test_fuzz_x13_sessionize(spark, rows):
+    _fuzz_events(spark, "x13_sessionize", rows)
+
+
+@_FUZZ_SETTINGS
+@given(rows=events())
+def test_fuzz_x15_tumbling_window(spark, rows):
+    _fuzz_events(spark, "x15_tumbling_window", rows)
