@@ -305,3 +305,30 @@ def test_fuzz_x13_sessionize(spark, rows):
 @given(rows=events())
 def test_fuzz_x15_tumbling_window(spark, rows):
     _fuzz_events(spark, "x15_tumbling_window", rows)
+
+
+def test_short_doc_corpus_minhash_family_matches_oracle(spark):
+    """Deterministic probe of the SHINGLE_K=5 boundary: documents with
+    0/1/4/5 tokens (the degenerate single-padded-shingle cases) plus an
+    exact duplicate pair, through the minhash pair set (x2) and the
+    sketch evaluation built on it (x74)."""
+    texts = [
+        "",                       # 0 tokens
+        "one",                    # 1 token
+        "a b c d",                # 4 tokens — below shingle width
+        "a b c d e",              # exactly SHINGLE_K
+        "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10",
+        "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10",   # duplicate of the above
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_corpus(texts, d)
+        for name in ("x2_minhash_neardup", "x74_neardup_eval"):
+            got = QUERIES[name](spark, d).toPandas()
+            con = duckdb.connect()
+            con.sql(
+                "CREATE VIEW documents AS SELECT * FROM "
+                f"'{os.path.join(d, 'documents.parquet')}'"
+            )
+            want = con.sql(ORACLES[name]).df()
+            _compare(got, want)
+            spark.catalog.clearCache()  # x2 persists its signatures
