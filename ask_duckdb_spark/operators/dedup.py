@@ -1726,3 +1726,96 @@ def x88_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# x91: asymmetric CONTAINMENT pairs — excerpt/quotation detection.
+# Jaccard misses a short document fully contained in a long one (the
+# intersection is small relative to the UNION); directional containment
+# |A ∩ B| / |A| flags it. The dedup signal for quote farms, syndicated
+# excerpts, and doc-in-doc concatenations.
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_T = 0.8
+
+
+def _x91_oracle() -> str:
+    k1 = SHINGLE_K - 1
+    return f"""
+    WITH th AS (
+      SELECT doc_id,
+             list_transform({_TOKENS_SQL},
+                            t -> {token_hash60_sql('t')} % {PH_P}) AS th
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(th) - {k1}, 1) + 1),
+               i -> CASE WHEN len(list_slice(th, i, i + {k1})) = 0
+                         THEN CAST(0 AS BIGINT)
+                         ELSE list_reduce(list_slice(th, i, i + {k1}),
+                                          (a, b) -> (a * {PH_B} + b) % {PH_P})
+                    END)) AS bh
+      FROM th
+    ), post AS (
+      SELECT doc_id, unnest(bh) AS h FROM sh
+    ), sizes AS (
+      SELECT doc_id, len(bh) AS n FROM sh
+    ), ov AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM post a JOIN post b ON a.h = b.h AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a AS contained_id, id_b AS container_id,
+           ROUND(CAST(c AS DOUBLE) / sa.n, 6) AS containment
+    FROM ov
+    JOIN sizes sa ON sa.doc_id = ov.id_a
+    WHERE CAST(c AS DOUBLE) / sa.n >= {CONTAINMENT_T}
+    ORDER BY contained_id, container_id
+    """
+
+
+@query("x91_containment_pairs", oracle=_x91_oracle())
+def x91_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle containment >= 0.8: A mostly inside B.
+
+    Exact |shingles(A) ∩ shingles(B)| / |shingles(A)| over the same
+    distinct shingle-hash sets as x2/x74, via the inverted-index join
+    (no self-join of documents — a shingle in k docs costs k postings).
+    DIRECTIONAL output: (contained, container) ordered pairs, both
+    directions emitted when two docs mutually contain each other
+    (exact duplicates score 1.0 both ways). This is the dedup signal
+    Jaccard structurally misses: a 50-shingle quote inside a
+    5000-shingle page has Jaccard ~0.01 but containment 1.0.
+
+    Scale (100 TB): same posture as x74's truth side — output-bounded
+    inverted-index join, audit-scale by default; production runs it on
+    the suspicious slice (e.g. same-domain pairs, or x2 candidates'
+    neighborhoods) or caps posting frequency like x3's MAX_POSTING.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    token_h = f"{token_hash60_sparksql('t')} % {PH_P}L"
+    sh = _shingle_sets_impl(d, "doc_id", "text", token_h).persist()
+    post = sh.select("doc_id", F.explode("_bh").alias("h"))
+    sizes = sh.select("doc_id", F.size("_bh").alias("n"))
+    ov = (
+        post.alias("a")
+        .join(post.alias("b"), "h")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("contained_id"),
+            F.col("b.doc_id").alias("container_id"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        ov.join(
+            sizes.withColumnRenamed("doc_id", "contained_id"), "contained_id"
+        )
+        .withColumn(
+            "containment", F.round(F.col("c").cast("double") / F.col("n"), 6)
+        )
+        .filter(F.col("c").cast("double") / F.col("n") >= CONTAINMENT_T)
+        .select("contained_id", "container_id", "containment")
+        .orderBy("contained_id", "container_id")
+    )

@@ -2520,3 +2520,94 @@ def x89_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(RRF_TOP)
+
+
+# ---------------------------------------------------------------------------
+# x90: stratified budget selection — x81's greedy-quality rule applied
+# WITHIN each source under per-source token quotas. This is the form a
+# production mixing recipe actually runs (quota from the mixture
+# weights, quality ranking within the stratum), and it is fully
+# distributed: every window is partitioned by source — no global sort
+# anywhere, unlike x81 (whose scale path x83 approximates cutpoints).
+# ---------------------------------------------------------------------------
+
+STRATUM_FRACTION = 0.5  # keep the best half of each source's tokens
+
+
+@query(
+    "x90_stratified_budget_select",
+    oracle=rf"""
+    WITH scored AS (
+      SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+             ROUND(CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / greatest(len(toks), 1), 6) AS score
+      FROM (SELECT doc_id, source, {_TOKENS_ORACLE} AS toks FROM documents)
+    ), budget AS (
+      SELECT source,
+             CAST(floor(sum(n_tokens) * {STRATUM_FRACTION}) AS BIGINT) AS b
+      FROM scored GROUP BY source
+    ), cum AS (
+      SELECT doc_id, source, score, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source
+                                 ORDER BY score DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM scored
+    )
+    SELECT c.doc_id, c.source, c.score, c.n_tokens, c.cum_tokens
+    FROM cum c JOIN budget USING (source)
+    WHERE c.cum_tokens <= budget.b
+    ORDER BY c.source, c.cum_tokens
+    """,
+)
+def x90_stratified_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source greedy quality selection under per-source quotas.
+
+    Within each source: rank by (rounded) quality, keep the running-
+    token prefix that fits ``floor(source_tokens * fraction)``. The
+    registered entry uses a uniform fraction; swapping in x60's mixture
+    weights (quota ∝ weight) changes only the broadcast budget frame.
+
+    Scale (100 TB): this is the budget-selection form that needs NO
+    global coordination — the quota aggregation, the ranking window and
+    the running sum are all keyed/partitioned by source, so the only
+    exchanges are source-keyed and the windows parallelize across
+    sources. A single mega-source stratum degenerates to x81's problem
+    and takes x83's cutoff-histogram treatment one level down; for
+    realistic source cardinalities (10^2-10^5) this shape is optimal.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("score"),
+    )
+    budget = scored.groupBy("source").agg(
+        F.floor(F.sum("n_tokens") * STRATUM_FRACTION)
+        .cast("bigint")
+        .alias("b")
+    )
+    cum = scored.select(
+        "doc_id",
+        "source",
+        "score",
+        "n_tokens",
+        F.sum("n_tokens")
+        .over(
+            W.partitionBy("source")
+            .orderBy(F.col("score").desc(), "doc_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("cum_tokens"),
+    )
+    return (
+        cum.join(budget, "source")
+        .filter(F.col("cum_tokens") <= F.col("b"))
+        .select("doc_id", "source", "score", "n_tokens", "cum_tokens")
+        .orderBy("source", "cum_tokens")
+    )

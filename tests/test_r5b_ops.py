@@ -452,3 +452,70 @@ def test_x89_fusion_arithmetic_and_query_exclusion(spark):
         assert r.text_rank is not None or r.vec_rank is not None
     scores = [r.rrf for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# x90 — stratified budget selection
+# ---------------------------------------------------------------------------
+
+
+def test_x90_per_source_quota_respected(spark):
+    from pyspark.sql import functions as F
+
+    from ask_duckdb_spark.functions.text import tokens
+    from ask_duckdb_spark.sources.catalog import load_table
+
+    rows = QUERIES["x90_stratified_budget_select"](spark, SF_DIR).collect()
+    totals = {
+        r.source: r.total
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("source", F.size(tokens(F.col("text"))).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("total"))
+        .collect()
+    }
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    assert len(by_src) == 20  # every source keeps something
+    for src, members in by_src.items():
+        budget = totals[src] // 2
+        kept = sum(m.n_tokens for m in members)
+        assert kept <= budget
+        # within-source greedy prefix: cum matches the running sum
+        members.sort(key=lambda m: m.cum_tokens)
+        running = 0
+        for m in members:
+            running += m.n_tokens
+            assert m.cum_tokens == running
+
+
+# ---------------------------------------------------------------------------
+# x91 — containment pairs
+# ---------------------------------------------------------------------------
+
+
+def test_x91_catches_excerpt_jaccard_misses(spark, tmp_path_factory):
+    """A 10-token excerpt inside a 60-token page: containment 1.0, but
+    word-5-shingle Jaccard ~ 0.1 — x2 must NOT pair them, x91 must."""
+    page = " ".join(f"p{i}" for i in range(60))
+    excerpt = " ".join(page.split()[20:30])
+    rows = [(0, page, "srcA"), (1, excerpt, "srcA"),
+            (2, " ".join(f"z{i}" for i in range(30)), "srcA")]
+    d = tmp_path_factory.mktemp("x91corpus")
+    _write_documents(spark, str(d), rows)
+    pairs = QUERIES["x91_containment_pairs"](spark, str(d)).collect()
+    spark.catalog.clearCache()
+    assert any(
+        p.contained_id == 1 and p.container_id == 0 and p.containment == 1.0
+        for p in pairs
+    )
+    # directionality: the page is NOT contained in the excerpt
+    assert not any(
+        p.contained_id == 0 and p.container_id == 1 for p in pairs
+    )
+    x2 = QUERIES["x2_minhash_neardup"](spark, str(d)).collect()
+    spark.catalog.clearCache()
+    assert not any(
+        {r.id_a, r.id_b} == {0, 1} for r in x2
+    ), "Jaccard-based x2 should miss the asymmetric pair"
