@@ -2611,3 +2611,73 @@ def x90_stratified_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "score", "n_tokens", "cum_tokens")
         .orderBy("source", "cum_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# x92: source-calibrated quality — percent-rank the quality score WITHIN
+# each source before thresholding. Raw quality scores are not comparable
+# across sources (a clean-corpus median beats a crawl's 90th percentile);
+# rank normalization per stratum is the standard fix before any global
+# keep-rule, and it is embarrassingly distributed (source-partitioned
+# windows only).
+# ---------------------------------------------------------------------------
+
+CALIBRATED_KEEP = 0.5  # keep the top half of each source by rank
+
+
+@query(
+    "x92_source_calibrated_quality",
+    oracle=rf"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             ROUND(CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / greatest(len(toks), 1), 6) AS score
+      FROM (SELECT doc_id, source, {_TOKENS_ORACLE} AS toks FROM documents)
+    )
+    SELECT doc_id, source, score,
+           ROUND(percent_rank() OVER (PARTITION BY source
+                                      ORDER BY score, doc_id), 6) AS pr,
+           CASE WHEN percent_rank() OVER (PARTITION BY source
+                                          ORDER BY score, doc_id)
+                     >= {CALIBRATED_KEEP}
+                THEN 1 ELSE 0 END AS kept
+    FROM scored ORDER BY doc_id
+    """,
+)
+def x92_source_calibrated_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Percent-rank quality within source; keep the top half per source.
+
+    ``percent_rank`` over (score, doc_id) — the doc_id tiebreak makes
+    ranks total and both engines agree exactly; the score is ROUNDed
+    before ranking. ``kept`` compares the rank, not the raw score, so
+    every source contributes its own best half regardless of how its
+    score distribution sits against the corpus — the calibration step
+    a naive global threshold (x10's flat rule) lacks.
+
+    Scale (100 TB): one source-partitioned window — the exchanges are
+    source-keyed and strata rank in parallel; there is no global sort
+    or corpus-wide state. Mega-source skew takes the same cutpoint
+    treatment as x83, one level down.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("score"),
+    )
+    w = W.partitionBy("source").orderBy("score", "doc_id")
+    pr = F.percent_rank().over(w)
+    return scored.select(
+        "doc_id",
+        "source",
+        "score",
+        F.round(pr, 6).alias("pr"),
+        F.when(pr >= CALIBRATED_KEEP, 1).otherwise(0).alias("kept"),
+    ).orderBy("doc_id")

@@ -519,3 +519,23 @@ def test_x91_catches_excerpt_jaccard_misses(spark, tmp_path_factory):
     assert not any(
         {r.id_a, r.id_b} == {0, 1} for r in x2
     ), "Jaccard-based x2 should miss the asymmetric pair"
+
+
+# ---------------------------------------------------------------------------
+# x92 — source-calibrated quality
+# ---------------------------------------------------------------------------
+
+
+def test_x92_every_source_contributes_its_top_half(spark):
+    rows = QUERIES["x92_source_calibrated_quality"](spark, SF_DIR).collect()
+    assert len(rows) == 500
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, members in by_src.items():
+        kept = [m for m in members if m.kept == 1]
+        # 25 docs/source, percent_rank >= 0.5 keeps the top 13
+        assert len(kept) == 13, src
+        # kept docs are exactly the highest-scoring suffix (rank order)
+        members.sort(key=lambda m: (m.score, m.doc_id))
+        assert [m.kept for m in members] == [0] * 12 + [1] * 13
