@@ -2326,15 +2326,19 @@ def x83_budget_select_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("b")
     )
-    # offset = mass strictly above this score; scores with offset < b
-    # participate (fully if cum_mass <= b, at the boundary otherwise)
+    # offset = mass strictly above this score; scores with offset <= b
+    # participate (fully if cum_mass <= b, at the boundary otherwise).
+    # The boundary is INCLUSIVE: zero-token docs sitting exactly at
+    # offset == b still satisfy cum <= b in x81's global rule (found by
+    # tests/test_fuzz_differential.py on a single empty-doc corpus,
+    # where budget == 0 and the only level has offset == 0).
     levels = cumhist.crossJoin(F.broadcast(budget)).select(
         "score",
         (F.col("cum_mass") - F.col("mass")).alias("offset"),
         (F.col("cum_mass") <= F.col("b")).alias("full_keep"),
         "b",
     )
-    keep_levels = levels.filter(F.col("offset") < F.col("b"))
+    keep_levels = levels.filter(F.col("offset") <= F.col("b"))
     tagged = scored.join(F.broadcast(keep_levels), "score")
     # fully-kept scores: the filter needs no window; the distributed
     # per-score running sum only rebuilds the cum_tokens column

@@ -332,3 +332,21 @@ def test_short_doc_corpus_minhash_family_matches_oracle(spark):
             want = con.sql(ORACLES[name]).df()
             _compare(got, want)
             spark.catalog.clearCache()  # x2 persists its signatures
+
+
+@_FUZZ_SETTINGS
+@given(texts=corpus())
+def test_fuzz_x81_budget_select(spark, texts):
+    _fuzz_one(spark, "x81_token_budget_select", texts)
+
+
+@_FUZZ_SETTINGS
+@given(texts=corpus())
+def test_fuzz_x83_budget_cutoff(spark, texts):
+    _fuzz_one(spark, "x83_budget_select_cutoff", texts)
+
+
+@_FUZZ_SETTINGS
+@given(texts=corpus())
+def test_fuzz_x92_calibrated_quality(spark, texts):
+    _fuzz_one(spark, "x92_source_calibrated_quality", texts)
