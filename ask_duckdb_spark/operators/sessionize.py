@@ -313,3 +313,99 @@ def x52_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = s2.agg(F.count("*").cast("bigint").alias("n_click_after"))
     c3 = s3.agg(F.count("*").cast("bigint").alias("n_purchase_after"))
     return c1.join(F.broadcast(c2)).join(F.broadcast(c3))
+
+
+# ---------------------------------------------------------------------------
+# x94: retention cohort matrix — the staple product-analytics rollup the
+# registry lacked: users grouped by first-activity week (their cohort),
+# crossed with weeks-since-cohort, cell = distinct active users and the
+# retention ratio against cohort size. Weeks are Monday-truncated in
+# both engines (Spark date_trunc('week') and DuckDB date_trunc('week')
+# agree); the offset is integer day-diff // 7 on already-aligned week
+# starts, so every cell is exact integers with one rounded division.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x94_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY 1
+    ), act AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS act_week
+      FROM events
+    ), sz AS (
+      SELECT cohort_week, count(*) AS cohort_size FROM firsts GROUP BY 1
+    ), m AS (
+      SELECT f.cohort_week,
+             CAST((a.act_week - f.cohort_week) // 7 AS INTEGER)
+               AS week_offset,
+             CAST(count(*) AS BIGINT) AS n_active
+      FROM act a JOIN firsts f USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT m.cohort_week, m.week_offset, m.n_active,
+           CAST(sz.cohort_size AS BIGINT) AS cohort_size,
+           ROUND(CAST(m.n_active AS DOUBLE) / sz.cohort_size, 6)
+             AS retention
+    FROM m JOIN sz USING (cohort_week)
+    ORDER BY 1, 2
+    """,
+)
+def x94_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohort matrix over the events table.
+
+    cohort(user) = Monday-truncated week of the user's FIRST event;
+    cell (cohort_week, week_offset) counts the cohort's users active
+    in that later week; retention divides by cohort size. week_offset 0
+    is by construction retention 1.0 (every user is active in their
+    first week) — a built-in sanity diagonal the tests pin.
+
+    Scale (100 TB): first-touch and the distinct (user, week) activity
+    frame are user-keyed, map-side-combinable aggregations; the
+    cohort join is user-keyed (never broadcast — users scale with the
+    data); the only broadcast is the cohort-size frame, whose
+    cardinality is the number of WEEKS in the retention horizon —
+    bounded by the calendar, not the data. The matrix itself is
+    (weeks x weeks)/2 cells: tiny forever.
+    """
+    e = load_table(spark, sf_dir, "events")
+    wk = lambda c: F.date_trunc("week", c).cast("date")  # noqa: E731
+    firsts = e.groupBy("user_id").agg(
+        wk(F.min("ts")).alias("cohort_week")
+    )
+    act = e.select(
+        "user_id", wk(F.col("ts")).alias("act_week")
+    ).distinct()
+    sz = firsts.groupBy("cohort_week").agg(
+        F.count("*").cast("bigint").alias("cohort_size")
+    )
+    m = (
+        act.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("act_week"), F.col("cohort_week"))
+                / F.lit(7)
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_active"))
+    )
+    return (
+        m.join(F.broadcast(sz), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -2765,3 +2765,82 @@ def x93_mean_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_surprisal").cast("double") / F.col("n_tokens"), 6
         ).alias("mean_surprisal"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# x95: per-source vocabulary coverage (Good-Turing) + Chao1 richness.
+# "Is this source's vocabulary saturated, or does more crawl mean more
+# new tokens?" — the decision statistic behind x79's growth CURVE,
+# reduced to closed-form estimates: Good-Turing coverage 1 - f1/N (the
+# probability the NEXT token was already seen) and the Chao1 lower
+# bound on true vocabulary size V + f1^2/(2*f2). Counts are exact
+# integers; the two divisions are rounded once at the edge.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x95_vocab_coverage",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT source, unnest({_TOKENS_ORACLE}) AS t FROM documents
+    ), cnt AS (
+      SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+           ROUND(1.0 - CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                            AS DOUBLE) / sum(c), 6) AS coverage,
+           ROUND(count(*)
+                 + CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                   / (2 * greatest(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END),
+                                   1)), 6) AS chao1
+    FROM cnt GROUP BY 1 ORDER BY 1
+    """,
+)
+def x95_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing coverage and Chao1 vocabulary richness per source.
+
+    f1/f2 = singleton/doubleton token-type counts within the source;
+    coverage = 1 - f1/N estimates the mass of already-seen tokens (a
+    source near 1.0 is vocabulary-saturated — more data adds volume,
+    not diversity); chao1 = V + f1^2/(2*f2) lower-bounds the true
+    vocabulary (f2 floored at 1: the standard guard, keeps the
+    estimator finite on doubleton-free sources). Both estimators are
+    single rounded divisions over exact BIGINT counts — hash-exact
+    across engines.
+
+    Scale (100 TB): one (source, token)-keyed count (map-side
+    combinable word-count shape) then a source-keyed rollup of
+    already-tiny per-type rows. No joins, no broadcast, no float until
+    the final division. The same two-level reduction at 100 TB; skewed
+    mega-sources split fine because both aggs are partial-aggregated.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(tokens(F.col("text"))).alias("t")
+    )
+    cnt = tok.groupBy("source", "t").agg(F.count("*").alias("c"))
+    f1 = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    f2 = F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+    return (
+        cnt.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("vocab"),
+            f1.cast("bigint").alias("f1"),
+            f2.cast("bigint").alias("f2"),
+            F.round(
+                F.lit(1.0) - f1.cast("double") / F.sum("c"), 6
+            ).alias("coverage"),
+            F.round(
+                F.count("*")
+                + f1.cast("double") * f1 / (2 * F.greatest(f2, F.lit(1))),
+                6,
+            ).alias("chao1"),
+        )
+        .orderBy("source")
+    )

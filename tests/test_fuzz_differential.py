@@ -69,10 +69,30 @@ def _write_corpus(texts: list[str], d: str) -> None:
     pq.write_table(tbl, os.path.join(d, "documents.parquet"))
 
 
+def _canon_dates(df: pd.DataFrame) -> pd.DataFrame:
+    """Map DATE-typed columns to a common representation: Spark's
+    toPandas yields object cells of datetime.date while DuckDB's df()
+    yields datetime64[us] — same values, different dtypes (the same
+    normalization scripts/diffcheck.py applies)."""
+    import datetime
+
+    df = df.copy()
+    for c in df.columns:
+        col = df[c]
+        if str(col.dtype).startswith("datetime"):
+            df[c] = col.astype("datetime64[us]")
+        elif col.dtype == object:
+            nn = col.dropna()
+            if len(nn) and isinstance(nn.iloc[0], datetime.date):
+                df[c] = pd.to_datetime(col).astype("datetime64[us]")
+    return df
+
+
 def _compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> None:
     assert len(spark_pdf) == len(duck_pdf), (
         f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}"
     )
+    spark_pdf, duck_pdf = _canon_dates(spark_pdf), _canon_dates(duck_pdf)
     a = spark_pdf.reindex(sorted(spark_pdf.columns), axis=1)
     b = duck_pdf.reindex(sorted(duck_pdf.columns), axis=1)
     assert list(a.columns) == list(b.columns)
@@ -350,3 +370,44 @@ def test_fuzz_x83_budget_cutoff(spark, texts):
 @given(texts=corpus())
 def test_fuzz_x92_calibrated_quality(spark, texts):
     _fuzz_one(spark, "x92_source_calibrated_quality", texts)
+
+
+@_FUZZ_SETTINGS
+@given(texts=corpus())
+def test_fuzz_x93_mean_surprisal(spark, texts):
+    _fuzz_one(spark, "x93_mean_surprisal", texts)
+
+
+@_FUZZ_SETTINGS
+@given(texts=corpus())
+def test_fuzz_x95_vocab_coverage(spark, texts):
+    _fuzz_one(spark, "x95_vocab_coverage", texts)
+
+
+@st.composite
+def spread_events(draw):
+    """Day-scale offsets spanning ~7 weeks — forces multi-cohort,
+    multi-offset retention matrices (the second-scale ``events()``
+    strategy collapses x94 to a single cell)."""
+    n = draw(st.integers(min_value=1, max_value=12))
+    rows = []
+    for i in range(n):
+        user = draw(st.integers(min_value=1, max_value=4))
+        off_days = draw(st.integers(min_value=0, max_value=45))
+        rows.append(
+            (
+                i,
+                _TS_BASE + off_days * 86_400_000_000,
+                user,
+                draw(st.sampled_from(["click", "view"])),
+                1.0,
+                "{}",
+            )
+        )
+    return rows
+
+
+@_FUZZ_SETTINGS
+@given(rows=spread_events())
+def test_fuzz_x94_retention_cohorts(spark, rows):
+    _fuzz_events(spark, "x94_retention_cohorts", rows)

@@ -576,3 +576,32 @@ def test_x93_rare_vocab_scores_higher(spark):
         assert r.n_tokens >= 1
         assert 0 <= r.sum_surprisal
         assert abs(r.mean_surprisal - r.sum_surprisal / r.n_tokens) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# x94 — retention cohorts; x95 — Good-Turing vocabulary coverage
+# ---------------------------------------------------------------------------
+
+
+def test_x94_offset_zero_diagonal_is_full(spark):
+    """Every cohort's week_offset-0 cell must be retention 1.0 — a user
+    is by definition active in their first week."""
+    rows = QUERIES["x94_retention_cohorts"](spark, SF_DIR_001).collect()
+    assert rows, "empty retention matrix"
+    for r in rows:
+        assert 0 <= r.week_offset
+        assert 1 <= r.n_active <= r.cohort_size
+        if r.week_offset == 0:
+            assert r.n_active == r.cohort_size
+            assert r.retention == 1.0
+
+
+def test_x95_hand_computed_estimators(spark, tmp_path_factory):
+    """Corpus 'a a b' + 'b c' (one source): counts a=2 b=2 c=1 ->
+    N=5 V=3 f1=1 f2=2, coverage=0.8, chao1=3+1/(2*2)=3.25."""
+    d = tmp_path_factory.mktemp("x95corpus")
+    _write_documents(spark, str(d), [(0, "a a b", "s"), (1, "b c", "s")])
+    [r] = QUERIES["x95_vocab_coverage"](spark, str(d)).collect()
+    assert (r.n_tokens, r.vocab, r.f1, r.f2) == (5, 3, 1, 2)
+    assert r.coverage == 0.8
+    assert r.chao1 == 3.25
