@@ -1819,3 +1819,76 @@ def x91_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("contained_id", "container_id", "containment")
         .orderBy("contained_id", "container_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x96: leakage-safe train/val/test split. x34 assigns splits by DOC
+# hash; that leaks near-duplicates across the split boundary (a doc in
+# train and its 90%-identical twin in test inflates eval). The fix is
+# standard: assign at the CLUSTER level — every member of a near-dup
+# component (x29's connected components over x2's pair graph) inherits
+# the split of its cluster label; singletons are their own cluster.
+# Same Knuth-multiplicative hash ranges as x34, keyed on the cluster.
+# ---------------------------------------------------------------------------
+
+#: x34's split-hash constants (textstats.py x34): Knuth multiplicative
+#: hash into [0, 2^32), 80/10/10 range split. Keyed here on the CLUSTER
+#: label, so split assignment is stable under corpus growth AND no
+#: near-dup pair ever straddles a split.
+_SPLIT_A = 2654435761
+_SPLIT_M = 4294967296
+
+
+@query(
+    "x96_leakage_safe_split",
+    oracle=f"""
+    WITH cc AS (
+      SELECT doc_id, cluster
+      FROM ({_CC_ORACLE.replace("ORDER BY doc_id", "")}) q
+    ), assigned AS (
+      SELECT d.doc_id,
+             COALESCE(cc.cluster, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN cc USING (doc_id)
+    )
+    SELECT doc_id, cluster,
+           CASE WHEN (cluster * {_SPLIT_A}) % {_SPLIT_M}
+                     < {int(0.8 * _SPLIT_M)} THEN 'train'
+                WHEN (cluster * {_SPLIT_A}) % {_SPLIT_M}
+                     < {int(0.9 * _SPLIT_M)} THEN 'val'
+                ELSE 'test' END AS split
+    FROM assigned ORDER BY doc_id
+    """,
+)
+def x96_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level 80/10/10 split: near-dup components never straddle
+    train/val/test.
+
+    Composition: x29's min-label connected components give each doc in
+    the near-dup graph its cluster label (singletons fall back to their
+    own doc_id via the left join), then x34's hash-range assignment is
+    applied to the LABEL. Properties the tests pin: (a) every member of
+    a component gets the component's split — zero leaked pairs; (b) a
+    singleton's assignment equals what x34's per-doc rule would give,
+    so the two splits agree wherever leakage wasn't possible; (c)
+    growth-stable — adding docs never reassigns an existing cluster.
+
+    Scale (100 TB): the only additions over x29 are one doc_id-keyed
+    left join against the full corpus and a narrow hash map — both
+    linear; the split hash itself is shuffle-free. x29/x80 bear the
+    component cost (measured log-round at 100x, SCALE.md).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cc = x29_dedup_clusters(spark, sf_dir).select("doc_id", "cluster")
+    assigned = d.select("doc_id").join(cc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster"), F.col("doc_id")).alias("cluster"),
+    )
+    h = (F.col("cluster") * _SPLIT_A) % _SPLIT_M
+    split = (
+        F.when(h < int(0.8 * _SPLIT_M), "train")
+        .when(h < int(0.9 * _SPLIT_M), "val")
+        .otherwise("test")
+    )
+    return assigned.select(
+        "doc_id", "cluster", split.alias("split")
+    ).orderBy("doc_id")

@@ -605,3 +605,43 @@ def test_x95_hand_computed_estimators(spark, tmp_path_factory):
     assert (r.n_tokens, r.vocab, r.f1, r.f2) == (5, 3, 1, 2)
     assert r.coverage == 0.8
     assert r.chao1 == 3.25
+
+
+# ---------------------------------------------------------------------------
+# x96 — leakage-safe split
+# ---------------------------------------------------------------------------
+
+
+def test_x96_no_neardup_pair_straddles_splits(spark):
+    """THE property x96 exists for: every x2 near-dup pair lands in one
+    split (x34's doc-hash rule has no such guarantee)."""
+    splits = {
+        r.doc_id: r.split
+        for r in QUERIES["x96_leakage_safe_split"](spark, SF_DIR_001).collect()
+    }
+    pairs = QUERIES["x2_minhash_neardup"](spark, SF_DIR_001).collect()
+    assert pairs, "fixture has no near-dup pairs — vacuous"
+    for p in pairs:
+        assert splits[p.id_a] == splits[p.id_b], (p.id_a, p.id_b)
+    spark.catalog.clearCache()  # x2 persists signatures
+
+
+def test_x96_members_share_cluster_split_and_singletons_match_x34(spark):
+    rows = QUERIES["x96_leakage_safe_split"](spark, SF_DIR_001).collect()
+    by_cluster: dict[int, set] = {}
+    singleton_rule_checked = 0
+    for r in rows:
+        by_cluster.setdefault(r.cluster, set()).add(r.split)
+        if r.cluster == r.doc_id:
+            # same arithmetic as x34's per-doc rule
+            h = (r.doc_id * 2654435761) % 4294967296
+            want = (
+                "train"
+                if h < int(0.8 * 4294967296)
+                else ("val" if h < int(0.9 * 4294967296) else "test")
+            )
+            assert r.split == want
+            singleton_rule_checked += 1
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert singleton_rule_checked > 0
+    spark.catalog.clearCache()
