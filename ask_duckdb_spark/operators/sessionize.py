@@ -409,3 +409,92 @@ def x94_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# x97: watermark late-data audit. Before setting a Structured Streaming
+# watermark delay, measure what it would DROP: an event is late-beyond-
+# watermark when its ts lags the running max event-time of its stream
+# partition (arrival order = event_id, the ingest sequence) by more
+# than the delay. Streams track watermarks per partition (the global
+# watermark is the min of partition maxima), so the audit partitions
+# by event_type — the same keying streaming/events.py uses.
+# ---------------------------------------------------------------------------
+
+#: Audit delay: 10 minutes, the x13/x14 sessionization gap constant.
+LATE_DELAY_S = 600
+
+
+@query(
+    "x97_late_event_audit",
+    oracle=f"""
+    WITH w AS (
+      SELECT event_type, ts,
+             max(ts) OVER (PARTITION BY event_type ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS wm_high
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN ts < wm_high - INTERVAL {LATE_DELAY_S} SECOND
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           ROUND(CAST(sum(CASE WHEN ts < wm_high
+                                    - INTERVAL {LATE_DELAY_S} SECOND
+                         THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+             AS late_ratio
+    FROM w GROUP BY 1 ORDER BY 1
+    """,
+)
+def x97_late_event_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of events a 10-minute watermark would drop, per type.
+
+    The running high-water mark is ``max(ts)`` over all PRIOR arrivals
+    (event_id order) within the event_type partition; an event whose
+    ts trails it by more than LATE_DELAY_S would arrive behind the
+    watermark and be discarded by a streaming aggregation. The first
+    arrival has no prior max (NULL window) and is never late — both
+    engines NULL-propagate the comparison to false. Timestamp compares
+    are exact; the single division is rounded once.
+
+    Fixture note: the synthetic events are generated in ts order
+    (verified: zero out-of-order rows), so the registered entry reads
+    all-zero late counts — the TRUE answer for an ordered ingest, and
+    the diagnostic a pipeline wants before trusting a tight watermark.
+    The disorder branch is pinned by tests/fuzz on day-scale-shuffled
+    event streams (tests/test_fuzz_differential.py spread_events).
+
+    Scale (100 TB): one event_type-keyed window — the same shuffle any
+    per-stream-partition stateful op pays; no joins, no broadcast.
+    Arrival order at 100 TB is the ingest log's order within partition,
+    exactly what the window models. Skewed event types split by the
+    same salting x26 demonstrates if one type dominates.
+    """
+    e = load_table(spark, sf_dir, "events")
+    wm = F.max("ts").over(
+        W.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    late = (
+        F.col("ts").cast("timestamp")
+        < F.col("wm_high").cast("timestamp") - F.expr(
+            f"INTERVAL {LATE_DELAY_S} SECOND"
+        )
+    )
+    return (
+        e.select("event_type", "ts", wm.alias("wm_high"))
+        .select(
+            "event_type",
+            F.when(late, 1).otherwise(0).alias("is_late"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("is_late").cast("bigint").alias("n_late"),
+            F.round(
+                F.sum("is_late").cast("double") / F.count("*"), 6
+            ).alias("late_ratio"),
+        )
+        .orderBy("event_type")
+    )

@@ -2844,3 +2844,99 @@ def x95_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# x98: mixture deficiency planner. Given x60's temperature-scaled
+# mixing rule applied to TOKEN mass and a target training budget,
+# report per source: tokens wanted vs tokens available, the implied
+# epoch count, and the deficiency flag. The planning table that tells
+# you BEFORE launching a run which sources the sampler will have to
+# repeat (epochs > 1) — the up-weighted small sources — and which are
+# effectively infinite at this budget.
+# ---------------------------------------------------------------------------
+
+#: Planning budget (tokens) for the registered entry: ~1x the sf0.01
+#: corpus token mass (27,165). The 20 fixture sources are near-uniform
+#: (~1.2-1.6k tokens), so needed ~ budget/20 ~ 1,350 lands INSIDE the
+#: per-source token distribution — sources below it come out deficient,
+#: sources above do not, and both branches are exercised.
+MIX_BUDGET_TOKENS = 27_000
+MIX_ALPHA = 0.7  # x60's temperature
+
+
+@query(
+    "x98_mixture_deficiency",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT source, len({_TOKENS_ORACLE}) AS n FROM documents
+    ), src AS (
+      SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens
+      FROM toks GROUP BY 1
+    ), wt AS (
+      SELECT source, n_tokens,
+             ROUND(pow(n_tokens, {MIX_ALPHA})
+                   / sum(pow(n_tokens, {MIX_ALPHA})) OVER (), 6) AS weight
+      FROM src
+    )
+    SELECT source, n_tokens, weight,
+           CAST(floor({MIX_BUDGET_TOKENS} * weight) AS BIGINT)
+             AS needed_tokens,
+           ROUND(floor({MIX_BUDGET_TOKENS} * weight) / n_tokens, 6)
+             AS epochs,
+           CASE WHEN floor({MIX_BUDGET_TOKENS} * weight) > n_tokens
+                THEN 1 ELSE 0 END AS deficient
+    FROM wt ORDER BY source
+    """,
+)
+def x98_mixture_deficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token demand vs supply under the alpha=0.7 mixture.
+
+    weight_s = n_s^alpha / sum(n^alpha) over TOKEN counts (x60's rule,
+    re-based from documents to tokens because budgets are in tokens);
+    needed = floor(budget * weight) with the weight pre-ROUNDed to 6
+    digits, so the product is one identical IEEE multiply on both
+    engines and the floor cannot straddle; epochs = needed/available
+    (epochs > 1 = the source must repeat — the deficiency a data card
+    should disclose); deficient flags it. The only accumulation-order
+    float is the pow() normalization sum, absorbed by ROUND 6 exactly
+    as in x60.
+
+    Scale (100 TB): one source-keyed combinable token count, one
+    |sources|-row window normalization, then narrow arithmetic —
+    no corpus-sized shuffle beyond the count. The planning table stays
+    |sources| rows forever.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    src = d.select(
+        "source", F.size(tokens(F.col("text"))).alias("n")
+    ).groupBy("source").agg(F.sum("n").cast("bigint").alias("n_tokens"))
+    wsum = W.partitionBy()
+    weight = F.round(
+        F.pow(F.col("n_tokens").cast("double"), F.lit(MIX_ALPHA))
+        / F.sum(
+            F.pow(F.col("n_tokens").cast("double"), F.lit(MIX_ALPHA))
+        ).over(wsum),
+        6,
+    )
+    needed = F.floor(F.lit(MIX_BUDGET_TOKENS) * F.col("weight")).cast(
+        "bigint"
+    )
+    return (
+        src.withColumn("weight", weight)
+        .withColumn("needed_tokens", needed)
+        .select(
+            "source",
+            "n_tokens",
+            "weight",
+            "needed_tokens",
+            F.round(
+                F.col("needed_tokens").cast("double") / F.col("n_tokens"),
+                6,
+            ).alias("epochs"),
+            F.when(
+                F.col("needed_tokens") > F.col("n_tokens"), 1
+            ).otherwise(0).alias("deficient"),
+        )
+        .orderBy("source")
+    )

@@ -411,3 +411,18 @@ def spread_events(draw):
 @given(rows=spread_events())
 def test_fuzz_x94_retention_cohorts(spark, rows):
     _fuzz_events(spark, "x94_retention_cohorts", rows)
+
+
+@_FUZZ_SETTINGS
+@given(rows=spread_events())
+def test_fuzz_x97_late_event_audit(spark, rows):
+    # day-scale random offsets against sequential event_ids =
+    # heavily out-of-order arrival: the late branch actually fires
+    # (the fixture is ts-ordered and reads all-zero).
+    _fuzz_events(spark, "x97_late_event_audit", rows)
+
+
+@_FUZZ_SETTINGS
+@given(texts=corpus())
+def test_fuzz_x98_mixture_deficiency(spark, texts):
+    _fuzz_one(spark, "x98_mixture_deficiency", texts)

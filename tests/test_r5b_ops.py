@@ -645,3 +645,69 @@ def test_x96_members_share_cluster_split_and_singletons_match_x34(spark):
     assert all(len(s) == 1 for s in by_cluster.values())
     assert singleton_rule_checked > 0
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# x97 — watermark late-data audit; x98 — mixture deficiency planner
+# ---------------------------------------------------------------------------
+
+
+def test_x97_hand_built_late_event(spark, tmp_path_factory):
+    """Arrival order id 0,1,2 with ts t0, t0+1h, t0: the third event
+    trails the running max by 3600s > 600s delay -> exactly 1 late."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = 1_700_000_000_000_000
+    rows = [
+        (0, base, 1, "click", 1.0, "{}"),
+        (1, base + 3_600_000_000, 1, "click", 1.0, "{}"),
+        (2, base, 2, "click", 1.0, "{}"),
+        (3, base, 3, "view", 1.0, "{}"),  # sole view: never late
+    ]
+    d = str(tmp_path_factory.mktemp("x97events"))
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    out = {
+        r.event_type: r
+        for r in QUERIES["x97_late_event_audit"](spark, d).collect()
+    }
+    assert out["click"].n_events == 3 and out["click"].n_late == 1
+    assert out["view"].n_late == 0  # first arrival is never late
+
+
+def test_x97_fixture_is_time_ordered(spark):
+    """The synthetic ingest is ts-ordered -> zero late events at any
+    positive delay; this pins the diagnostic reading, and guards the
+    fixture assumption the docstring states."""
+    for r in QUERIES["x97_late_event_audit"](spark, SF_DIR_001).collect():
+        assert r.n_late == 0 and r.late_ratio == 0.0
+
+
+def test_x98_planner_invariants_and_boundary(spark):
+    rows = QUERIES["x98_mixture_deficiency"](spark, SF_DIR).collect()
+    assert len(rows) == 20
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    n_def = sum(r.deficient for r in rows)
+    assert 0 < n_def < len(rows)  # both branches exercised at sf0.01
+    for r in rows:
+        assert r.deficient == (1 if r.needed_tokens > r.n_tokens else 0)
+        assert r.epochs == pytest.approx(
+            round(r.needed_tokens / r.n_tokens, 6), abs=1e-9
+        )
+        # alpha<1 up-weights small sources: epochs ordering follows
+        # inverse token mass (checked pairwise on the extremes)
+    small = min(rows, key=lambda r: r.n_tokens)
+    big = max(rows, key=lambda r: r.n_tokens)
+    assert small.epochs > big.epochs
