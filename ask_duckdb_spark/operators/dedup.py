@@ -1892,3 +1892,73 @@ def x96_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.select(
         "doc_id", "cluster", split.alias("split")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# x99: near-dup source attribution — x2's pair graph rolled up to the
+# source-pair level: which PAIRS OF SOURCES duplicate each other's
+# content (mirrors, re-crawls, cross-posted feeds). The fixture is
+# built exactly this way (24 of its 25 near-dup pairs straddle
+# sources), and at crawl scale this matrix is the dedup-policy input:
+# a source pair with mass here gets crawl-level dedup before any
+# per-document pass.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x99_dup_source_attribution",
+    oracle=f"""
+    WITH p AS (SELECT id_a, id_b FROM ({_X2_ORACLE}) q),
+    lab AS (
+      SELECT least(da.source, db.source)    AS src_lo,
+             greatest(da.source, db.source) AS src_hi
+      FROM p
+      JOIN documents da ON p.id_a = da.doc_id
+      JOIN documents db ON p.id_b = db.doc_id
+    )
+    SELECT src_lo, src_hi, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM lab GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def x99_dup_source_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair counts per unordered source pair.
+
+    Composition: x2's LSH pair set, two doc_id-keyed joins to recover
+    each side's source, least/greatest normalization so (A,B) and
+    (B,A) collapse, then a count. Within-source duplication shows up
+    on the diagonal (src_lo = src_hi) — intra-source boilerplate vs
+    cross-source mirroring separate cleanly in one table.
+
+    Scale (100 TB): the pair frame is the already-bucketed x2 output
+    (linear, SCALE.md); the attribution joins are doc_id-keyed against
+    the (doc_id, source) projection — column-pruned scans, no new
+    shape; the rollup output is bounded by |sources|^2/2. The matrix
+    a crawl scheduler consumes is tiny regardless of corpus size.
+    """
+    pairs = x2_minhash_neardup(spark, sf_dir).select("id_a", "id_b")
+    d = widen(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source"
+    )
+    j = (
+        pairs.join(
+            d.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+                "source", "src_a"
+            ),
+            "id_a",
+        )
+        .join(
+            d.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "source", "src_b"
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("src_a", "src_b").alias("src_lo"),
+            F.greatest("src_a", "src_b").alias("src_hi"),
+        )
+    )
+    return (
+        j.groupBy("src_lo", "src_hi")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .orderBy("src_lo", "src_hi")
+    )

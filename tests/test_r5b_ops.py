@@ -711,3 +711,43 @@ def test_x98_planner_invariants_and_boundary(spark):
     small = min(rows, key=lambda r: r.n_tokens)
     big = max(rows, key=lambda r: r.n_tokens)
     assert small.epochs > big.epochs
+
+
+# ---------------------------------------------------------------------------
+# x99 — near-dup source attribution
+# ---------------------------------------------------------------------------
+
+
+def test_x99_totals_match_x2_and_diagonal_separates(spark):
+    """Sum over the matrix = |x2 pairs|; planted cross-source dup in a
+    hand corpus lands off-diagonal, intra-source dup on the diagonal."""
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["x99_dup_source_attribution"](spark, SF_DIR_001).collect()
+    n_pairs_total = sum(r.n_pairs for r in rows)
+    x2 = QUERIES["x2_minhash_neardup"](spark, SF_DIR_001).count()
+    assert n_pairs_total == x2 > 0
+    for r in rows:
+        assert r.src_lo <= r.src_hi
+    spark.catalog.clearCache()
+
+
+def test_x99_hand_planted_attribution(spark, tmp_path_factory):
+    base = " ".join(f"tok{i} word{i % 11} filler{i % 7}" for i in range(40))
+    near = base + " extra"
+    rows = [
+        (0, base, "srcA"),
+        (1, near, "srcB"),   # cross-source near-dup pair -> (A, B)
+        (2, base + " pad", "srcA"),  # intra-source near-dup -> (A, A)
+        (3, " ".join(f"z{i}" for i in range(40)), "srcC"),
+    ]
+    d = tmp_path_factory.mktemp("x99corpus")
+    _write_documents(spark, str(d), rows)
+    out = {
+        (r.src_lo, r.src_hi): r.n_pairs
+        for r in QUERIES["x99_dup_source_attribution"](spark, str(d)).collect()
+    }
+    assert out.get(("srcA", "srcB"), 0) >= 1   # cross-source mass
+    assert out.get(("srcA", "srcA"), 0) >= 1   # diagonal mass
+    assert ("srcC", "srcC") not in out
+    spark.catalog.clearCache()
