@@ -652,7 +652,15 @@ def x29_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+            # localCheckpoint, not persist: persist caches DATA but the
+            # logical plan still nests every prior round, so plan depth
+            # (and any plan-string/driver traversal) grows per round —
+            # the long-session pathology DIFFCHECK_r05 documents.
+            # Checkpointing truncates lineage to the materialized
+            # blocks. In a multi-executor deployment prefer a reliable
+            # checkpoint dir (survives executor loss); local is right
+            # for this single-JVM harness.
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -661,7 +669,7 @@ def x29_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .count()
         )
         prev, labels = labels, new_labels
-        prev.unpersist()  # the count above materialized new_labels
+        prev.unpersist()  # no-op once prev is a checkpointed frame
         if changed == 0:
             converged = True
             break
@@ -1466,7 +1474,9 @@ def x80_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_cs = _checksum(e)
     for _ in range(CC_MAX_ROUNDS):
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        nxt = _small_star(_large_star(sym)).persist()
+        # lineage truncation per round (see x29): persist alone leaves
+        # the plan nesting all prior rounds
+        nxt = _small_star(_large_star(sym)).localCheckpoint(eager=True)
         cs = _checksum(nxt)
         e.unpersist()
         e = nxt
