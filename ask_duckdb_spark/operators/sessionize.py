@@ -498,3 +498,74 @@ def x97_late_event_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# x100: event-type transition matrix — the first-order Markov model of
+# user behavior. Per user, order events by time; count (prev_type ->
+# type) transitions; normalize rows into probabilities. Funnels (x52)
+# test ONE hypothesized path; the transition matrix surfaces every
+# path and its mass, and is the input to next-event prediction,
+# anomaly scoring, and journey clustering.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x100_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), t AS (
+      SELECT prev_type AS from_type, event_type AS to_type,
+             count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM t ORDER BY from_type, to_type
+    """,
+)
+def x100_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition counts and row-normalized probabilities.
+
+    ``lag(event_type)`` over (ts, event_id) within each user — the
+    event_id tiebreak makes simultaneous-timestamp ordering total, so
+    both engines see the same sequence; each user's first event has no
+    predecessor and contributes no transition. Counts are exact
+    integers; the row normalization is one division per cell over the
+    |types|^2 matrix, rounded once.
+
+    Scale (100 TB): one user-keyed window shuffle (the sessionization
+    exchange — reusable when chained after x13), then a (from, to)-
+    keyed count whose key space is |event types|^2 — the word-count
+    shape collapsing to a tiny matrix; the row-sum window runs on that
+    matrix, not the corpus. Nothing here grows with the data except
+    the linear scan.
+    """
+    e = load_table(spark, sf_dir, "events")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    t = seq.groupBy(
+        F.col("prev_type").alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).agg(F.count("*").alias("n"))
+    return t.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(W.partitionBy("from_type")),
+            6,
+        ).alias("p"),
+    ).orderBy("from_type", "to_type")

@@ -426,3 +426,10 @@ def test_fuzz_x97_late_event_audit(spark, rows):
 @given(texts=corpus())
 def test_fuzz_x98_mixture_deficiency(spark, texts):
     _fuzz_one(spark, "x98_mixture_deficiency", texts)
+
+
+@_FUZZ_SETTINGS
+@given(rows=events())
+def test_fuzz_x100_event_transitions(spark, rows):
+    # duplicate timestamps stress the (ts, event_id) tiebreak
+    _fuzz_events(spark, "x100_event_transitions", rows)

@@ -751,3 +751,64 @@ def test_x99_hand_planted_attribution(spark, tmp_path_factory):
     assert out.get(("srcA", "srcA"), 0) >= 1   # diagonal mass
     assert ("srcC", "srcC") not in out
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# x100 — event-type transition matrix
+# ---------------------------------------------------------------------------
+
+
+def test_x100_hand_built_chain(spark, tmp_path_factory):
+    """User 1: A->B->B; user 2: A->B. Transitions: A->B x2, B->B x1.
+    Row A: p(B|A)=1.0; row B: p(B|B)=1.0."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = 1_700_000_000_000_000
+    rows = [
+        (0, base + 0, 1, "A", 1.0, "{}"),
+        (1, base + 1_000_000, 1, "B", 1.0, "{}"),
+        (2, base + 2_000_000, 1, "B", 1.0, "{}"),
+        (3, base + 0, 2, "A", 1.0, "{}"),
+        (4, base + 5_000_000, 2, "B", 1.0, "{}"),
+    ]
+    d = str(tmp_path_factory.mktemp("x100events"))
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    out = {
+        (r.from_type, r.to_type): r
+        for r in QUERIES["x100_event_transitions"](spark, d).collect()
+    }
+    assert out[("A", "B")].n == 2 and out[("A", "B")].p == 1.0
+    assert out[("B", "B")].n == 1 and out[("B", "B")].p == 1.0
+    assert len(out) == 2
+
+
+def test_x100_rows_normalize_and_mass_conserves(spark):
+    rows = QUERIES["x100_event_transitions"](spark, SF_DIR_001).collect()
+    assert rows
+    by_from: dict[str, float] = {}
+    total_n = 0
+    for r in rows:
+        by_from[r.from_type] = by_from.get(r.from_type, 0.0) + r.p
+        total_n += r.n
+    for src, s in by_from.items():
+        assert abs(s - 1.0) < 1e-4, src
+    # transitions = events - first event per user (150 users at sf0.001)
+    from ask_duckdb_spark.sources.catalog import load_table
+
+    e = load_table(spark, SF_DIR_001, "events")
+    n_events = e.count()
+    n_users = e.select("user_id").distinct().count()
+    assert total_n == n_events - n_users
