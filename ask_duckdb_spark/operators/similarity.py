@@ -65,7 +65,7 @@ def x5_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_DIMS = 64
 
 
-def _plane_weights() -> list[list[float]]:
+def _plane_weights(n_planes: int = None) -> list[list[float]]:
     """Literal hyperplane weights in [-1, 1), seeded from md5(plane, dim).
 
     Computed ONCE in Python and embedded as plan literals on the Spark
@@ -73,11 +73,17 @@ def _plane_weights() -> list[list[float]]:
     broadcast model, no runtime hashing (cheaper than the previous
     per-row xxhash64 derivation), and both engines provably use the
     same matrix. Same discipline as x58's portable projection signs.
+    ``n_planes`` defaults to N_PLANES; a caller scaling BAND_BITS up
+    (see ``_band_keys``) draws a longer prefix of the SAME deterministic
+    sequence, so plane p's weights never depend on how many planes are
+    requested.
     """
     import hashlib
 
+    if n_planes is None:
+        n_planes = N_PLANES
     ws = []
-    for p in range(N_PLANES):
+    for p in range(n_planes):
         row = []
         for d in range(1, N_DIMS + 1):
             k = (
@@ -92,19 +98,37 @@ def _plane_weights() -> list[list[float]]:
 _WEIGHTS = _plane_weights()
 
 
-def _band_keys(vec_col):
-    """Banded sign-random-projection keys: array of N_BANDS structs.
+def _band_keys(vec_col, n_bands: int = None, band_bits: int = None):
+    """Banded sign-random-projection keys: array of ``n_bands`` structs.
 
-    Each band packs BAND_BITS sign bits; two vectors are candidates
+    Each band packs ``band_bits`` sign bits; two vectors are candidates
     when ANY band key matches — the OR'd multi-table LSH construction
     (same shape as x2's minhash bands), which keeps recall high where
     single-bucket probing collapses. The double left-fold projection is
     bit-identical to the oracle's list_reduce, so band keys — and thus
     candidate sets — match exactly across engines.
+
+    ``band_bits`` is the SCALE knob (SCALE.md's x69/x7b honest wall):
+    bucket count per band is 2^band_bits, so candidate volume shrinks
+    ~2^-Δbits as bits rise; production sets band_bits ≈ log2(n /
+    target_bucket_size). Defaults reproduce the registered oracle;
+    non-default values draw more planes from the same deterministic
+    weight sequence and VOID the registered oracle (the ADVICE-r4
+    parameterization rule — the recall/volume pytest gates cover the
+    non-default path).
     """
+    if n_bands is None:
+        n_bands = N_BANDS
+    if band_bits is None:
+        band_bits = BAND_BITS
+    weights = (
+        _WEIGHTS
+        if n_bands * band_bits <= N_PLANES
+        else _plane_weights(n_bands * band_bits)
+    )
 
     def sign_bit(p: int):
-        w = F.array(*[F.lit(x) for x in _WEIGHTS[p]])
+        w = F.array(*[F.lit(x) for x in weights[p]])
         proj = F.aggregate(
             F.zip_with(
                 vec_col,
@@ -117,8 +141,8 @@ def _band_keys(vec_col):
         return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
 
     keys = []
-    for band in range(N_BANDS):
-        bits = [sign_bit(band * BAND_BITS + i) for i in range(BAND_BITS)]
+    for band in range(n_bands):
+        bits = [sign_bit(band * band_bits + i) for i in range(band_bits)]
         key = bits[0]
         for b in bits[1:]:
             key = key * 2 + b
@@ -577,7 +601,12 @@ def x7_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _banded_candidate_pairs(emb: DataFrame, keep_self: bool = False) -> DataFrame:
+def _banded_candidate_pairs(
+    emb: DataFrame,
+    keep_self: bool = False,
+    n_bands: int = None,
+    band_bits: int = None,
+) -> DataFrame:
     """Ordered candidate pairs sharing >=1 sign-random-projection band.
 
     The shared scaffolding of x7b and x44: explode ``_band_keys``, self-
@@ -591,7 +620,9 @@ def _banded_candidate_pairs(emb: DataFrame, keep_self: bool = False) -> DataFram
     banded = emb.select(
         "vec_id",
         "embedding",
-        F.explode(_band_keys(F.col("embedding"))).alias("bk"),
+        F.explode(
+            _band_keys(F.col("embedding"), n_bands, band_bits)
+        ).alias("bk"),
     ).select(
         "vec_id",
         "embedding",

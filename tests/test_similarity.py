@@ -298,3 +298,39 @@ def test_x63_hier_recall_comparable_to_flat_at_equal_granularity(spark):
     assert n_hier >= 0.7 * n_flat, (n_hier, n_flat)
     # and the hierarchical assignment actually uses multiple cells
     assert hier[["ccell", "fcell"]].drop_duplicates().shape[0] >= 4
+
+
+def test_band_bits_is_a_real_scale_knob(spark, tmp_path_factory):
+    """SCALE.md's x69/x7b honest wall says candidate volume at fixed
+    BAND_BITS grows O(n^2 / 2^bits) and production must raise bits with
+    n. This gate proves the knob works: on a 400-vector corpus with
+    two planted exact-duplicate pairs, raising band_bits 3 -> 8 must
+    (a) cut candidate volume by >= 4x and (b) keep BOTH planted pairs
+    (identical vectors share every sign bit, so they collide in all
+    bands at any width)."""
+    import hashlib
+
+    from ask_duckdb_spark.operators.similarity import (
+        _banded_candidate_pairs,
+    )
+
+    def vec(i):
+        # deterministic pseudo-random 64-dim vector from md5(i, d)
+        return [
+            (int(hashlib.md5(f"v{i}d{d}".encode()).hexdigest()[:6], 16)
+             % 2001 - 1000) / 1000.0
+            for d in range(64)
+        ]
+
+    rows = [(i, vec(i), 0) for i in range(398)]
+    rows.append((398, vec(0), 0))   # planted dup of 0
+    rows.append((399, vec(7), 0))   # planted dup of 7
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    wide = _banded_candidate_pairs(df).select("id_a", "id_b")
+    narrow = _banded_candidate_pairs(df, band_bits=8).select("id_a", "id_b")
+    n_wide, n_narrow = wide.count(), narrow.count()
+    assert n_narrow * 4 <= n_wide, (n_wide, n_narrow)
+    got = {(r.id_a, r.id_b) for r in narrow.collect()}
+    assert (0, 398) in got and (7, 399) in got
