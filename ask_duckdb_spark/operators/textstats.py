@@ -2940,3 +2940,86 @@ def x98_mixture_deficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# x101: readability (Flesch reading-ease, integer-proxy form). The
+# classic prose-quality feature x61's Gopher rules lack: sentence
+# length and syllable density. Sentences are counted as terminal-
+# punctuation runs (floored at 1), syllables as vowel-letter runs —
+# both exact regexp counts, identical in both engines; the Flesch
+# formula is then one fixed expression over three BIGINTs, rounded
+# once. The standard 206.835/1.015/84.6 coefficients.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x101_readability",
+    oracle=rf"""
+    WITH c AS (
+      SELECT doc_id,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS n_sent,
+             len({_TOKENS_ORACLE}) AS n_words,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_sent AS BIGINT) AS n_sent,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_syll AS BIGINT) AS n_syll,
+           ROUND(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE) / n_sent)
+                 - 84.6 * (CAST(n_syll AS DOUBLE)
+                           / greatest(n_words, 1)), 6) AS flesch
+    FROM c ORDER BY doc_id
+    """,
+)
+def x101_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document, from exact integer counts.
+
+    n_sent = runs of [.!?] (min 1: an unpunctuated fragment is one
+    sentence); n_syll = runs of vowel letters (the standard cheap
+    syllable proxy — exact hyphenation needs a dictionary, and the
+    FILTER use case only needs ordering, not phonetics); flesch =
+    206.835 - 1.015*(words/sentence) - 84.6*(syllables/word). Very low
+    scores = run-on machine text; impossibly high = fragmented OCR —
+    the two tails a readability filter cuts. Counts are exact and the
+    formula is a single fixed-shape double expression, so the oracle
+    is hash-exact.
+
+    Scale (100 TB): pure narrow map — two regexp scans and a tokenize
+    per row, no shuffle at all (the cheapest operator class in the
+    registry, same shape as x8/x10).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_sent = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    )
+    n_words = F.size(tokens(F.col("text")))
+    n_syll = F.size(
+        F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    )
+    c = d.select(
+        "doc_id",
+        n_sent.cast("bigint").alias("n_sent"),
+        n_words.cast("bigint").alias("n_words"),
+        n_syll.cast("bigint").alias("n_syll"),
+    )
+    return c.select(
+        "doc_id",
+        "n_sent",
+        "n_words",
+        "n_syll",
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.col("n_words").cast("double") / F.col("n_sent"))
+            - F.lit(84.6)
+            * (
+                F.col("n_syll").cast("double")
+                / F.greatest(F.col("n_words"), F.lit(1))
+            ),
+            6,
+        ).alias("flesch"),
+    ).orderBy("doc_id")

@@ -433,3 +433,9 @@ def test_fuzz_x98_mixture_deficiency(spark, texts):
 def test_fuzz_x100_event_transitions(spark, rows):
     # duplicate timestamps stress the (ts, event_id) tiebreak
     _fuzz_events(spark, "x100_event_transitions", rows)
+
+
+@_FUZZ_SETTINGS
+@given(texts=corpus())
+def test_fuzz_x101_readability(spark, texts):
+    _fuzz_one(spark, "x101_readability", texts)

@@ -812,3 +812,45 @@ def test_x100_rows_normalize_and_mass_conserves(spark):
     n_events = e.count()
     n_users = e.select("user_id").distinct().count()
     assert total_n == n_events - n_users
+
+
+# ---------------------------------------------------------------------------
+# x101 — readability
+# ---------------------------------------------------------------------------
+
+
+def test_x101_hand_computed_flesch(spark, tmp_path_factory):
+    """'go on. it is ok!' -> 2 sentence runs, 5 words, syllable runs:
+    o,o,i,i,o = 5. flesch = 206.835 - 1.015*(5/2) - 84.6*(5/5)."""
+    d = tmp_path_factory.mktemp("x101corpus")
+    _write_documents(
+        spark, str(d), [(0, "go on. it is ok!", "s"), (1, "bcdfgh", "s")]
+    )
+    rows = {
+        r.doc_id: r
+        for r in QUERIES["x101_readability"](spark, str(d)).collect()
+    }
+    r0 = rows[0]
+    assert (r0.n_sent, r0.n_words, r0.n_syll) == (2, 5, 5)
+    assert r0.flesch == round(206.835 - 1.015 * 2.5 - 84.6 * 1.0, 6)
+    # consonant-only doc: 1 sentence floor, 1 word, 0 vowel runs
+    r1 = rows[1]
+    assert (r1.n_sent, r1.n_words, r1.n_syll) == (1, 1, 0)
+    assert r1.flesch == round(206.835 - 1.015 * 1.0, 6)
+
+
+def test_x101_orders_prose_above_runon(spark, tmp_path_factory):
+    """Short punctuated prose must out-score an unpunctuated run-on of
+    the same words — the ordering a readability filter relies on."""
+    words = "it is a fine day to go out and see the sun"
+    d = tmp_path_factory.mktemp("x101order")
+    _write_documents(
+        spark,
+        str(d),
+        [(0, words.replace(" day ", " day. ") + ".", "s"), (1, words * 3, "s")],
+    )
+    rows = {
+        r.doc_id: r
+        for r in QUERIES["x101_readability"](spark, str(d)).collect()
+    }
+    assert rows[0].flesch > rows[1].flesch
