@@ -569,3 +569,91 @@ def x100_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p"),
     ).orderBy("from_type", "to_type")
+
+
+# ---------------------------------------------------------------------------
+# x102: journey surprisal — score each user's behavior against the
+# corpus transition model (x100). A user whose transitions are all
+# high-probability cells scores near 0; one taking rare paths scores
+# high — the behavioral-anomaly ranking (bot detection, abuse triage).
+# Surprisal is integer-quantized exactly as x93: floor(log2(row_total
+# / cell_count)) bits via binary-string length — no float log, so the
+# oracle is hash-exact.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x102_journey_surprisal",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), tr AS (
+      SELECT user_id, prev_type AS f, event_type AS t
+      FROM seq WHERE prev_type IS NOT NULL
+    ), cell AS (
+      SELECT f, t, count(*) AS c FROM tr GROUP BY 1, 2
+    ), rowt AS (
+      SELECT f, sum(c) AS rt FROM cell GROUP BY 1
+    )
+    SELECT tr.user_id,
+           CAST(count(*) AS BIGINT) AS n_trans,
+           CAST(sum(length(bin(rowt.rt // cell.c)) - 1) AS BIGINT)
+             AS sum_surprisal,
+           ROUND(CAST(sum(length(bin(rowt.rt // cell.c)) - 1) AS DOUBLE)
+                 / count(*), 6) AS mean_surprisal
+    FROM tr JOIN cell USING (f, t) JOIN rowt USING (f)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def x102_journey_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user mean transition surprisal under the corpus Markov model.
+
+    surprisal(f->t) = floor(log2(rowtotal(f) / count(f->t))) bits —
+    the most common next step from f costs ~0, a once-seen transition
+    ~log2(row mass). Pure BIGINT arithmetic (x93's binary-length
+    trick), one rounded division at the edge. Composes x100's matrix
+    without rebuilding semantics: the model is fit on the SAME corpus
+    being scored (the usual anomaly-ranking setup; a two-corpus
+    fit/score split changes only which frame feeds `cell`).
+
+    Scale (100 TB): the sequence window is the one user-keyed shuffle;
+    the model (cell + rowt) collapses to |types|^2 rows and BROADCASTS
+    back onto the transition stream — scoring is then a narrow map
+    plus the user-keyed rollup. Nothing in the join path grows beyond
+    the linear scan.
+    """
+    e = load_table(spark, sf_dir, "events")
+    tr = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("t"),
+            F.lag("event_type")
+            .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("f"),
+        )
+        .filter(F.col("f").isNotNull())
+    )
+    cell = tr.groupBy("f", "t").agg(F.count("*").alias("c"))
+    rowt = cell.groupBy("f").agg(F.sum("c").alias("rt"))
+    model = cell.join(rowt, "f")
+    surp = F.length(F.bin(F.expr("rt DIV c"))) - F.lit(1)
+    return (
+        tr.join(F.broadcast(model), ["f", "t"])
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_trans"),
+            F.sum(surp).cast("bigint").alias("sum_surprisal"),
+        )
+        .select(
+            "user_id",
+            "n_trans",
+            "sum_surprisal",
+            F.round(
+                F.col("sum_surprisal").cast("double") / F.col("n_trans"), 6
+            ).alias("mean_surprisal"),
+        )
+        .orderBy("user_id")
+    )

@@ -439,3 +439,9 @@ def test_fuzz_x100_event_transitions(spark, rows):
 @given(texts=corpus())
 def test_fuzz_x101_readability(spark, texts):
     _fuzz_one(spark, "x101_readability", texts)
+
+
+@_FUZZ_SETTINGS
+@given(rows=events())
+def test_fuzz_x102_journey_surprisal(spark, rows):
+    _fuzz_events(spark, "x102_journey_surprisal", rows)

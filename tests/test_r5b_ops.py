@@ -854,3 +854,57 @@ def test_x101_orders_prose_above_runon(spark, tmp_path_factory):
         for r in QUERIES["x101_readability"](spark, str(d)).collect()
     }
     assert rows[0].flesch > rows[1].flesch
+
+
+# ---------------------------------------------------------------------------
+# x102 — journey surprisal
+# ---------------------------------------------------------------------------
+
+
+def test_x102_common_path_scores_zero_rare_path_positive(spark, tmp_path_factory):
+    """3 users walk A->B; 1 user walks A->C. Row A total 4: surprisal
+    (A->B) = floor(log2(4/3)) = 0, (A->C) = floor(log2(4/1)) = 2."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = 1_700_000_000_000_000
+    rows = []
+    eid = 0
+    for u in (1, 2, 3):
+        rows += [(eid, base, u, "A", 1.0, "{}"), (eid + 1, base + 1_000_000, u, "B", 1.0, "{}")]
+        eid += 2
+    rows += [(eid, base, 4, "A", 1.0, "{}"), (eid + 1, base + 1_000_000, 4, "C", 1.0, "{}")]
+    d = str(tmp_path_factory.mktemp("x102events"))
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    out = {
+        r.user_id: r
+        for r in QUERIES["x102_journey_surprisal"](spark, d).collect()
+    }
+    for u in (1, 2, 3):
+        assert out[u].sum_surprisal == 0 and out[u].mean_surprisal == 0.0
+    assert out[4].sum_surprisal == 2 and out[4].mean_surprisal == 2.0
+
+
+def test_x102_covers_every_multi_event_user(spark):
+    from ask_duckdb_spark.sources.catalog import load_table
+
+    rows = QUERIES["x102_journey_surprisal"](spark, SF_DIR_001).collect()
+    e = load_table(spark, SF_DIR_001, "events")
+    multi = (
+        e.groupBy("user_id").count().filter("count >= 2").count()
+    )
+    assert len(rows) == multi
+    for r in rows:
+        assert r.sum_surprisal >= 0 and r.n_trans >= 1
