@@ -153,3 +153,59 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TRANSITION_OUTPUT_SCHEMA = "from_type string, to_type string, n bigint"
+TRANSITION_STATE_SCHEMA = "last string"
+
+
+def _transition_machine(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user first-order transition counter (x100's streaming twin).
+
+    State is ONE string — the user's last seen event type — carried
+    across micro-batches, so a transition spanning a batch boundary is
+    counted exactly once; each batch emits its partial (from, to)
+    counts and the downstream rollup sums them. Rows are ordered by
+    (ts, event_id) within the batch, matching the batch operator's
+    window ordering whenever the stream delivers batches in
+    event-time order (the x86 novelty-ingest contract).
+    """
+    last = state.get[0] if state.exists else None
+    chunks = list(pdfs)
+    counts: dict[tuple[str, str], int] = {}
+    if chunks:
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        for t in pdf["event_type"]:
+            if last is not None:
+                counts[(last, t)] = counts.get((last, t), 0) + 1
+            last = t
+    if last is not None:
+        state.update((last,))
+    if counts:
+        yield pd.DataFrame(
+            [
+                {"from_type": f, "to_type": t, "n": n}
+                for (f, t), n in counts.items()
+            ]
+        )
+
+
+def transition_counts_stateful(events: DataFrame) -> DataFrame:
+    """Streaming partial transition counts, one state string per user.
+
+    Scale posture: state is O(distinct users) single strings; emission
+    is O(|types|^2) per (user, batch) worst case — the word-count-
+    shaped rollup downstream absorbs it. The pattern a clickstream
+    pipeline runs continuously where x100 is the batch backfill.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _transition_machine,
+        outputStructType=TRANSITION_OUTPUT_SCHEMA,
+        stateStructType=TRANSITION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
