@@ -30,69 +30,74 @@ from . import nl_queries  # noqa: F401,E402
 # x28b (r3's one red row, fixed this round) and q1 (flagship,
 # regression canary).
 #
-# ROUND-5 ROTATION PLAN: once CORRECTNESS_r04 lands green rows for
-# the list below, rotate in the final never-checked block —
-# so4-so6, w5-w8, j8/j10/j11, nl6, and the x-family tail
-# (x4/x4b/x24/x27/x29/x37-x63 not yet checked) — plus re-checks of
-# the entries whose checks were rows-only before the r4 portable-hash
-# layer landed full oracles on them: x2, x4, x4b, x6, x7b, x44, x24,
-# x29 should all come back as full value-hash passes.
+# ROUND-5 WINDOW (active): CORRECTNESS_r04 landed green for the whole
+# r4 window except x28b (oracle conditioning, fixed) and f20/f21
+# (driver-canonicalizer array columns, serialized — plus the
+# registry-wide atomic-output gate in tests/test_registry_schema.py).
+# Per the rotation plan, this window re-checks those three fixes plus
+# the flagship canary, then covers: the ops whose r3 rows predate the
+# portable-hash full oracles (x2/x4/x4b/x6/x7b/x24/x27/x29/x44 —
+# VERDICT r4 item 4), SemDeDup (x62/x63, never driver-checked), and
+# the never-checked so/w/j/nl tail and x38-x68 block. Everything here
+# passes the committed full-registry vanilla diffcheck
+# (DIFFCHECK_r05.md); the remaining never-checked entries (x69-x102)
+# rotate into the round-6+ windows.
 _VERIFY_FIRST = [
-    "x28b_user_value_trend_sql",  # r3's one FAIL — fixed, must re-check
-    "q1_pricing_summary",  # flagship, regression canary
-    # TPC-H shapes never driver-checked
-    "q2_min_cost_supplier",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q12_priority_shipping",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q20_excess_shipments",
-    "q21_waiting_suppliers",
-    "q22_dormant_high_balance",
-    # subqueries / CTEs
-    "sq1_scalar_subquery",
-    "sq2_in_subquery",
-    "sq3_correlated_exists",
-    "sq4_cte",
-    "sq5_lateral_join",
-    "sq6_values_inline",
-    "sq7_recursive_cte",
-    # date/time surface
-    "d1_date_trunc",
-    "d2_extract_parts",
-    "d3_date_arith",
-    "d4_format_epoch",
-    "d5_month_arith",
-    "d6_generate_days",
-    # scalar-function surface
-    "f12_regexp",
-    "f13_split_array",
-    "f14_math",
-    "f16_nullsafe_eq",
-    "f17_pivot",
-    "f18_greatest_least",
-    "f19_json_tuple",
+    # r4 red rows, fixed this round — must land green
+    "x28b_user_value_trend_sql",
     "f20_array_agg_sorted",
     "f21_map_functions",
-    "f22_pad_reverse",
-    "f23_bitwise",
-    "f24_cast_matrix",
-    "f25_width_bucket_histogram",
-    "f26_posexplode_ordinality",
-    "f27_unpivot",
-    # grouping extensions + ordering
-    "g11_grouping_sets",
-    "g12_stats_agg",
-    "g13_mode",
-    "g14_string_agg_ordered",
-    "g15_group_percentiles",
-    "o5_nulls_ordering",
+    "q1_pricing_summary",  # flagship, regression canary
+    # stale-err / rows-only-era flagship ops (VERDICT r4 item 4)
+    "x2_minhash_neardup",
+    "x4_simhash",
+    "x4b_simhash_neardup_pairs",
+    "x6_ann_lsh_topk",
+    "x7b_embedding_neardup_lsh",
+    "x24_dedup_keep",
+    "x27_ivf_topk",
+    "x29_dedup_clusters",
+    "x44_knn_graph",
+    # SemDeDup pair — never driver-checked
+    "x62_semdedup",
+    "x63_semdedup_hier",
+    # never-checked relational tail
+    "so4_intersect_all",
+    "so5_except_all",
+    "so6_union_by_name",
+    "w5_range_frame",
+    "w6_first_last_nth",
+    "w7_percent_rank_cume",
+    "w8_forward_fill",
+    "j8_event_range_join",
+    "j10_salted_skew_join",
+    "j11_fuzzy_name_join",
+    "nl6_duckdb_dialect_passthrough",
+    # never-checked x-family block (all oracle-backed)
+    "x38_cms_heavy_hitters",
+    "x39_repetition_ratio",
+    "x42_label_centroids",
+    "x43_quantize_error",
+    "x45_pii_redaction",
+    "x46_url_normalize_dedup",
+    "x47_chunk_documents",
+    "x48_char_diversity_filter",
+    "x49_incremental_dedup",
+    "x50_length_outlier_filter",
+    "x51_domain_cap",
+    "x52_funnel_stages",
+    "x53_prefix_filter_jaccard",
+    "x55_full_prep_pipeline",
+    "x56_join_key_skew_report",
+    "x57_bigram_rarity",
+    "x58_random_projection",
+    "x59_source_overlap",
+    "x60_mixture_weights",
+    "x61_gopher_quality_rules",
+    "x64_paragraph_dedup",
+    "x65_pq_adc_topk",
+    "x66_dsir_importance",
+    "x68_repeated_window_spans",
 ]
 
 
