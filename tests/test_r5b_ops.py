@@ -908,3 +908,44 @@ def test_x102_covers_every_multi_event_user(spark):
     assert len(rows) == multi
     for r in rows:
         assert r.sum_surprisal >= 0 and r.n_trans >= 1
+
+
+# ---------------------------------------------------------------------------
+# x103 — single-pass column profiler
+# ---------------------------------------------------------------------------
+
+
+def test_x103_profile_matches_direct_queries(spark):
+    from ask_duckdb_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, SF_DIR_001, "lineitem")
+    rows = {r.col_name: r for r in QUERIES["x103_column_profile"](spark, SF_DIR_001).collect()}
+    assert len(rows) == 11
+    n = li.count()
+    for r in rows.values():
+        assert r.n_rows == n
+        assert 0 <= r.n_null <= n
+        assert 1 <= r.n_distinct <= n
+        # exactly one min/max representation populated
+        assert (r.min_num is None) == (r.max_num is None)
+        assert (r.min_txt is None) == (r.max_txt is None)
+        assert (r.min_num is None) != (r.min_txt is None)
+    direct = li.agg(
+        F.count_distinct("l_orderkey").alias("nd"),
+        F.min("l_quantity").cast("double").alias("mn"),
+        F.max("l_extendedprice").cast("double").alias("mx"),
+    ).collect()[0]
+    assert rows["l_orderkey"].n_distinct == direct.nd
+    assert rows["l_quantity"].min_num == direct.mn
+    assert rows["l_extendedprice"].max_num == direct.mx
+
+
+def test_x103_single_scan_plan(spark):
+    """The profiler's selling point: ONE scan feeds every aggregate.
+    The physical plan must contain exactly one lineitem file scan."""
+    df = QUERIES["x103_column_profile"](spark, SF_DIR_001)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("lineitem.parquet") <= 1 or (
+        plan.count("Scan parquet") <= 1
+    )
