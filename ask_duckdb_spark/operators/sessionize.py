@@ -657,3 +657,89 @@ def x102_journey_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x104: robust dispersion + outlier report per event type. Mean/stddev
+# (g12) are wrecked by the very outliers a monitor hunts; the robust
+# pair is median and MAD (median absolute deviation), with the
+# standard 1.4826 consistency factor making 3-sigma-equivalent robust
+# z-scores. Engine-exact because percentile() == quantile_cont()
+# bit-for-bit (proven by g9/g15 since r2): the median is identical on
+# both sides, so deviations — and the deviation median — are too.
+# ---------------------------------------------------------------------------
+
+MAD_K = 1.4826  # consistency factor: MAD*K estimates sigma under normality
+
+
+@query(
+    "x104_value_mad",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ), dev AS (
+      SELECT e.event_type, e.value, med.med,
+             abs(e.value - med.med) AS ad
+      FROM events e JOIN med USING (event_type)
+    ), mad AS (
+      SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY 1
+    )
+    SELECT dev.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(dev.med, 6) AS med,
+           ROUND(mad.mad, 6) AS mad,
+           CAST(sum(CASE WHEN dev.ad > 3 * {MAD_K} * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY 1, 3, 4 ORDER BY 1
+    """,
+)
+def x104_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median / MAD / robust-z outlier counts per event type.
+
+    Two grouped percentile passes (median of values, then median of
+    absolute deviations) joined back on the tiny per-type frames —
+    both joins broadcast |event types| rows. An event is an outlier
+    when its deviation exceeds 3 * 1.4826 * MAD (the robust
+    three-sigma rule). A MAD of 0 (over half the group at one value)
+    flags every other value — the correct degenerate reading.
+
+    Scale (100 TB): exact percentile shuffles the value column per
+    type (sort-based aggregate) twice; when that is too hot, g9's
+    documented swap to approx_percentile turns both passes into
+    mergeable sketches. The outlier count itself is a narrow map over
+    the broadcast med/mad.
+    """
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("ad"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy(
+            "event_type",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(
+                F.when(
+                    F.col("ad") > 3 * MAD_K * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select("event_type", "n", "med", "mad", "n_outliers")
+        .orderBy("event_type")
+    )

@@ -445,3 +445,11 @@ def test_fuzz_x101_readability(spark, texts):
 @given(rows=events())
 def test_fuzz_x102_journey_surprisal(spark, rows):
     _fuzz_events(spark, "x102_journey_surprisal", rows)
+
+
+@_FUZZ_SETTINGS
+@given(rows=events())
+def test_fuzz_x104_value_mad(spark, rows):
+    # tiny groups + duplicate values stress the interpolated median
+    # and the MAD=0 degenerate branch
+    _fuzz_events(spark, "x104_value_mad", rows)

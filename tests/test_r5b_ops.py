@@ -949,3 +949,52 @@ def test_x103_single_scan_plan(spark):
     assert plan.count("lineitem.parquet") <= 1 or (
         plan.count("Scan parquet") <= 1
     )
+
+
+# ---------------------------------------------------------------------------
+# x104 — robust median/MAD outlier report
+# ---------------------------------------------------------------------------
+
+
+def test_x104_hand_computed_mad_and_outlier(spark, tmp_path_factory):
+    """values 1..9 plus one 1000: med=5.5 -> with the outlier pulled
+    in, check against numpy-computed median/MAD and the robust-z rule
+    flags exactly the planted extreme."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vals = [float(v) for v in range(1, 10)] + [1000.0]
+    base = 1_700_000_000_000_000
+    rows = [
+        (i, base + i * 1_000_000, 1, "click", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    d = str(tmp_path_factory.mktemp("x104events"))
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    [r] = QUERIES["x104_value_mad"](spark, d).collect()
+    med = float(np.percentile(vals, 50))
+    mad = float(np.percentile([abs(v - med) for v in vals], 50))
+    assert r.med == round(med, 6)
+    assert r.mad == round(mad, 6)
+    assert r.n == 10
+    assert r.n_outliers == 1  # only the planted 1000
+
+
+def test_x104_fixture_consistency(spark):
+    rows = QUERIES["x104_value_mad"](spark, SF_DIR_001).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.mad >= 0 and 0 <= r.n_outliers < r.n
