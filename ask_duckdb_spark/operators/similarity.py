@@ -2058,3 +2058,118 @@ def x87_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x105: embedding distribution drift — compare the mean vector of two
+# corpus slices (vec_id parity stands in for baseline/current snapshot;
+# a deployment keys the split on ingest batch). x73 monitors TOKEN
+# drift; this is the embedding-space counterpart guarding retrieval and
+# dedup quality after a model or crawl change. Engine-exactness: per-
+# dim means use the QSCALE integer-sum trick (order-independent), the
+# cross-dim folds run over dim-SORTED arrays (identical IEEE order in
+# both engines — the x5 cosine discipline).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x105_embedding_drift",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id % 2 AS h, d.i AS dim,
+             CAST(floor(CAST(embedding[d.i] AS DOUBLE) * {QSCALE})
+                  AS BIGINT) AS qv
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) d
+    ), m AS (
+      SELECT h, dim,
+             ROUND(CAST(sum(qv) AS DOUBLE) / count(*) / {QSCALE}, 9)
+               AS mean_v,
+             count(*) AS cnt
+      FROM q GROUP BY 1, 2
+    ), v AS (
+      SELECT h, list(mean_v ORDER BY dim) AS mv, min(cnt) AS n
+      FROM m GROUP BY 1
+    ), ab AS (
+      SELECT a.mv AS ma, b.mv AS mb, a.n AS n_base, b.n AS n_cur
+      FROM v a JOIN v b ON a.h = 0 AND b.h = 1
+    )
+    SELECT CAST(n_base AS BIGINT) AS n_base,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           ROUND({_cos_sql('ma', 'mb')}, 6) AS mean_cosine,
+           ROUND(sqrt(list_reduce(
+               list_transform(range(1, len(ma) + 1),
+                              i -> (ma[i] - mb[i]) * (ma[i] - mb[i])),
+               (acc, x) -> acc + x)), 6) AS mean_l2,
+           ROUND(list_reduce(
+               list_transform(range(1, len(ma) + 1),
+                              i -> abs(ma[i] - mb[i])),
+               (acc, x) -> greatest(acc, x)), 6) AS max_dim_shift
+    FROM ab
+    """,
+)
+def x105_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-vector drift between two embedding slices, hash-exact.
+
+    Per-dim means over integer-quantized components (exact under any
+    accumulation order), assembled into dim-sorted arrays; cosine, L2
+    and max per-dim shift between the two mean vectors are then
+    fixed-order left folds. mean_cosine near 1 and small max_dim_shift
+    = distributions agree; a drop signals re-embedding or crawl drift
+    before it degrades ANN recall (x87 measures the symptom, x105 the
+    cause).
+
+    Scale (100 TB): one (slice, dim)-keyed combinable integer-sum
+    shuffle — 64 x 2 cells regardless of corpus size — then O(dims)
+    driver-free arithmetic on two 1-row frames. The cheapest possible
+    full-corpus monitor.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        (F.col("vec_id") % 2).alias("h"),
+        F.posexplode("embedding").alias("dim0", "v"),
+    ).select(
+        "h",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("v").cast("double") * QSCALE)
+        .cast("bigint")
+        .alias("qv"),
+    )
+    m = q.groupBy("h", "dim").agg(
+        F.round(
+            F.sum("qv").cast("double") / F.count("*") / QSCALE, 9
+        ).alias("mean_v"),
+        F.count("*").alias("cnt"),
+    )
+    v = m.groupBy("h").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "mean_v"))),
+            lambda s: s["mean_v"],
+        ).alias("mv"),
+        F.min("cnt").alias("n"),
+    )
+    a = v.filter(F.col("h") == 0).select(
+        F.col("mv").alias("ma"), F.col("n").alias("n_base")
+    )
+    b = v.filter(F.col("h") == 1).select(
+        F.col("mv").alias("mb"), F.col("n").alias("n_cur")
+    )
+    ab = a.crossJoin(F.broadcast(b))
+    diff = F.zip_with("ma", "mb", lambda x, y: x - y)
+    l2 = F.sqrt(
+        F.aggregate(
+            diff, F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    maxshift = F.aggregate(
+        diff, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    return ab.select(
+        F.col("n_base").cast("bigint").alias("n_base"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        F.round(
+            cosine_similarity(F.col("ma"), F.col("mb")), 6
+        ).alias("mean_cosine"),
+        F.round(l2, 6).alias("mean_l2"),
+        F.round(maxshift, 6).alias("max_dim_shift"),
+    )

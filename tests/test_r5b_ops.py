@@ -998,3 +998,55 @@ def test_x104_fixture_consistency(spark):
     assert len(rows) == 5
     for r in rows:
         assert r.mad >= 0 and 0 <= r.n_outliers < r.n
+
+
+# ---------------------------------------------------------------------------
+# x105 — embedding drift monitor
+# ---------------------------------------------------------------------------
+
+
+def _write_embeddings_r5b(spark, tmpdir, rows):
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmpdir}/embeddings.parquet"
+    )
+
+
+def test_x105_identical_halves_report_zero_drift(spark, tmp_path_factory):
+    """Even/odd ids carry the SAME two vectors -> mean vectors equal:
+    cosine 1, l2 0, max shift 0."""
+    va, vb = [1.0, 0.0, 2.0, -1.0], [0.0, 3.0, 1.0, 0.5]
+    rows = [(0, va, 0), (1, va, 0), (2, vb, 0), (3, vb, 0)]
+    d = tmp_path_factory.mktemp("x105same")
+    _write_embeddings_r5b(spark, str(d), rows)
+    [r] = QUERIES["x105_embedding_drift"](spark, str(d)).collect()
+    assert (r.n_base, r.n_cur) == (2, 2)
+    assert r.mean_cosine == 1.0
+    assert r.mean_l2 == 0.0 and r.max_dim_shift == 0.0
+
+
+def test_x105_orthogonal_halves_report_full_drift(spark, tmp_path_factory):
+    """Baseline along e1, current along e2 -> mean cosine 0, and the
+    shift is 1.0 in each of the two active dims."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.0, 1.0, 0.0, 0.0], 0),
+        (3, [0.0, 1.0, 0.0, 0.0], 0),
+    ]
+    d = tmp_path_factory.mktemp("x105orth")
+    _write_embeddings_r5b(spark, str(d), rows)
+    [r] = QUERIES["x105_embedding_drift"](spark, str(d)).collect()
+    assert r.mean_cosine == 0.0
+    assert r.max_dim_shift == 1.0
+    assert r.mean_l2 == pytest.approx(2 ** 0.5, abs=1e-6)
+
+
+def test_x105_fixture_sanity(spark):
+    [r] = QUERIES["x105_embedding_drift"](spark, SF_DIR_001).collect()
+    # random halves of one distribution: high cosine, modest shift
+    assert r.n_base + r.n_cur > 0
+    assert -1.0 <= r.mean_cosine <= 1.0
+    assert r.mean_l2 >= 0 and r.max_dim_shift >= 0
