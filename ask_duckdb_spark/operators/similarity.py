@@ -176,40 +176,54 @@ def _cos_sql(a: str, b: str) -> str:
             (acc, x) -> acc + x))))"""
 
 
-def _band_keys_sql() -> str:
-    """DuckDB CTE fragment: ``bk(vec_id, embedding, band, bkey)`` —
-    the oracle twin of ``_band_keys``, generated from _WEIGHTS."""
+def _band_keys_sql(
+    n_bands: int = None, band_bits: int = None, cte: str = "bk"
+) -> str:
+    """DuckDB CTE fragment: ``<cte>(vec_id, embedding, band, bkey)`` —
+    the oracle twin of ``_band_keys``, generated from the same
+    deterministic weight sequence. Defaults mirror the Spark defaults;
+    non-default widths generate the matching wider construction (the
+    x106 tuning-curve oracle sweeps several)."""
+    if n_bands is None:
+        n_bands = N_BANDS
+    if band_bits is None:
+        band_bits = BAND_BITS
+    weights = (
+        _WEIGHTS
+        if n_bands * band_bits <= N_PLANES
+        else _plane_weights(n_bands * band_bits)
+    )
 
     def proj(p: int) -> str:
         # list_inner_product is a sequential C++ loop — bit-identical
         # to the Spark-side left fold (verified elementwise over the
         # fixtures) and ~90x faster than a per-element lambda fold
-        lits = ", ".join(repr(x) for x in _WEIGHTS[p])
-        return f"list_inner_product(ed, [{lits}])"
+        lits = ", ".join(repr(x) for x in weights[p])
+        return f"list_inner_product(ed_{cte}, [{lits}])"
 
     def bit(p: int) -> str:
         return f"(CASE WHEN {proj(p)} >= 0 THEN 1 ELSE 0 END)"
 
     keys = []
-    for band in range(N_BANDS):
+    for band in range(n_bands):
         keys.append(
             " + ".join(
-                f"{2 ** (BAND_BITS - 1 - i)} * {bit(band * BAND_BITS + i)}"
-                for i in range(BAND_BITS)
+                f"{2 ** (band_bits - 1 - i)} * {bit(band * band_bits + i)}"
+                for i in range(band_bits)
             )
         )
     key_list = ",\n               ".join(keys)
     # MATERIALIZED: without it DuckDB inlines `keys` into the 16-way
     # band cross join and recomputes all 48 projection folds per band
     # row — 16x the work (measured 18-38 s vs ~1-2 s at sf0.01).
-    return f"""keys AS MATERIALIZED (
+    return f"""keys_{cte} AS MATERIALIZED (
       SELECT vec_id, embedding,
-             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS ed,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS ed_{cte},
              [{key_list}] AS ks
       FROM embeddings
-    ), bk AS (
+    ), {cte} AS (
       SELECT vec_id, embedding, band, ks[band + 1] AS bkey
-      FROM keys, range({N_BANDS}) t(band)
+      FROM keys_{cte}, range({n_bands}) t(band)
     )"""
 
 
@@ -2173,3 +2187,138 @@ def x105_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(l2, 6).alias("mean_l2"),
         F.round(maxshift, 6).alias("max_dim_shift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x106: ANN tuning curve — the band-width knob (SCALE.md) as an
+# oracle-checked operator. For each band_bits setting, report the
+# candidate-set size and recall@10 against the exact cosine top-10:
+# the table a deployment reads to pick band_bits for its corpus size
+# (recall falls as buckets narrow; candidates — the COST — fall
+# ~2^-Δbits). Every sweep point is generated from the same
+# deterministic weight sequence on both engines.
+# ---------------------------------------------------------------------------
+
+BB_SWEEP: tuple[int, ...] = (2, 3, 4)
+
+
+def _x106_oracle() -> str:
+    frags = ", ".join(
+        _band_keys_sql(N_BANDS, bb, cte=f"bk{bb}") for bb in BB_SWEEP
+    )
+    sels = []
+    for bb in BB_SWEEP:
+        sels.append(f"""
+    cand{bb} AS (
+      SELECT DISTINCT b.vec_id, b.embedding
+      FROM bk{bb} b JOIN (SELECT band, bkey FROM bk{bb} WHERE vec_id = 0) q
+        USING (band, bkey)
+      WHERE b.vec_id <> 0
+    ), ann{bb} AS (
+      SELECT c.vec_id
+      FROM cand{bb} c CROSS JOIN qv
+      ORDER BY {_cos_sql("c.embedding", "qv.v")} DESC, c.vec_id
+      LIMIT 10
+    )""")
+    picks = "\nUNION ALL\n".join(
+        f"""SELECT {bb} AS band_bits,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand{bb}) AS n_candidates,
+           ROUND((SELECT count(*) FROM ann{bb} JOIN exact USING (vec_id))
+                 / 10.0, 6) AS recall10"""
+        for bb in BB_SWEEP
+    )
+    return f"""
+    WITH {frags},
+    qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+    exact AS (
+      SELECT e.vec_id
+      FROM embeddings e CROSS JOIN qv
+      WHERE e.vec_id <> 0
+      ORDER BY {_cos_sql("e.embedding", "qv.v")} DESC, e.vec_id
+      LIMIT 10
+    ),
+    {", ".join(s.strip() for s in sels)}
+    SELECT * FROM ({picks}) ORDER BY band_bits
+    """
+
+
+@query("x106_ann_tuning_curve", oracle=_x106_oracle())
+def x106_ann_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 and candidate volume per band_bits sweep point.
+
+    One row per setting in BB_SWEEP: candidates = vectors sharing any
+    band key with the query (vec_id 0); recall@10 compares the banded
+    top-10 against the exact cosine top-10. Everything is lazy
+    DataFrame composition — counts are aggregates in the plan, not
+    driver actions — and the exact top-10 is computed once and reused
+    across sweep points.
+
+    Scale (100 TB): each sweep point is x6's query-probe shape (the
+    query side's ~N_BANDS keys broadcast against the banded corpus);
+    the sweep multiplies cost by |BB_SWEEP| — run it on a sample, pick
+    the knee, set band_bits for the full corpus. The curve's whole
+    point is that the FULL-corpus run happens once, at the right
+    setting.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("v")
+    )
+    exact = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            cosine_similarity(F.col("embedding"), F.col("v")).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    rows = []
+    for bb in BB_SWEEP:
+        keys = emb.select(
+            "vec_id",
+            "embedding",
+            F.explode(
+                _band_keys(F.col("embedding"), N_BANDS, bb)
+            ).alias("bk"),
+        ).select("vec_id", "embedding", "bk.band", "bk.bkey")
+        qk = (
+            keys.filter(F.col("vec_id") == 0)
+            .select("band", "bkey")
+            .distinct()
+        )
+        cand = (
+            keys.join(F.broadcast(qk), ["band", "bkey"])
+            .filter(F.col("vec_id") != 0)
+            .select("vec_id", "embedding")
+            .distinct()
+        )
+        ann = (
+            cand.crossJoin(F.broadcast(qv))
+            .select(
+                "vec_id",
+                cosine_similarity(
+                    F.col("embedding"), F.col("v")
+                ).alias("sim"),
+            )
+            .orderBy(F.col("sim").desc(), "vec_id")
+            .limit(10)
+            .select("vec_id")
+        )
+        n_cand = cand.agg(
+            F.count("*").cast("bigint").alias("n_candidates")
+        )
+        hits = ann.join(exact, "vec_id").agg(
+            F.round(F.count("*") / 10.0, 6).alias("recall10")
+        )
+        rows.append(
+            n_cand.crossJoin(F.broadcast(hits)).select(
+                F.lit(bb).alias("band_bits"), "n_candidates", "recall10"
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("band_bits")

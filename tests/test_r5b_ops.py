@@ -1050,3 +1050,28 @@ def test_x105_fixture_sanity(spark):
     assert r.n_base + r.n_cur > 0
     assert -1.0 <= r.mean_cosine <= 1.0
     assert r.mean_l2 >= 0 and r.max_dim_shift >= 0
+
+
+# ---------------------------------------------------------------------------
+# x106 — ANN tuning curve
+# ---------------------------------------------------------------------------
+
+
+def test_x106_curve_is_monotone_in_cost(spark):
+    """Candidate volume must fall as band_bits rises (narrower
+    buckets) — that is the cost law the curve exists to expose. Recall
+    is only monotone in EXPECTATION (each width uses a different plane
+    subset, so a narrower sweep point can get lucky per-instance), so
+    the gate bounds it instead of ordering it."""
+    rows = sorted(
+        QUERIES["x106_ann_tuning_curve"](spark, SF_DIR_001).collect(),
+        key=lambda r: r.band_bits,
+    )
+    assert [r.band_bits for r in rows] == [2, 3, 4]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_candidates <= prev.n_candidates
+    for r in rows:
+        assert 0.0 <= r.recall10 <= 1.0
+        assert r.n_candidates >= 0
+    # at the widest setting the near-exhaustive scan must be near-exact
+    assert rows[0].recall10 >= 0.9
