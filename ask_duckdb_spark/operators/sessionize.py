@@ -743,3 +743,67 @@ def x104_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n", "med", "mad", "n_outliers")
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# x107: exponentially-weighted user engagement (EWMA). The standard
+# recency-weighted feature a ranking/abuse model consumes: fold each
+# user's value sequence in time order with s <- alpha*v + (1-alpha)*s.
+# Float folds are order-dependent — which is fine ONLY because both
+# engines fold the SAME explicitly-ordered array (collect + sort by
+# (ts, event_id), then a left fold: the x5/x105 fixed-order
+# discipline), so the oracle is hash-exact.
+# ---------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.3
+
+
+@query(
+    "x107_user_ewma",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             list(value ORDER BY ts, event_id) AS vs
+      FROM events GROUP BY 1
+    )
+    SELECT user_id,
+           CAST(len(vs) AS BIGINT) AS n_events,
+           ROUND(vs[len(vs)], 6) AS last_value,
+           ROUND(list_reduce(vs, (s, v) -> {EWMA_ALPHA} * v
+                                  + {1 - EWMA_ALPHA} * s), 6) AS ewma
+    FROM seq ORDER BY user_id
+    """,
+)
+def x107_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted value per user: EWMA over the time-ordered
+    event sequence (alpha = 0.3; seeded with the first value, the
+    list_reduce/aggregate convention both engines share).
+
+    Scale (100 TB): one user-keyed shuffle collecting each user's
+    values — the same exchange sessionization pays — then a narrow
+    per-row fold. Per-user state is the user's OWN events (bounded by
+    per-user activity, not corpus size); a whale user with millions of
+    events takes the streaming form instead (streaming/stateful.py's
+    running-totals machine generalizes to EWMA with one state double,
+    O(1) memory, no collected array).
+    """
+    e = load_table(spark, sf_dir, "events")
+    seq = e.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ),
+            lambda s: s["value"],
+        ).alias("vs")
+    )
+    fold = F.aggregate(
+        F.slice(F.col("vs"), 2, F.greatest(F.size("vs") - 1, F.lit(0))),
+        F.element_at(F.col("vs"), 1),
+        lambda s, v: F.lit(EWMA_ALPHA) * v + F.lit(1 - EWMA_ALPHA) * s,
+    )
+    return seq.select(
+        "user_id",
+        F.size("vs").cast("bigint").alias("n_events"),
+        F.round(F.element_at("vs", -1), 6).alias("last_value"),
+        F.round(fold, 6).alias("ewma"),
+    ).orderBy("user_id")

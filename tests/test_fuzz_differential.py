@@ -453,3 +453,10 @@ def test_fuzz_x104_value_mad(spark, rows):
     # tiny groups + duplicate values stress the interpolated median
     # and the MAD=0 degenerate branch
     _fuzz_events(spark, "x104_value_mad", rows)
+
+
+@_FUZZ_SETTINGS
+@given(rows=events())
+def test_fuzz_x107_user_ewma(spark, rows):
+    # duplicate timestamps stress the fold-order tiebreak
+    _fuzz_events(spark, "x107_user_ewma", rows)

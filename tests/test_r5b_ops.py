@@ -1075,3 +1075,51 @@ def test_x106_curve_is_monotone_in_cost(spark):
         assert r.n_candidates >= 0
     # at the widest setting the near-exhaustive scan must be near-exact
     assert rows[0].recall10 >= 0.9
+
+
+# ---------------------------------------------------------------------------
+# x107 — user EWMA
+# ---------------------------------------------------------------------------
+
+
+def test_x107_hand_computed_fold(spark, tmp_path_factory):
+    """values 10, 0, 20 in time order, alpha 0.3:
+    s = 10 -> 0.3*0 + 0.7*10 = 7 -> 0.3*20 + 0.7*7 = 10.9"""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = 1_700_000_000_000_000
+    rows = [
+        (0, base, 1, "click", 10.0, "{}"),
+        (1, base + 1_000_000, 1, "click", 0.0, "{}"),
+        (2, base + 2_000_000, 1, "click", 20.0, "{}"),
+    ]
+    d = str(tmp_path_factory.mktemp("x107events"))
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    [r] = QUERIES["x107_user_ewma"](spark, d).collect()
+    assert r.n_events == 3 and r.last_value == 20.0
+    assert r.ewma == pytest.approx(10.9, abs=1e-9)
+
+
+def test_x107_single_event_user_is_identity(spark):
+    """EWMA of a length-1 sequence is the value itself; on the fixture
+    every user row must satisfy bounds (min <= ewma <= max would need
+    the series; check n>=1 and last_value finiteness instead)."""
+    rows = QUERIES["x107_user_ewma"](spark, SF_DIR_001).collect()
+    assert len(rows) == 150
+    for r in rows:
+        assert r.n_events >= 1
+        if r.n_events == 1:
+            assert r.ewma == r.last_value
