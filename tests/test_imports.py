@@ -30,22 +30,32 @@ def test_verification_window_priority():
     from ask_duckdb_spark.operators import QUERIES
 
     window = list(QUERIES)[:50]
+    # ROUND-5 window (rotated after CORRECTNESS_r04 landed the r4 list
+    # green): the three fixed red rows lead, then the portable-hash
+    # flagships, SemDeDup, and the never-checked relational/x tail.
     must_be_in_window = {
-        "x28b_user_value_trend_sql",  # round-3 FAIL, fixed in round 4
+        "x28b_user_value_trend_sql",  # r3/r4 FAIL — fixed, must re-check
+        "f20_array_agg_sorted",  # r4 harness err — serialized, re-check
+        "f21_map_functions",
         "q1_pricing_summary",  # flagship stays official
-        "q2_min_cost_supplier",  # TPC-H never-checked block
-        "q22_dormant_high_balance",
-        "sq1_scalar_subquery",  # subqueries
-        "sq7_recursive_cte",
-        "d1_date_trunc",  # date surface
-        "d6_generate_days",
-        "f12_regexp",  # scalar-function surface
-        "f27_unpivot",
-        "g11_grouping_sets",  # grouping extensions
-        "g15_group_percentiles",
-        "o5_nulls_ordering",
+        "x2_minhash_neardup",  # stale-err flagships (VERDICT r4 item 4)
+        "x6_ann_lsh_topk",
+        "x7b_embedding_neardup_lsh",
+        "x62_semdedup",  # never driver-checked pair
+        "x63_semdedup_hier",
+        "so6_union_by_name",  # never-checked relational tail
+        "w8_forward_fill",
+        "j11_fuzzy_name_join",
+        "nl6_duckdb_dialect_passthrough",
+        "x57_bigram_rarity",  # never-checked x block
+        "x68_repeated_window_spans",
     }
     assert must_be_in_window <= set(window)
+    # every window entry must carry a full value-hash oracle — a
+    # rows-only slot would spend driver evidence on a weaker check
+    from ask_duckdb_spark.operators import ORACLES
+
+    assert all(n in ORACLES for n in window)
 
 
 def test_nl_and_cli_import():
