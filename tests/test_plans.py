@@ -305,3 +305,37 @@ def test_r5_continuation_shuffle_budgets(spark):
     x86 = QUERIES["x86_novelty_ratio"](spark, SF_DIR)
     assert checks.num_shuffles(x86) <= 5
     assert checks.has_partial_aggregate(x86)
+
+
+def test_closing_ops_shuffle_budgets(spark):
+    """x93-x107 plan hygiene: shuffle counts bounded to the documented
+    exchange inventory, narrow maps stay narrow, model joins broadcast
+    where the frame is provably bounded."""
+    # x101 readability: per-doc narrow map — only the final orderBy's
+    # range exchange (the x39/x45 budget)
+    assert checks.num_shuffles(QUERIES["x101_readability"](spark, SF_DIR)) <= 1
+    # x93 surprisal: token count + LM join + doc rollup (+1 AQE slack)
+    assert checks.num_shuffles(QUERIES["x93_mean_surprisal"](spark, SF_DIR)) <= 4
+    # x95 coverage: (source, token) count then source rollup
+    assert checks.num_shuffles(QUERIES["x95_vocab_coverage"](spark, SF_DIR)) <= 3
+    # x100 transitions: user window + (from, to) count + row-sum window
+    assert checks.num_shuffles(
+        QUERIES["x100_event_transitions"](spark, SF_DIR)
+    ) <= 4
+    # x104 MAD: per-type percentile passes; the med/mad model frames
+    # join back via broadcast (|event types| rows — bounded forever)
+    mad = QUERIES["x104_value_mad"](spark, SF_DIR)
+    assert checks.has_broadcast_join(mad)
+    # x102 journey surprisal: the |types|^2 model broadcasts
+    assert checks.has_broadcast_join(
+        QUERIES["x102_journey_surprisal"](spark, SF_DIR)
+    )
+    # x94 cohorts: the calendar-bounded size frame broadcasts; the
+    # user-keyed cohort join must NOT be forced broadcast
+    assert checks.has_broadcast_join(
+        QUERIES["x94_retention_cohorts"](spark, SF_DIR)
+    )
+    # x103 profiler: one scan (asserted in test_r5b_ops), one expand
+    # shuffle for the distinct aggregates + unpivot; no join at all
+    plan = checks.formatted_plan(QUERIES["x103_column_profile"](spark, SF_DIR))
+    assert "Join" not in plan
