@@ -135,3 +135,148 @@ def x103_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# x108: consistent-hash resharding audit. Growing a mod-N sharded
+# corpus from 8 to 9 shards moves ~8/9 of all documents; a consistent-
+# hash ring moves ~1/9. This op measures BOTH movement fractions on
+# the actual corpus — the number that justifies ring-based placement
+# before a 100 TB re-layout. Positions come from md5 (portable), the
+# ring is 16 virtual nodes per shard embedded as literals in both
+# plans, and lookups are min-over-threshold with wraparound.
+# ---------------------------------------------------------------------------
+
+RING_SHARDS_A = 8
+RING_SHARDS_B = 9
+RING_VNODES = 16
+_RING_MOD = 1 << 32
+
+
+def _vnode_positions(n_shards: int) -> list[tuple[int, int]]:
+    """(shard, position) literals — md5-seeded, identical in both
+    engines; a shard keeps its vnode positions when the count grows
+    (the property that bounds movement to the new shard's arcs)."""
+    import hashlib
+
+    out = []
+    for s in range(n_shards):
+        for v in range(RING_VNODES):
+            pos = (
+                int(hashlib.md5(f"s{s}v{v}".encode()).hexdigest()[:8], 16)
+                % _RING_MOD
+            )
+            out.append((s, pos))
+    return out
+
+
+def _ring_assign_sql(tag: str, n_shards: int) -> str:
+    vals = ", ".join(
+        f"({s}, {p})" for s, p in _vnode_positions(n_shards)
+    )
+    return f"""ring_{tag}(shard, vpos) AS (VALUES {vals}),
+    pick_{tag} AS (
+      SELECT d.doc_id,
+             coalesce(min(CASE WHEN r.vpos >= d.dpos THEN r.vpos END),
+                      min(r.vpos)) AS tpos
+      FROM dpos d CROSS JOIN ring_{tag} r
+      GROUP BY 1
+    ), asg_{tag} AS (
+      SELECT p.doc_id, r.shard
+      FROM pick_{tag} p JOIN ring_{tag} r ON r.vpos = p.tpos
+    )"""
+
+
+@query(
+    "x108_reshard_audit",
+    oracle=f"""
+    WITH dpos AS (
+      SELECT doc_id,
+             list_reduce(list_transform(
+               string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''),
+               c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) % {_RING_MOD} AS dpos
+      FROM documents
+    ),
+    {_ring_assign_sql("a", RING_SHARDS_A)},
+    {_ring_assign_sql("b", RING_SHARDS_B)}
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN d.dpos % {RING_SHARDS_A}
+                          <> d.dpos % {RING_SHARDS_B}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS moved_mod,
+           CAST(sum(CASE WHEN a.shard <> b.shard THEN 1 ELSE 0 END)
+                AS BIGINT) AS moved_ring,
+           ROUND(CAST(sum(CASE WHEN d.dpos % {RING_SHARDS_A}
+                               <> d.dpos % {RING_SHARDS_B}
+                         THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+             AS frac_mod,
+           ROUND(CAST(sum(CASE WHEN a.shard <> b.shard THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS frac_ring
+    FROM dpos d JOIN asg_a a USING (doc_id) JOIN asg_b b USING (doc_id)
+    """,
+)
+def x108_reshard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Movement fractions for mod-N vs consistent-ring on 8 -> 9 shards.
+
+    Doc position = first 8 md5 hex chars of the doc_id (portable 32-bit
+    value); ring assignment = the vnode with the smallest position >=
+    the doc's (wraparound to the global min). Both ring tables embed as
+    128/144-row literal frames — broadcast-sized forever — and the
+    before/after assignments join doc-keyed. Expected readings: ~1-1/9
+    of docs move under mod, ~1/9 under the ring (only arcs claimed by
+    the new shard's vnodes) — the audit quantifies it on real keys.
+
+    Scale (100 TB): one narrow hash map per doc + two broadcast
+    min-over-threshold lookups + a doc-keyed join of the two
+    assignments; the summary is a single combinable aggregate. At
+    re-layout time the same asg frames ARE the movement manifest.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    dpos = d.selectExpr(
+        "doc_id",
+        f"conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+        f" % {_RING_MOD}L AS dpos",
+    )
+
+    def ring_assign(tag: str, n_shards: int):
+        ring = spark.createDataFrame(
+            _vnode_positions(n_shards), "shard int, vpos long"
+        )
+        pick = (
+            dpos.crossJoin(F.broadcast(ring))
+            .groupBy("doc_id")
+            .agg(
+                F.coalesce(
+                    F.min(
+                        F.when(
+                            F.col("vpos") >= F.col("dpos"), F.col("vpos")
+                        )
+                    ),
+                    F.min("vpos"),
+                ).alias("tpos")
+            )
+        )
+        return pick.join(
+            F.broadcast(ring), pick.tpos == ring.vpos
+        ).select("doc_id", F.col("shard").alias(f"shard_{tag}"))
+
+    a = ring_assign("a", RING_SHARDS_A)
+    b = ring_assign("b", RING_SHARDS_B)
+    j = dpos.join(a, "doc_id").join(b, "doc_id")
+    moved_mod = F.when(
+        F.col("dpos") % RING_SHARDS_A != F.col("dpos") % RING_SHARDS_B, 1
+    ).otherwise(0)
+    moved_ring = F.when(
+        F.col("shard_a") != F.col("shard_b"), 1
+    ).otherwise(0)
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(moved_mod).cast("bigint").alias("moved_mod"),
+        F.sum(moved_ring).cast("bigint").alias("moved_ring"),
+        F.round(F.sum(moved_mod).cast("double") / F.count("*"), 6).alias(
+            "frac_mod"
+        ),
+        F.round(
+            F.sum(moved_ring).cast("double") / F.count("*"), 6
+        ).alias("frac_ring"),
+    )

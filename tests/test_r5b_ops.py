@@ -1123,3 +1123,23 @@ def test_x107_single_event_user_is_identity(spark):
         assert r.n_events >= 1
         if r.n_events == 1:
             assert r.ewma == r.last_value
+
+
+# ---------------------------------------------------------------------------
+# x108 — consistent-hash resharding audit
+# ---------------------------------------------------------------------------
+
+
+def test_x108_ring_moves_an_order_less_than_mod(spark):
+    """THE claim: mod-N resharding moves ~1-1/9 of docs, the ring
+    ~1/9. On 500 real keys the gap must be wide and the counts
+    internally consistent."""
+    [r] = QUERIES["x108_reshard_audit"](spark, SF_DIR_001).collect()
+    assert r.n_docs == 500
+    assert r.moved_mod + 0 <= r.n_docs and r.moved_ring <= r.n_docs
+    assert r.frac_mod == round(r.moved_mod / r.n_docs, 6)
+    assert r.frac_ring == round(r.moved_ring / r.n_docs, 6)
+    # mod moves the vast majority; the ring moves a small minority
+    assert r.frac_mod > 0.7
+    assert r.frac_ring < 0.35
+    assert r.frac_ring < r.frac_mod / 2
