@@ -807,3 +807,194 @@ def x107_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("vs", -1), 6).alias("last_value"),
         F.round(fold, 6).alias("ewma"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# x109/x110/x111: the remaining staple event analytics — session-scoped
+# transitions (x100 crosses session boundaries; a journey model often
+# must not), inter-arrival-time percentiles (capacity planning and bot
+# signatures), and signup->purchase conversion-time percentiles (the
+# product KPI). All exact: integer microsecond gaps + the proven
+# percentile()/quantile_cont equivalence (g9, r2).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x109_session_transitions",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL {SESSION_GAP_MIN} MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, event_id, ts, event_type,
+             sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS sess_no
+      FROM tagged
+    ), seq AS (
+      SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id, sess_no
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM sessions
+    )
+    SELECT prev_type AS from_type, event_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def x109_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x100 with the session boundary respected: the first event of a
+    session has no predecessor, so cross-session "transitions" (often
+    hours apart, behaviorally meaningless) never count. Same exchanges
+    as x13 + one matrix-keyed count; the session tagging reuses
+    ``with_session_no`` verbatim, so x13/x109 share semantics by
+    construction."""
+    e = load_table(spark, sf_dir, "events")
+    seq = with_session_no(e).select(
+        "event_type",
+        F.lag("event_type")
+        .over(
+            W.partitionBy("user_id", "sess_no").orderBy("ts", "event_id")
+        )
+        .alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    return (
+        seq.groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("from_type", "to_type")
+    )
+
+
+@query(
+    "x110_interarrival_percentiles",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(gap_us) AS BIGINT) AS n_gaps,
+           ROUND(quantile_cont(gap_us, 0.5) / 1e6, 6) AS p50_sec,
+           ROUND(quantile_cont(gap_us, 0.9) / 1e6, 6) AS p90_sec
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def x110_interarrival_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Median and p90 inter-arrival time per event type (same-user
+    consecutive events of that type). Gaps are exact integer
+    microseconds; the percentiles interpolate identically in both
+    engines (g9's proven pairing). A p50 collapsing toward 0 is the
+    bot signature; p90 growth is the engagement-decay signal.
+
+    Scale: one (user, type)-keyed window then a type-keyed percentile
+    aggregate — x13's exchange inventory."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = e.select(
+        "event_type",
+        (
+            us
+            - F.lag(us).over(
+                W.partitionBy("user_id", "event_type").orderBy(
+                    "ts", "event_id"
+                )
+            )
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("gap_us").cast("bigint").alias("n_gaps"),
+            F.round(F.expr("percentile(gap_us, 0.5) / 1e6"), 6).alias(
+                "p50_sec"
+            ),
+            F.round(F.expr("percentile(gap_us, 0.9) / 1e6"), 6).alias(
+                "p90_sec"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "x111_conversion_time",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(epoch_us(ts)) AS s_us
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s.s_us
+      GROUP BY 1
+    ), d AS (
+      SELECT s.user_id, p.p_us - s.s_us AS delta_us
+      FROM s LEFT JOIN p USING (user_id)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_signup,
+           CAST(count(delta_us) AS BIGINT) AS n_converted,
+           ROUND(CAST(count(delta_us) AS DOUBLE) / count(*), 6)
+             AS conversion_rate,
+           ROUND(quantile_cont(delta_us, 0.5) / 1e6, 6) AS p50_sec,
+           ROUND(quantile_cont(delta_us, 0.9) / 1e6, 6) AS p90_sec
+    FROM d
+    """,
+)
+def x111_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup -> first-purchase-after conversion rate and time
+    percentiles. First-touch frames are user-keyed min-aggregates; the
+    strictly-after constraint uses the signup time INSIDE the join
+    (x52's staged-funnel discipline), so a purchase predating signup
+    never counts. Never-converting users stay in the denominator via
+    the left join and are ignored by the percentile (NULL delta).
+
+    Scale: two filtered user-keyed aggregates + one user join + a
+    single global percentile over |converted| deltas — at 100 TB the
+    percentile swaps to approx_percentile exactly as g9 documents."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .select("user_id", us.alias("us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("s_us"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("p_us0"))
+        .join(s, "user_id")
+        .filter(F.col("p_us0") > F.col("s_us"))
+        .groupBy("user_id")
+        .agg(F.min("p_us0").alias("p_us"))
+    )
+    d = s.join(p, "user_id", "left").select(
+        (F.col("p_us") - F.col("s_us")).alias("delta_us")
+    )
+    return d.agg(
+        F.count("*").cast("bigint").alias("n_signup"),
+        F.count("delta_us").cast("bigint").alias("n_converted"),
+        F.round(
+            F.count("delta_us").cast("double") / F.count("*"), 6
+        ).alias("conversion_rate"),
+        F.round(F.expr("percentile(delta_us, 0.5) / 1e6"), 6).alias(
+            "p50_sec"
+        ),
+        F.round(F.expr("percentile(delta_us, 0.9) / 1e6"), 6).alias(
+            "p90_sec"
+        ),
+    )

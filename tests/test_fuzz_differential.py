@@ -460,3 +460,24 @@ def test_fuzz_x104_value_mad(spark, rows):
 def test_fuzz_x107_user_ewma(spark, rows):
     # duplicate timestamps stress the fold-order tiebreak
     _fuzz_events(spark, "x107_user_ewma", rows)
+
+
+@_FUZZ_SETTINGS
+@given(rows=events())
+def test_fuzz_x109_session_transitions(spark, rows):
+    _fuzz_events(spark, "x109_session_transitions", rows)
+
+
+@_FUZZ_SETTINGS
+@given(rows=spread_events())
+def test_fuzz_x110_interarrival(spark, rows):
+    # day-scale gaps: non-trivial percentile inputs
+    _fuzz_events(spark, "x110_interarrival_percentiles", rows)
+
+
+@_FUZZ_SETTINGS
+@given(rows=events())
+def test_fuzz_x111_conversion_time(spark, rows):
+    # tiny corpora: often zero signups or zero conversions — the
+    # NULL-percentile and rate-degenerate branches
+    _fuzz_events(spark, "x111_conversion_time", rows)

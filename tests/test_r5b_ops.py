@@ -1143,3 +1143,40 @@ def test_x108_ring_moves_an_order_less_than_mod(spark):
     assert r.frac_mod > 0.7
     assert r.frac_ring < 0.35
     assert r.frac_ring < r.frac_mod / 2
+
+
+# ---------------------------------------------------------------------------
+# x109/x110/x111 — session transitions, inter-arrival, conversion time
+# ---------------------------------------------------------------------------
+
+
+def test_x109_never_counts_more_than_x100(spark):
+    """Dropping cross-session transitions can only REMOVE mass: every
+    x109 cell must be <= its x100 cell, and total transitions strictly
+    fewer whenever any user has >1 session (the fixture does)."""
+    x100 = {
+        (r.from_type, r.to_type): r.n
+        for r in QUERIES["x100_event_transitions"](spark, SF_DIR_001).collect()
+    }
+    x109 = {
+        (r.from_type, r.to_type): r.n
+        for r in QUERIES["x109_session_transitions"](spark, SF_DIR_001).collect()
+    }
+    for cell, n in x109.items():
+        assert n <= x100.get(cell, 0), cell
+    assert sum(x109.values()) < sum(x100.values())
+
+
+def test_x110_gap_percentiles_ordered(spark):
+    rows = QUERIES["x110_interarrival_percentiles"](spark, SF_DIR_001).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.n_gaps > 0
+        assert 0 <= r.p50_sec <= r.p90_sec
+
+
+def test_x111_conversion_consistency(spark):
+    [r] = QUERIES["x111_conversion_time"](spark, SF_DIR_001).collect()
+    assert 0 < r.n_converted <= r.n_signup
+    assert r.conversion_rate == round(r.n_converted / r.n_signup, 6)
+    assert 0 < r.p50_sec <= r.p90_sec
