@@ -2322,3 +2322,64 @@ def x106_ann_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("band_bits")
+
+
+# ---------------------------------------------------------------------------
+# x112: embedding-norm hygiene audit. Degenerate vectors break cosine
+# pipelines silently (zero vectors make NaN similarities; near-zero
+# norms amplify noise; giant norms dominate IP-based ANN). One pass
+# reports the norm distribution and the degenerate counts — the check
+# that runs BEFORE x5/x27/x62 ever see the table. Norms are per-row
+# fixed-order folds (exact); percentiles use the proven
+# percentile()/quantile_cont pairing.
+# ---------------------------------------------------------------------------
+
+NORM_EPS = 1e-6
+
+
+@query(
+    "x112_norm_audit",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id,
+             sqrt(list_reduce(list_transform(embedding,
+                    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+                  (a, x) -> a + x)) AS nrm
+      FROM embeddings
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN nrm < {NORM_EPS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_zero,
+           ROUND(min(nrm), 6) AS min_norm,
+           ROUND(quantile_cont(nrm, 0.5), 6) AS p50_norm,
+           ROUND(quantile_cont(nrm, 0.9), 6) AS p90_norm,
+           ROUND(max(nrm), 6) AS max_norm
+    FROM n
+    """,
+)
+def x112_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm distribution + zero-vector count over the embeddings.
+
+    Scale (100 TB): the norm is a narrow per-row fold; the summary is
+    one combinable aggregate plus a percentile (swap to
+    approx_percentile at scale, per g9). Zero shuffle beyond the
+    single aggregation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda a, v: a + v.cast("double") * v.cast("double"),
+        )
+    )
+    n = emb.select(nrm.alias("nrm"))
+    return n.agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum(F.when(F.col("nrm") < NORM_EPS, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.expr("percentile(nrm, 0.5)"), 6).alias("p50_norm"),
+        F.round(F.expr("percentile(nrm, 0.9)"), 6).alias("p90_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+    )

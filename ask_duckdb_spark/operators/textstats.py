@@ -3023,3 +3023,79 @@ def x101_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("flesch"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# x113: per-document character entropy — the information-theoretic
+# upgrade of x48's distinct-char ratio. Low entropy = repeated-char
+# padding/one-note spam; implausibly high = binary-as-text. The p*log2
+# sum is float and order-dependent, so it folds over the CHAR-SORTED
+# count list (identical IEEE order in both engines — the x105/x107
+# fixed-order discipline), with one ROUND at the edge.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x113_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c
+      FROM documents WHERE length(text) > 0
+    ), cnt AS (
+      SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2
+    ), lst AS (
+      SELECT doc_id,
+             CAST(sum(k) AS DOUBLE) AS n,
+             list(CAST(k AS DOUBLE) ORDER BY c) AS ks
+      FROM cnt GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_chars,
+           CAST(len(ks) AS BIGINT) AS n_distinct,
+           ROUND(list_reduce(
+             list_transform(ks, k -> -(k / n) * log2(k / n)),
+             (a, x) -> a + x), 6) AS entropy_bits
+    FROM lst ORDER BY doc_id
+    """,
+)
+def x113_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits/char) of each document's character
+    distribution, folded in char-sorted order so both engines add the
+    same terms in the same sequence. Range [0, log2(n_distinct)]; the
+    quality filter cuts both tails. Empty documents are excluded (no
+    distribution to measure).
+
+    Scale (100 TB): explode to (doc, char) then two doc-keyed
+    combinable aggregations — the per-doc alphabet is bounded
+    (<= charset size), so the collected count list is tiny regardless
+    of document length.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    ch = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), ""), lambda c: c != F.lit(""))
+        ).alias("c"),
+    )
+    cnt = ch.groupBy("doc_id", "c").agg(F.count("*").alias("k"))
+    lst = cnt.groupBy("doc_id").agg(
+        F.sum("k").cast("double").alias("n"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("c", "k"))),
+            lambda s: s["k"].cast("double"),
+        ).alias("ks"),
+    )
+    ent = F.aggregate(
+        F.col("ks"),
+        F.lit(0.0),
+        lambda a, k: a
+        - (k / F.col("n")) * F.log2(k / F.col("n")),
+    )
+    return lst.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_chars"),
+        F.size("ks").cast("bigint").alias("n_distinct"),
+        F.round(ent, 6).alias("entropy_bits"),
+    ).orderBy("doc_id")

@@ -481,3 +481,10 @@ def test_fuzz_x111_conversion_time(spark, rows):
     # tiny corpora: often zero signups or zero conversions — the
     # NULL-percentile and rate-degenerate branches
     _fuzz_events(spark, "x111_conversion_time", rows)
+
+
+@_FUZZ_SETTINGS
+@given(texts=corpus())
+def test_fuzz_x113_char_entropy(spark, texts):
+    # unicode corpora probe split('')/string_split('') agreement
+    _fuzz_one(spark, "x113_char_entropy", texts)

@@ -1180,3 +1180,47 @@ def test_x111_conversion_consistency(spark):
     assert 0 < r.n_converted <= r.n_signup
     assert r.conversion_rate == round(r.n_converted / r.n_signup, 6)
     assert 0 < r.p50_sec <= r.p90_sec
+
+
+# ---------------------------------------------------------------------------
+# x112 — embedding norm audit; x113 — char entropy
+# ---------------------------------------------------------------------------
+
+
+def test_x112_norm_audit_with_planted_zero_vector(spark, tmp_path_factory):
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0], 0),          # zero vector
+        (1, [3.0, 4.0, 0.0, 0.0], 0),          # norm 5
+        (2, [1.0, 0.0, 0.0, 0.0], 0),          # norm 1
+    ]
+    d = tmp_path_factory.mktemp("x112emb")
+    _write_embeddings_r5b(spark, str(d), rows)
+    [r] = QUERIES["x112_norm_audit"](spark, str(d)).collect()
+    assert (r.n_vecs, r.n_zero) == (3, 1)
+    assert r.min_norm == 0.0 and r.max_norm == 5.0
+    assert r.p50_norm == 1.0  # median of {0, 1, 5}
+
+
+def test_x113_hand_computed_entropy(spark, tmp_path_factory):
+    """'aabb' -> 2 bits? No: p=0.5 each -> H = 1.0 bit. 'aaaa' -> 0.
+    'abcd' -> 2.0 bits (uniform over 4)."""
+    d = tmp_path_factory.mktemp("x113corpus")
+    _write_documents(
+        spark, str(d),
+        [(0, "aabb", "s"), (1, "aaaa", "s"), (2, "abcd", "s")],
+    )
+    out = {
+        r.doc_id: r
+        for r in QUERIES["x113_char_entropy"](spark, str(d)).collect()
+    }
+    assert out[0].entropy_bits == 1.0
+    assert out[1].entropy_bits == 0.0
+    assert out[2].entropy_bits == 2.0
+    assert out[2].n_distinct == 4
+
+
+def test_x113_bounds_on_fixture(spark):
+    import math
+
+    for r in QUERIES["x113_char_entropy"](spark, SF_DIR_001).collect():
+        assert -1e-9 <= r.entropy_bits <= math.log2(r.n_distinct) + 1e-9
