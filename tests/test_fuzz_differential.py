@@ -488,3 +488,107 @@ def test_fuzz_x111_conversion_time(spark, rows):
 def test_fuzz_x113_char_entropy(spark, texts):
     # unicode corpora probe split('')/string_split('') agreement
     _fuzz_one(spark, "x113_char_entropy", texts)
+
+
+# ---------------------------------------------------------------------------
+# Broad-coverage fuzz batch: every cheap documents-only oracle op that
+# consumes raw text (the surface where tokenizer/split/regex edge
+# semantics can diverge between engines). Heavy iterative ops (x2/x29/
+# x80/x96 compositions) are exercised by their own dedicated tests.
+# ---------------------------------------------------------------------------
+
+
+@_FUZZ_SETTINGS
+@given(texts=corpus())
+def test_fuzz_x9_top_terms(spark, texts):
+    _fuzz_one(spark, "x9_top_terms", texts)
+
+
+@_FUZZ_SETTINGS
+@given(texts=corpus())
+def test_fuzz_x11_lang_id(spark, texts):
+    _fuzz_one(spark, "x11_lang_id", texts)
+
+
+@_FUZZ_SETTINGS
+@given(texts=corpus())
+def test_fuzz_x21_token_count_bpe(spark, texts):
+    _fuzz_one(spark, "x21_token_count_bpe", texts)
+
+
+@_FUZZ_SETTINGS
+@given(texts=corpus())
+def test_fuzz_x22_tfidf_top_term(spark, texts):
+    _fuzz_one(spark, "x22_tfidf_top_term", texts)
+
+
+@_FUZZ_SETTINGS
+@given(texts=corpus())
+def test_fuzz_x23_hash_sample(spark, texts):
+    _fuzz_one(spark, "x23_hash_sample", texts)
+
+
+@_FUZZ_SETTINGS
+@given(texts=corpus())
+def test_fuzz_x31_clean_corpus(spark, texts):
+    _fuzz_one(spark, "x31_clean_corpus", texts)
+
+
+@_FUZZ_SETTINGS
+@given(texts=corpus())
+def test_fuzz_x34_train_val_test_split(spark, texts):
+    _fuzz_one(spark, "x34_train_val_test_split", texts)
+
+
+@_FUZZ_SETTINGS
+@given(texts=corpus())
+def test_fuzz_x39_repetition_ratio(spark, texts):
+    _fuzz_one(spark, "x39_repetition_ratio", texts)
+
+
+@_FUZZ_SETTINGS
+@given(texts=corpus())
+def test_fuzz_x45_pii_redaction(spark, texts):
+    _fuzz_one(spark, "x45_pii_redaction", texts)
+
+
+@_FUZZ_SETTINGS
+@given(texts=corpus())
+def test_fuzz_x47_chunk_documents(spark, texts):
+    _fuzz_one(spark, "x47_chunk_documents", texts)
+
+
+@_FUZZ_SETTINGS
+@given(texts=corpus())
+def test_fuzz_x48_char_diversity(spark, texts):
+    _fuzz_one(spark, "x48_char_diversity_filter", texts)
+
+
+@_FUZZ_SETTINGS
+@given(texts=corpus())
+def test_fuzz_x50_length_outlier(spark, texts):
+    _fuzz_one(spark, "x50_length_outlier_filter", texts)
+
+
+@_FUZZ_SETTINGS
+@given(texts=corpus())
+def test_fuzz_x57_bigram_rarity(spark, texts):
+    _fuzz_one(spark, "x57_bigram_rarity", texts)
+
+
+@_FUZZ_SETTINGS
+@given(texts=corpus())
+def test_fuzz_x61_gopher_rules(spark, texts):
+    _fuzz_one(spark, "x61_gopher_quality_rules", texts)
+
+
+@_FUZZ_SETTINGS
+@given(texts=corpus())
+def test_fuzz_x64_paragraph_dedup(spark, texts):
+    _fuzz_one(spark, "x64_paragraph_dedup", texts)
+
+
+@_FUZZ_SETTINGS
+@given(texts=corpus())
+def test_fuzz_x79_vocab_growth(spark, texts):
+    _fuzz_one(spark, "x79_vocab_growth", texts)
