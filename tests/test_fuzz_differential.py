@@ -592,3 +592,66 @@ def test_fuzz_x64_paragraph_dedup(spark, texts):
 @given(texts=corpus())
 def test_fuzz_x79_vocab_growth(spark, texts):
     _fuzz_one(spark, "x79_vocab_growth", texts)
+
+
+# ---------------------------------------------------------------------------
+# Events-op broad batch: windows, sessions, funnels, as-of joins, the
+# Pandas grouped-map twin (x28), and the forward-fill/running-sum
+# window surface — duplicate timestamps and single-event users probe
+# tiebreaks and empty frames.
+# ---------------------------------------------------------------------------
+
+
+@_FUZZ_SETTINGS
+@given(rows=events())
+def test_fuzz_x14_session_window(spark, rows):
+    _fuzz_events(spark, "x14_session_window", rows)
+
+
+@_FUZZ_SETTINGS
+@given(rows=events())
+def test_fuzz_x16_sliding_window(spark, rows):
+    _fuzz_events(spark, "x16_sliding_window", rows)
+
+
+@_FUZZ_SETTINGS
+@given(rows=events())
+def test_fuzz_x17_session_stats(spark, rows):
+    _fuzz_events(spark, "x17_session_stats", rows)
+
+
+@_FUZZ_SETTINGS
+@given(rows=events())
+def test_fuzz_x26_salted_user_totals(spark, rows):
+    _fuzz_events(spark, "x26_salted_user_totals", rows)
+
+
+@_FUZZ_SETTINGS
+@given(rows=events())
+def test_fuzz_x28_pandas_trend_twin(spark, rows):
+    # the grouped-map Pandas path against the SQL oracle
+    _fuzz_events(spark, "x28_user_value_trend", rows)
+
+
+@_FUZZ_SETTINGS
+@given(rows=events())
+def test_fuzz_x52_funnel_stages(spark, rows):
+    _fuzz_events(spark, "x52_funnel_stages", rows)
+
+
+@_FUZZ_SETTINGS
+@given(rows=events())
+def test_fuzz_j9_asof_last_purchase(spark, rows):
+    _fuzz_events(spark, "j9_asof_last_purchase", rows)
+
+
+@_FUZZ_SETTINGS
+@given(rows=events())
+def test_fuzz_w2_running_sum(spark, rows):
+    _fuzz_events(spark, "w2_running_sum", rows)
+
+
+@_FUZZ_SETTINGS
+@given(rows=events())
+def test_fuzz_w8_forward_fill(spark, rows):
+    _fuzz_events(spark, "w8_forward_fill", rows)
