@@ -655,3 +655,72 @@ def test_fuzz_w2_running_sum(spark, rows):
 @given(rows=events())
 def test_fuzz_w8_forward_fill(spark, rows):
     _fuzz_events(spark, "w8_forward_fill", rows)
+
+
+# ---------------------------------------------------------------------------
+# JSON-props fuzz: the events() strategy pins props='{}'; this one
+# draws varied JSON shapes (missing keys, null values, arrays, nested
+# objects, literal null) through the JSON-path operators — the surface
+# where ->>/get_json_object semantics can diverge.
+# ---------------------------------------------------------------------------
+
+_PROPS = st.sampled_from(
+    [
+        "{}",
+        '{"device": "mobile", "country": "US"}',
+        '{"device": "desktop", "country": "DE"}',
+        '{"device": "tablet"}',
+        '{"tags": ["a", "b"]}',
+        '{"tags": []}',
+        '{"nested": {"k": 1}}',
+        '{"country": null}',
+    ]
+)
+
+
+@st.composite
+def json_events(draw):
+    n = draw(st.integers(min_value=1, max_value=8))
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,
+                _TS_BASE + draw(st.integers(min_value=0, max_value=5)) * 1_000_000,
+                draw(st.integers(min_value=1, max_value=3)),
+                draw(st.sampled_from(["click", "view", "purchase"])),
+                draw(_VALUE),
+                draw(_PROPS),
+            )
+        )
+    return rows
+
+
+@_FUZZ_SETTINGS
+@given(rows=json_events())
+def test_fuzz_f2_json_extract(spark, rows):
+    _fuzz_events(spark, "f2_json_extract", rows)
+
+
+@_FUZZ_SETTINGS
+@given(rows=json_events())
+def test_fuzz_f3_json_exists(spark, rows):
+    _fuzz_events(spark, "f3_json_exists", rows)
+
+
+@_FUZZ_SETTINGS
+@given(rows=json_events())
+def test_fuzz_f4_json_text_like(spark, rows):
+    _fuzz_events(spark, "f4_json_text_like", rows)
+
+
+@_FUZZ_SETTINGS
+@given(rows=json_events())
+def test_fuzz_f5_json_array_membership(spark, rows):
+    _fuzz_events(spark, "f5_json_array_membership", rows)
+
+
+@_FUZZ_SETTINGS
+@given(rows=json_events())
+def test_fuzz_x18_props_schema_on_read(spark, rows):
+    _fuzz_events(spark, "x18_props_schema_on_read", rows)
