@@ -1710,7 +1710,8 @@ def q15_top_supplier(spark, sf_dir):
     oracle="""
     WITH catalog AS (
       SELECT l_partkey, l_suppkey,
-             ROUND(min(l_extendedprice / l_quantity), 4) AS unit_cost
+             floor(min(l_extendedprice / l_quantity) * 10000 + 0.5)
+               / 10000 AS unit_cost
       FROM lineitem GROUP BY 1, 2
     )
     SELECT ROUND(s.s_acctbal, 2) AS s_acctbal, s.s_name, n.n_name,
@@ -1747,11 +1748,21 @@ def q2_min_cost_supplier(spark, sf_dir):
     q5/x22 discipline).
     """
     li = t(spark, sf_dir, "lineitem")
+    # Portable 4dp rounding: floor(x*1e4 + 0.5)/1e4 is the same IEEE
+    # op sequence in both engines. ROUND diverges on doubles just
+    # BELOW a midpoint (found at sf0.001: min unit price
+    # 26.241249999999997 — Spark ROUND gives the correct 26.2412,
+    # DuckDB's decimal-style round() says 26.2413).
     catalog = (
         li.groupBy("l_partkey", "l_suppkey")
         .agg(
-            F.round(
-                F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4
+            (
+                F.floor(
+                    F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                    * 10000
+                    + 0.5
+                )
+                / 10000
             ).alias("unit_cost")
         )
     )
