@@ -323,9 +323,17 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "width": (n % 64 + 1).astype("int32"),
                 "height": (n // 64 % 64 + 1).astype("int32"),
                 "n_frames": (n % 7 + 1).astype("int32"),
+                # portable 6dp rounding: numpy .round is half-EVEN,
+                # DuckDB ROUND half-up — they disagree on exact
+                # midpoints (byte sums / power-of-two lengths, e.g.
+                # 93.7265625 at sf0.1). floor(x*1e6 + 0.5)/1e6 is the
+                # same IEEE sequence everywhere (the q2 fix pattern).
                 "mean_byte": payload.map(
-                    lambda b: float(sum(b)) / max(len(b), 1)
-                ).round(6),
+                    lambda b: __import__("math").floor(
+                        float(sum(b)) / max(len(b), 1) * 1e6 + 0.5
+                    )
+                    / 1e6
+                ),
             }
         )
 
@@ -406,9 +414,10 @@ def x36_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(octet_length(encode(text)) % 64 + 1 AS INTEGER) AS width,
            CAST(octet_length(encode(text)) // 64 % 64 + 1 AS INTEGER) AS height,
            CAST(octet_length(encode(text)) % 7 + 1 AS INTEGER) AS n_frames,
-           ROUND(CAST(list_aggregate(
+           floor(CAST(list_aggregate(
                    list_transform(string_split(text, ''), c -> ascii(c)), 'sum')
-                 AS DOUBLE) / greatest(octet_length(encode(text)), 1), 6)
+                 AS DOUBLE) / greatest(octet_length(encode(text)), 1)
+                 * 1e6 + 0.5) / 1e6
              AS mean_byte
     FROM documents
     ORDER BY doc_id
