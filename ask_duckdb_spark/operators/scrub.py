@@ -267,7 +267,8 @@ def _diversity_sql() -> str:
 @query(
     "x48_char_diversity_filter",
     oracle=f"""
-    SELECT doc_id, ROUND(diversity, 4) AS diversity,
+    SELECT doc_id,
+           floor(diversity * 10000 + 0.5) / 10000 AS diversity,
            diversity < {DIVERSITY_CUT} AS is_low_quality
     FROM ({_diversity_sql()})
     ORDER BY doc_id
@@ -307,7 +308,12 @@ def x48_char_diversity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         staged.withColumn("diversity", diversity)
         .select(
             "doc_id",
-            F.round("diversity", 4).alias("diversity"),
+            # portable 4dp rounding (the q2/x20 fix pattern): ROUND
+            # half-up semantics differ across engines at/near decimal
+            # midpoints — found live at sf0.1 (0.88875-class values)
+            (F.floor(F.col("diversity") * 10000 + 0.5) / 10000).alias(
+                "diversity"
+            ),
             (F.col("diversity") < DIVERSITY_CUT).alias("is_low_quality"),
         )
         .orderBy("doc_id")
