@@ -724,3 +724,40 @@ def test_fuzz_f5_json_array_membership(spark, rows):
 @given(rows=json_events())
 def test_fuzz_x18_props_schema_on_read(spark, rows):
     _fuzz_events(spark, "x18_props_schema_on_read", rows)
+
+
+# ---------------------------------------------------------------------------
+# Dimension-agnostic embedding-op fuzz (the banded/projected family
+# needs the fixture's 64 dims — its _band_keys guard raises on these
+# 16-dim corpora by design, so only the fold-based ops fuzz here).
+# ---------------------------------------------------------------------------
+
+
+@_FUZZ_SETTINGS
+@given(rows=embeddings())
+def test_fuzz_x5_cosine_topk(spark, rows):
+    _fuzz_emb(spark, "x5_cosine_topk", rows)
+
+
+@_FUZZ_SETTINGS
+@given(rows=embeddings())
+def test_fuzz_x25_batch_ann_topk(spark, rows):
+    _fuzz_emb(spark, "x25_batch_ann_topk", rows)
+
+
+@_FUZZ_SETTINGS
+@given(rows=embeddings())
+def test_fuzz_x43_quantize_error(spark, rows):
+    _fuzz_emb(spark, "x43_quantize_error", rows)
+
+
+@_FUZZ_SETTINGS
+@given(rows=embeddings())
+def test_fuzz_x105_embedding_drift(spark, rows):
+    _fuzz_emb(spark, "x105_embedding_drift", rows)
+
+
+@_FUZZ_SETTINGS
+@given(rows=embeddings())
+def test_fuzz_x112_norm_audit(spark, rows):
+    _fuzz_emb(spark, "x112_norm_audit", rows)
