@@ -280,3 +280,87 @@ def x108_reshard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(moved_ring).cast("double") / F.count("*"), 6
         ).alias("frac_ring"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x114: referential-integrity audit — orphan counts for every foreign-
+# key edge in the star schema. The ingest QA check that runs before
+# any join-bearing pipeline: a non-zero orphan count means inner joins
+# silently DROP rows and outer joins fabricate NULL groups. Left-anti
+# joins per edge, rolled into one table.
+# ---------------------------------------------------------------------------
+
+FK_EDGES: tuple[tuple[str, str, str, str], ...] = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def _fk_oracle() -> str:
+    picks = []
+    for child, ck, parent, pk in FK_EDGES:
+        picks.append(f"""
+    SELECT '{child}.{ck} -> {parent}.{pk}' AS fk_edge,
+           CAST((SELECT count(*) FROM {child}) AS BIGINT) AS n_child,
+           CAST((SELECT count(*) FROM {child} c
+                 WHERE c.{ck} IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM {parent} p
+                                   WHERE p.{pk} = c.{ck})) AS BIGINT)
+             AS n_orphans,
+           CAST((SELECT count(*) FROM {child} WHERE {ck} IS NULL)
+                AS BIGINT) AS n_null_keys""")
+    return (
+        "SELECT * FROM ("
+        + "\nUNION ALL\n".join(picks)
+        + ") ORDER BY fk_edge"
+    )
+
+
+@query("x114_fk_audit", oracle=_fk_oracle())
+def x114_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan / null-key counts per star-schema foreign-key edge.
+
+    Per edge: child rowcount, orphans (non-null child keys with no
+    parent — a LEFT ANTI join, the join type built for exactly this),
+    and null keys (excluded from the orphan test, reported separately
+    — NULL FKs are absent-by-design, not broken). The fixtures are
+    referentially clean, so all-zero orphan columns are the TRUE
+    reading; tests plant a broken edge to exercise the non-zero path.
+
+    Scale (100 TB): each edge is one anti-join keyed on the FK — the
+    same shuffle the production join pays, so the audit costs one
+    pre-pass of the pipeline's own join graph; dimension parents
+    broadcast exactly as in the real joins. Rollup rows = |edges|.
+    """
+    frames = []
+    for child, ck, parent, pk in FK_EDGES:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent)
+        orphans = (
+            c.filter(F.col(ck).isNotNull())
+            .join(p, c[ck] == p[pk], "left_anti")
+            .agg(F.count("*").cast("bigint").alias("n_orphans"))
+        )
+        counts = c.agg(
+            F.count("*").cast("bigint").alias("n_child"),
+            F.sum(F.col(ck).isNull().cast("long"))
+            .cast("bigint")
+            .alias("n_null_keys"),
+        )
+        frames.append(
+            counts.crossJoin(F.broadcast(orphans)).select(
+                F.lit(f"{child}.{ck} -> {parent}.{pk}").alias("fk_edge"),
+                "n_child",
+                "n_orphans",
+                "n_null_keys",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("fk_edge")

@@ -1224,3 +1224,41 @@ def test_x113_bounds_on_fixture(spark):
 
     for r in QUERIES["x113_char_entropy"](spark, SF_DIR_001).collect():
         assert -1e-9 <= r.entropy_bits <= math.log2(r.n_distinct) + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# x114 — referential-integrity audit
+# ---------------------------------------------------------------------------
+
+
+def test_x114_fixture_is_clean_and_counts_consistent(spark):
+    rows = QUERIES["x114_fk_audit"](spark, SF_DIR_001).collect()
+    assert len(rows) == 7
+    for r in rows:
+        assert r.n_orphans == 0, r.fk_edge   # fixtures are RI-clean
+        assert r.n_null_keys == 0, r.fk_edge
+        assert r.n_child > 0
+
+
+def test_x114_detects_planted_orphan(spark, tmp_path_factory):
+    """Copy the tiny tables, break one customer's nation key, and the
+    audit must count exactly that orphan on exactly that edge."""
+    import shutil
+
+    src = SF_DIR_001
+    d = str(tmp_path_factory.mktemp("x114fk"))
+    for t in ("lineitem", "orders", "part", "supplier", "nation", "region"):
+        shutil.copy(f"{src}/{t}.parquet", f"{d}/{t}.parquet")
+    cust = spark.read.parquet(f"{src}/customer.parquet")
+    from pyspark.sql import functions as F
+
+    broken = cust.withColumn(
+        "c_nationkey",
+        F.when(F.col("c_custkey") == 1, F.lit(9999)).otherwise(
+            F.col("c_nationkey")
+        ),
+    )
+    broken.coalesce(1).write.parquet(f"{d}/customer.parquet")
+    rows = {r.fk_edge: r for r in QUERIES["x114_fk_audit"](spark, d).collect()}
+    assert rows["customer.c_nationkey -> nation.n_nationkey"].n_orphans == 1
+    assert rows["orders.o_custkey -> customer.c_custkey"].n_orphans == 0
