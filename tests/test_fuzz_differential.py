@@ -761,3 +761,65 @@ def test_fuzz_x105_embedding_drift(spark, rows):
 @given(rows=embeddings())
 def test_fuzz_x112_norm_audit(spark, rows):
     _fuzz_emb(spark, "x112_norm_audit", rows)
+
+
+# ---------------------------------------------------------------------------
+# NULL-value fuzz: events.value is nullable but every strategy above
+# draws non-null — this one mixes NULLs in, probing aggregate NULL
+# semantics (regr_slope pairs, percentile skipping, EWMA folds over
+# sequences containing NULLs, MAD medians, forward-fill — the op
+# DESIGNED for NULL runs).
+# ---------------------------------------------------------------------------
+
+_NVALUE = st.sampled_from([0.0, 1.5, -2.5, 100.25, None])
+
+
+@st.composite
+def null_events(draw):
+    n = draw(st.integers(min_value=1, max_value=10))
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,
+                _TS_BASE
+                + draw(st.integers(min_value=0, max_value=5)) * 1_000_000,
+                draw(st.integers(min_value=1, max_value=3)),
+                draw(st.sampled_from(["click", "view"])),
+                draw(_NVALUE),
+                "{}",
+            )
+        )
+    return rows
+
+
+@_FUZZ_SETTINGS
+@given(rows=null_events())
+def test_fuzz_null_values_w8_forward_fill(spark, rows):
+    _fuzz_events(spark, "w8_forward_fill", rows)
+
+
+@_FUZZ_SETTINGS
+@given(rows=null_events())
+def test_fuzz_null_values_x104_mad(spark, rows):
+    _fuzz_events(spark, "x104_value_mad", rows)
+
+
+@_FUZZ_SETTINGS
+@given(rows=null_events())
+def test_fuzz_null_values_x28b_slope(spark, rows):
+    _fuzz_events(spark, "x28b_user_value_trend_sql", rows)
+
+
+@_FUZZ_SETTINGS
+@given(rows=null_events())
+def test_fuzz_null_values_x13_sessionize(spark, rows):
+    _fuzz_events(spark, "x13_sessionize", rows)
+
+
+@_FUZZ_SETTINGS
+@given(rows=null_events())
+def test_fuzz_null_values_x107_ewma(spark, rows):
+    # Spark collect_list DROPS nulls; DuckDB list() KEEPS them — if
+    # the two sides disagree on null handling the fold diverges
+    _fuzz_events(spark, "x107_user_ewma", rows)
