@@ -823,3 +823,105 @@ def test_fuzz_null_values_x107_ewma(spark, rows):
     # Spark collect_list DROPS nulls; DuckDB list() KEEPS them — if
     # the two sides disagree on null handling the fold diverges
     _fuzz_events(spark, "x107_user_ewma", rows)
+
+
+# ---------------------------------------------------------------------------
+# Calendar-edge fuzz: the date-arithmetic surface (d1-d5) over orders
+# rows whose dates are drawn from the adversarial calendar set —
+# month-ends, leap day, leap-year Feb 28, year boundaries. add_months
+# clamping, last_day, epoch and strftime must agree on every one.
+# ---------------------------------------------------------------------------
+
+_EDGE_DATES = st.sampled_from(
+    [
+        "1994-01-31", "1996-02-29", "1995-02-28", "1993-12-31",
+        "1994-11-30", "1995-03-31", "1994-01-01", "1995-06-15",
+        "1992-02-29", "1999-12-31",
+    ]
+)
+
+
+@st.composite
+def calendar_orders(draw):
+    n = draw(st.integers(min_value=1, max_value=8))
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,
+                draw(st.integers(min_value=1, max_value=50)),
+                draw(st.sampled_from(["O", "F", "P"])),
+                draw(st.sampled_from([10.0, 2500.5, 99999.99])),
+                draw(_EDGE_DATES),
+                draw(st.sampled_from(["1-URGENT", "3-MEDIUM", "5-LOW"])),
+            )
+        )
+    return rows
+
+
+def _fuzz_orders(spark, name: str, rows) -> None:
+    import datetime
+
+    with tempfile.TemporaryDirectory() as d:
+        tbl = pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+                "o_orderstatus": pa.array(
+                    [r[2] for r in rows], pa.string()
+                ),
+                "o_totalprice": pa.array(
+                    [r[3] for r in rows], pa.float64()
+                ),
+                "o_orderdate": pa.array(
+                    [
+                        datetime.datetime.fromisoformat(r[4])
+                        for r in rows
+                    ],
+                    pa.timestamp("us"),
+                ),
+                "o_orderpriority": pa.array(
+                    [r[5] for r in rows], pa.string()
+                ),
+            }
+        )
+        pq.write_table(tbl, os.path.join(d, "orders.parquet"))
+        got = QUERIES[name](spark, d).toPandas()
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW orders AS SELECT * FROM "
+            f"'{os.path.join(d, 'orders.parquet')}'"
+        )
+        want = con.sql(ORACLES[name]).df()
+        _compare(got, want)
+
+
+@_FUZZ_SETTINGS
+@given(rows=calendar_orders())
+def test_fuzz_d1_date_trunc(spark, rows):
+    _fuzz_orders(spark, "d1_date_trunc", rows)
+
+
+@_FUZZ_SETTINGS
+@given(rows=calendar_orders())
+def test_fuzz_d2_extract_parts(spark, rows):
+    _fuzz_orders(spark, "d2_extract_parts", rows)
+
+
+@_FUZZ_SETTINGS
+@given(rows=calendar_orders())
+def test_fuzz_d3_date_arith(spark, rows):
+    _fuzz_orders(spark, "d3_date_arith", rows)
+
+
+@_FUZZ_SETTINGS
+@given(rows=calendar_orders())
+def test_fuzz_d4_format_epoch(spark, rows):
+    _fuzz_orders(spark, "d4_format_epoch", rows)
+
+
+@_FUZZ_SETTINGS
+@given(rows=calendar_orders())
+def test_fuzz_d5_month_arith(spark, rows):
+    # Jan 31 + 3mo, Feb 29 + 3mo, Nov 30 + 3mo: clamping semantics
+    _fuzz_orders(spark, "d5_month_arith", rows)
