@@ -36,7 +36,13 @@ from ask_duckdb_spark.operators import ORACLES, QUERIES
 # words mix ascii, unicode, digits and an empty-ish fragment; texts mix
 # normal spacing with runs of whitespace
 _WORD = st.sampled_from(
-    ["the", "a", "naïve", "日本", "x1", "Mixed", "ß", "hash", "--", "0"]
+    [
+        "the", "a", "naïve", "日本", "x1", "Mixed", "ß", "hash", "--", "0",
+        # beyond-BMP emoji (UTF-16 surrogate pair), ZWJ sequence, and a
+        # combining accent: pin codepoint-counting agreement (Spark 4
+        # length() == DuckDB length() — verified 7/5/5 on these)
+        "🚀", "👨‍👩‍👧", "éclair",
+    ]
 )
 _TEXT = st.lists(_WORD, min_size=0, max_size=12).map(" ".join)
 _DOC_TEXT = st.one_of(
