@@ -92,7 +92,18 @@ def f13_split_array(spark, sf_dir):
     """,
 )
 def f14_math(spark, sf_dir):
-    """Scalar math surface: abs, sqrt, ceil, floor, pmod over lineitem measures."""
+    """Scalar math surface: abs, sqrt, ceil, floor, pmod over lineitem measures.
+
+    Domain-edge dialect divergence (documented, not papered over — the
+    f24 double->int precedent): outside the positive domain the
+    engines disagree BEHAVIORALLY, not numerically — Spark ln(0) and
+    ln(-x) return NULL and sqrt(-x) returns NaN, while DuckDB RAISES
+    Out of Range for all three. The op's contract is therefore
+    positive measures (prices/taxes, as in the fixtures); a pipeline
+    applying it to unconstrained data should pre-filter or wrap the
+    DuckDB side in TRY(). Verified live: Spark (NULL, NULL, NaN) vs
+    DuckDB OutOfRangeException.
+    """
     li = t(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
