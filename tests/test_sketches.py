@@ -84,3 +84,32 @@ def test_x54_ffd_packing_invariants(spark):
         # it here: all-slightly-over-half-budget docs would break it.)
         assert lower <= bins <= 2 * lower + 1, lang
     out.unpersist()
+
+
+def test_percentile_sketch_swap_path_bounds(spark):
+    """x104/x110/x111/x112 all document 'swap percentile ->
+    approx_percentile at 100 TB' (g9's rule). Prove the swap stays
+    within sketch tolerance on the real value distribution: at
+    accuracy 1000 the approx p50/p90 must land within the exact
+    distribution's neighboring mass (rank error <= n/1000)."""
+    from pyspark.sql import functions as F
+
+    from ask_duckdb_spark.sources.catalog import load_table
+    from tests.conftest import SF_DIR_001
+
+    e = load_table(spark, SF_DIR_001, "events")
+    row = e.agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("a50"),
+        F.expr("approx_percentile(value, 0.9, 1000)").alias("a90"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    # rank-error bound: count of values strictly between exact and
+    # approx answers must be <= n/1000 (+1 slack for interpolation)
+    for exact, approx in ((row.p50, row.a50), (row.p90, row.a90)):
+        lo, hi = sorted((exact, approx))
+        between = e.filter(
+            (F.col("value") > lo) & (F.col("value") < hi)
+        ).count()
+        assert between <= row.n / 1000 + 1, (exact, approx, between)
