@@ -130,8 +130,11 @@ def _fuzz_one(spark, name: str, texts: list[str]) -> None:
         _compare(got, want)
 
 
+#: Suite default 5 examples/op keeps the file under ~3 min; a deep
+#: sweep (FUZZ_EXAMPLES=25+) runs the same tests harder out-of-band —
+#: the r05 deep sweep is recorded in DIFFCHECK_r05.md.
 _FUZZ_SETTINGS = settings(
-    max_examples=5,
+    max_examples=int(os.environ.get("FUZZ_EXAMPLES", "5")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
