@@ -191,38 +191,83 @@ def x19_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TREND_SCHEMA = "user_id bigint, n bigint, slope double"
 
+#: Shared oracle for x28 / x28b — the OLS slope rebuilt on EXACT integer
+#: arithmetic so the value hash is portable across hosts (VERDICT r5
+#: §next-1: three rounds of driver-red on the float formulation).
+#: Quantization: x = whole seconds since the user's first event
+#: (``epoch_us // 1000000`` — exact BIGINT floor division; raw epoch
+#: microseconds would overflow the exact-integer window when squared),
+#: v = value in cents (``floor(value*100 + 0.5)`` — the fixture carries
+#: 2-decimal values, so this is lossless). All five sufficient statistics
+#: (n, Σx, Σv, Σxv, Σx²) are then order-independent integer sums — worst
+#: case ~6.8e16 at sf0.1, inside BIGINT/HUGEINT exactness on both
+#: engines — and the only float ops are one identical scalar sequence:
+#: cast → divide → divide → portable floor-round (which also collapses
+#: -0.0, the r5 ADVICE finding).
+TREND_ORACLE = """
+    WITH q AS (
+      SELECT user_id,
+             (epoch_us(ts) // 1000000)
+               - min(epoch_us(ts) // 1000000)
+                 OVER (PARTITION BY user_id) AS xq,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vq
+      FROM events
+    ), a AS (
+      SELECT user_id, count(*) AS n,
+             sum(xq) AS sx, sum(vq) AS sv,
+             sum(xq * vq) AS sxv, sum(xq * xq) AS sxx
+      FROM q GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE floor(CAST(n * sxv - sx * sv AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE)
+                           / 100.0 * 1000000.0 + 0.5) / 1000000.0
+           END AS slope
+    FROM a
+    ORDER BY user_id
+    """
+
 
 def _user_trend(pdf: pd.DataFrame) -> pd.DataFrame:
-    """OLS slope of value over event time for one user (pure pandas)."""
-    x = pdf["ts"].astype("int64") / 1e9  # seconds since epoch
-    y = pdf["value"]
+    """OLS slope of value over event time for one user (pure pandas).
+
+    Mirrors TREND_ORACLE's integer-exact formulation: Python ints are
+    arbitrary-precision, so the sufficient statistics are exact and
+    order-independent; the closing float sequence is the same IEEE ops
+    the SQL sides run, so the result is bit-identical.
+    """
+    import math
+
+    # Normalize to micros first: Arrow may hand back datetime64[ns] or
+    # datetime64[us] depending on pandas/pyarrow versions.
+    xs = (
+        pdf["ts"].astype("datetime64[us]").astype("int64") // 1_000_000
+    ).tolist()  # whole seconds
+    x0 = min(xs)
+    xq = [x - x0 for x in xs]
+    vq = [math.floor(v * 100 + 0.5) for v in pdf["value"]]
     n = len(pdf)
-    denom = ((x - x.mean()) ** 2).sum()
-    slope = float(((x - x.mean()) * (y - y.mean())).sum() / denom) if denom else None
+    sx, sv = sum(xq), sum(vq)
+    sxv = sum(x * v for x, v in zip(xq, vq))
+    sxx = sum(x * x for x in xq)
+    den = n * sxx - sx * sx
+    if den == 0:
+        slope = None
+    else:
+        t = float(n * sxv - sx * sv) / float(den) / 100.0
+        slope = math.floor(t * 1000000.0 + 0.5) / 1000000.0
     return pd.DataFrame(
         {
             "user_id": [pdf["user_id"].iloc[0]],
             "n": [n],
-            "slope": [round(slope, 6) if slope is not None else None],
+            "slope": [slope],
         }
     )
 
 
-@query(
-    "x28_user_value_trend",
-    oracle="""
-    SELECT user_id,
-           CAST(count(*) AS BIGINT) AS n,
-           ROUND(regr_slope(value, xc), 6) AS slope
-    FROM (
-        SELECT user_id, value,
-               epoch(ts) - min(epoch(ts)) OVER (PARTITION BY user_id) AS xc
-        FROM events
-    )
-    GROUP BY user_id
-    ORDER BY user_id
-    """,
-)
+@query("x28_user_value_trend", oracle=TREND_ORACLE)
 def x28_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user regression slope via grouped-map ``applyInPandas``.
 
@@ -243,59 +288,61 @@ def x28_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "x28b_user_value_trend_sql",
-    oracle="""
-    SELECT user_id,
-           CAST(count(*) AS BIGINT) AS n,
-           ROUND(regr_slope(value, xc), 6) AS slope
-    FROM (
-        SELECT user_id, value,
-               epoch(ts) - min(epoch(ts)) OVER (PARTITION BY user_id) AS xc
-        FROM events
-    )
-    GROUP BY user_id
-    ORDER BY user_id
-    """,
-)
+@query("x28b_user_value_trend_sql", oracle=TREND_ORACLE)
 def x28b_user_value_trend_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user regression slope as a NATIVE JVM aggregate (regr_slope).
+    """Per-user regression slope as native JVM integer aggregation.
 
     The production twin of x28: identical semantics and oracle, zero
     Python in the path — whole-stage-codegen'd partial aggregation with
-    map-side combine, so the shuffle moves one state tuple per
-    (partition, user) instead of every event. x28 stays registered as
-    the deliberate differential test of the grouped-map machinery; this
-    entry proves the Pandas path is optional (VERDICT r2 §wrong-2).
+    map-side combine, so the shuffle moves one 5-tuple of BIGINT
+    sufficient statistics per (partition, user) instead of every event.
+    x28 stays registered as the deliberate differential test of the
+    grouped-map machinery; this entry proves the Pandas path is
+    optional (VERDICT r2 §wrong-2).
 
-    Numerical note (VERDICT r3 §wrong-1): the OLS slope is invariant to
-    shifting x, but the single-pass covariance accumulation is not —
-    raw epoch seconds (x ~ 1.7e9) cancel catastrophically and the 6th
-    rounded digit lands off the oracle's. Centering x per user with a
-    window ``min`` first keeps x small (seconds within the user's own
-    span). The window shuffles by user_id and the following groupBy
-    reuses that hash partitioning, so centering costs no extra exchange.
+    Numerical history: r3 centered x per user (raw-epoch covariance
+    cancels catastrophically); r4 conditioned the oracle identically;
+    both still hashed ``ROUND(regr_slope(...), 6)`` — a raw float
+    aggregate whose 6th digit proved host-dependent (driver-red r3/r4/
+    r5 while green locally; the final straw was DuckDB emitting -0.0
+    where Spark emits +0.0, ADVICE r5). r6 removes floats from the
+    aggregation entirely (see TREND_ORACLE): x quantized to whole
+    seconds from the user's first event, value to cents, five exact
+    BIGINT sums, then ONE identical scalar float sequence ending in the
+    portable floor-round both engines execute verbatim. Bit-exact by
+    construction, at any partitioning, on any host.
 
-    VERDICT r4 §wrong-1: the oracle must be conditioned IDENTICALLY —
-    a raw-epoch ``regr_slope`` on the DuckDB side carries the same
-    accumulation-order instability, so the oracle SQL now centers x
-    per user in a subquery (``epoch(ts) - min(epoch(ts)) OVER
-    (PARTITION BY user_id)``) before aggregating. Both engines now
-    compute the numerically-stable formulation.
+    Scale: the window ``min`` shuffles by user_id and the following
+    groupBy reuses that hash partitioning — one exchange total, state
+    per group is five BIGINTs.
     """
     e = load_table(spark, sf_dir, "events")
-    secs = F.col("ts").cast("timestamp").cast("double")
-    x0 = F.min("x").over(Window.partitionBy("user_id"))
-    return (
-        e.select("user_id", secs.alias("x"), "value")
-        .withColumn("xc", F.col("x") - x0)
+    xs = F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+    x0 = F.min("xs").over(Window.partitionBy("user_id"))
+    vq = F.floor(F.col("value") * F.lit(100) + F.lit(0.5)).cast("long")
+    a = (
+        e.select("user_id", xs.alias("xs"), vq.alias("vq"))
+        .withColumn("xq", F.col("xs") - x0)
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.regr_slope("value", "xc"), 6).alias("slope"),
+            F.sum("xq").alias("sx"),
+            F.sum("vq").alias("sv"),
+            F.sum(F.col("xq") * F.col("vq")).alias("sxv"),
+            F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
         )
-        .orderBy("user_id")
     )
+    num = (F.col("n") * F.col("sxv") - F.col("sx") * F.col("sv")).cast("double")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    raw = num / den.cast("double") / F.lit(100.0)
+    slope = F.when(
+        den == 0, F.lit(None).cast("double")
+    ).otherwise(
+        F.floor(raw * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    )
+    return a.select(
+        "user_id", F.col("n").cast("bigint").alias("n"), slope.alias("slope")
+    ).orderBy("user_id")
 
 
 #: Output schema of the fake decoder — what a real image decode would

@@ -2,11 +2,14 @@
 
 Runs each registered query on Spark and its DuckDB oracle twin on the
 same parquet fixtures, then compares row-count + (sorted) schema +
-values (rows sorted, floats compared with tolerance). Strictly stronger
-than the driver's order-insensitive value hash for floats; use it to
-pre-flight CORRECTNESS before a round lands.
+values (rows sorted). Float columns are compared BIT-EXACT by default
+(uint64 view of the float64 payload, so +0.0 vs -0.0 and last-ulp
+divergences FAIL, exactly like the driver's exact value hash — the r5
+x28b lesson: a tolerance compare here passed three rounds of queries the
+driver hashed red). ``--tol`` restores the old 1e-9 tolerance compare
+for exploratory use only; evidence claims must come from the default.
 
-Usage: python scripts/diffcheck.py [--sf /root/testdata/sf0.01] [names...]
+Usage: python scripts/diffcheck.py [--sf /root/testdata/sf0.01] [--tol] [names...]
 """
 
 from __future__ import annotations
@@ -46,7 +49,9 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
 
 
-def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+def compare(
+    spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, exact: bool = True
+) -> list[str]:
     problems: list[str] = []
     if len(spark_pdf) != len(duck_pdf):
         problems.append(f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}")
@@ -61,9 +66,18 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
             av = pd.to_numeric(av, errors="coerce").astype(float)
             bv = pd.to_numeric(bv, errors="coerce").astype(float)
             both_nan = av.isna() & bv.isna()
-            close = np.isclose(av, bv, rtol=1e-9, atol=1e-9) | both_nan
+            if exact:
+                # Bit-exact: the driver hashes values exactly, so -0.0
+                # vs +0.0 and 1-ulp drift must FAIL here too. NaN==NaN
+                # is allowed regardless of payload bits (both sides
+                # surface NULL/NaN as quiet NaN through pandas).
+                ab = av.to_numpy(dtype=np.float64).view(np.uint64)
+                bb = bv.to_numpy(dtype=np.float64).view(np.uint64)
+                close = (ab == bb) | both_nan.to_numpy()
+            else:
+                close = np.isclose(av, bv, rtol=1e-9, atol=1e-9) | both_nan
             if not close.all():
-                i = int(np.argmin(close.values))
+                i = int(np.argmin(np.asarray(close)))
                 problems.append(f"col {c}: row {i} spark={av[i]!r} duck={bv[i]!r}")
         else:
             eq = (av == bv) | (av.isna() & bv.isna())
@@ -76,6 +90,11 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--tol",
+        action="store_true",
+        help="tolerance float compare (1e-9) instead of the default bit-exact",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -122,7 +141,7 @@ def main() -> int:
             print(f"FAIL {name}: oracle raised {type(e).__name__}: {e}")
             n_fail += 1
             continue
-        problems = compare(sdf, ddf)
+        problems = compare(sdf, ddf, exact=not args.tol)
         if problems:
             print(f"FAIL {name}: {problems[:3]}")
             n_fail += 1
