@@ -1861,10 +1861,10 @@ _SPLIT_M = 4294967296
       FROM documents d LEFT JOIN cc USING (doc_id)
     )
     SELECT doc_id, cluster,
-           CASE WHEN (cluster * {_SPLIT_A}) % {_SPLIT_M}
-                     < {int(0.8 * _SPLIT_M)} THEN 'train'
-                WHEN (cluster * {_SPLIT_A}) % {_SPLIT_M}
-                     < {int(0.9 * _SPLIT_M)} THEN 'val'
+           CASE WHEN (CAST(cluster % {_SPLIT_M} AS HUGEINT) * {_SPLIT_A})
+                     % {_SPLIT_M} < {int(0.8 * _SPLIT_M)} THEN 'train'
+                WHEN (CAST(cluster % {_SPLIT_M} AS HUGEINT) * {_SPLIT_A})
+                     % {_SPLIT_M} < {int(0.9 * _SPLIT_M)} THEN 'val'
                 ELSE 'test' END AS split
     FROM assigned ORDER BY doc_id
     """,
@@ -1893,7 +1893,16 @@ def x96_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.coalesce(F.col("cluster"), F.col("doc_id")).alias("cluster"),
     )
-    h = (F.col("cluster") * _SPLIT_A) % _SPLIT_M
+    # Reduce mod 2^32 BEFORE multiplying and widen to decimal(38,0) for
+    # the product (ADVICE r5): a raw BIGINT multiply wraps silently in
+    # Spark (mapping everything negative to 'train') and raises in
+    # DuckDB once cluster ids pass ~3.47e9 — both violate the op's
+    # growth-stability contract. Identical output at any fixture scale
+    # (ids < 2^32 make the pre-reduction a no-op).
+    h = (
+        ((F.col("cluster") % _SPLIT_M).cast("decimal(38,0)") * _SPLIT_A)
+        % _SPLIT_M
+    ).cast("long")
     split = (
         F.when(h < int(0.8 * _SPLIT_M), "train")
         .when(h < int(0.9 * _SPLIT_M), "val")

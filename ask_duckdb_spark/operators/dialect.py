@@ -212,28 +212,87 @@ def g11_grouping_sets(spark, sf_dir):
     )
 
 
-@query(
-    "g12_stats_agg",
-    # statistical aggregates accumulate in double; ROUND both sides so
-    # summation-order noise (~1e-9 relative) can't flip the value hash
-    oracle="""
-    SELECT ROUND(stddev_samp(o_totalprice), 2) AS sd_price,
-           ROUND(avg(o_totalprice), 2)         AS mean_price,
-           ROUND(corr(o_totalprice, CAST(o_custkey AS DOUBLE)), 6) AS corr_pk,
-           ROUND(covar_samp(o_totalprice, CAST(o_custkey AS DOUBLE)), 2)
-             AS covar_pk
-    FROM orders
-    """,
-)
+#: g12 oracle: stddev/mean/corr/covar rebuilt on EXACT integer
+#: sufficient statistics (x28b discipline, VERDICT r5 §next-2): price in
+#: cents (lossless), custkey already integral. Quadratic sums ride in
+#: HUGEINT (DuckDB promotes sum(BIGINT) automatically) / decimal(38,0)
+#: (Spark); the only float ops are one identical scalar sequence per
+#: output — native stddev/corr accumulate doubles partition-by-partition
+#: and are order-dependent in the hashed digit.
+_G12_ORACLE = """
+    WITH s AS (
+      SELECT count(*) AS n,
+             sum(pq) AS sp, sum(k) AS sk,
+             sum(pq * pq) AS spp, sum(k * k) AS skk, sum(pq * k) AS spk
+      FROM (
+        SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS pq,
+               o_custkey AS k
+        FROM orders
+      )
+    )
+    SELECT floor(sqrt(CAST(n * spp - sp * sp AS DOUBLE)
+                      / CAST(n * (n - 1) AS DOUBLE)) / 100.0
+                 * 100.0 + 0.5) / 100.0 AS sd_price,
+           floor(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
+                 * 100.0 + 0.5) / 100.0 AS mean_price,
+           floor(CAST(n * spk - sp * sk AS DOUBLE)
+                 / (sqrt(CAST(n * spp - sp * sp AS DOUBLE))
+                    * sqrt(CAST(n * skk - sk * sk AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS corr_pk,
+           floor(CAST(n * spk - sp * sk AS DOUBLE)
+                 / CAST(n * (n - 1) AS DOUBLE) / 100.0
+                 * 100.0 + 0.5) / 100.0 AS covar_pk
+    FROM s
+    """
+
+
+@query("g12_stats_agg", oracle=_G12_ORACLE)
 def g12_stats_agg(spark, sf_dir):
-    """Statistical aggregates: sample stddev, mean, and correlation."""
+    """Statistical aggregates: sample stddev, mean, corr, covar.
+
+    Computed from exact integer sufficient statistics (n, Σp, Σk, Σp²,
+    Σk², Σpk) with price quantized to cents — native stddev_samp/corr
+    accumulate doubles in partition order, which is host-dependent in
+    the hashed digit (the x28b class). Quadratic sums are decimal(38,0)
+    (Spark) / HUGEINT (DuckDB), exact to ~1e38; the closing scalar
+    sequence (cast → divide → sqrt → portable floor-round) is identical
+    IEEE ops on both engines. One whole-stage-codegen'd aggregation,
+    map-side combined — same shuffle shape as the native aggregates.
+    """
     o = t(spark, sf_dir, "orders")
-    ck = F.col("o_custkey").cast("double")
-    return o.agg(
-        F.round(F.stddev_samp("o_totalprice"), 2).alias("sd_price"),
-        F.round(F.avg("o_totalprice"), 2).alias("mean_price"),
-        F.round(F.corr(F.col("o_totalprice"), ck), 6).alias("corr_pk"),
-        F.round(F.covar_samp(F.col("o_totalprice"), ck), 2).alias("covar_pk"),
+    pq = F.floor(F.col("o_totalprice") * F.lit(100) + F.lit(0.5)).cast("long")
+    k = F.col("o_custkey")
+    dec = "decimal(38,0)"
+    s = o.select(pq.alias("pq"), k.alias("k")).agg(
+        F.count("*").alias("n"),
+        F.sum("pq").alias("sp"),
+        F.sum("k").alias("sk"),
+        F.sum((F.col("pq") * F.col("pq")).cast(dec)).alias("spp"),
+        F.sum((F.col("k") * F.col("k")).cast(dec)).alias("skk"),
+        F.sum((F.col("pq") * F.col("k")).cast(dec)).alias("spk"),
+    )
+    n = F.col("n")
+    sp, sk = F.col("sp").cast(dec), F.col("sk").cast(dec)
+    spp, skk, spk = F.col("spp"), F.col("skk"), F.col("spk")
+    var_u = (n * spp - sp * sp).cast("double") / (n * (n - 1)).cast("double")
+    cov_u = (n * spk - sp * sk).cast("double") / (n * (n - 1)).cast("double")
+    corr = (n * spk - sp * sk).cast("double") / (
+        F.sqrt((n * spp - sp * sp).cast("double"))
+        * F.sqrt((n * skk - sk * sk).cast("double"))
+    )
+
+    def fr2(c):
+        return F.floor(c * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)
+
+    return s.select(
+        fr2(F.sqrt(var_u) / F.lit(100.0)).alias("sd_price"),
+        fr2(sp.cast("double") / n.cast("double") / F.lit(100.0)).alias(
+            "mean_price"
+        ),
+        (F.floor(corr * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)).alias(
+            "corr_pk"
+        ),
+        fr2(cov_u / F.lit(100.0)).alias("covar_pk"),
     )
 
 
@@ -301,23 +360,30 @@ def so5_except_all(spark, sf_dir):
     "w5_range_frame",
     oracle="""
     SELECT o_orderkey,
-           ROUND(sum(o_totalprice) OVER (
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
              PARTITION BY o_custkey ORDER BY o_totalprice
              RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW
-           ), 2) AS nearby_sum
+           ) AS DOUBLE) / 100.0 AS nearby_sum
     FROM orders
     """,
 )
 def w5_range_frame(spark, sf_dir):
-    """RANGE frame (value-based 10k window) running sum per customer."""
+    """RANGE frame (value-based 10k window) running sum per customer.
+
+    Frame membership still keys on the raw double (deterministic
+    per-row comparisons); the SUM accumulates exact integer cents so
+    the hashed value is order-independent (the x28b float-agg class).
+    """
     o = t(spark, sf_dir, "orders")
     w = (
         W.partitionBy("o_custkey")
         .orderBy("o_totalprice")
         .rangeBetween(-10000, W.currentRow)
     )
+    cents = F.floor(F.col("o_totalprice") * F.lit(100) + F.lit(0.5)).cast("long")
     return o.select(
-        "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("nearby_sum")
+        "o_orderkey",
+        (F.sum(cents).over(w).cast("double") / F.lit(100.0)).alias("nearby_sum"),
     )
 
 
@@ -880,7 +946,8 @@ N_SALTS = 8  # fan-out factor for the skew-spreading partial phase
     oracle="""
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_events,
-           ROUND(sum(value), 6) AS total_value
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS total_value
     FROM events
     GROUP BY user_id
     ORDER BY total_value DESC, user_id
@@ -899,16 +966,20 @@ def x26_salted_user_totals(spark, sf_dir):
     """
     e = load_table(spark, sf_dir, "events")
     salt = F.pmod(F.xxhash64("event_id"), F.lit(N_SALTS)).alias("_salt")
+    cents = F.floor(F.col("value") * F.lit(100) + F.lit(0.5)).cast("long")
     partial = (
         e.withColumn("_salt", salt)
         .groupBy("user_id", "_salt")
-        .agg(F.count("*").alias("pn"), F.sum("value").alias("pv"))
+        # exact integer cents: the two-phase sum is bit-identical to the
+        # oracle's one-phase sum at ANY salt count or partitioning —
+        # with floats the salted partials would re-order the additions
+        .agg(F.count("*").alias("pn"), F.sum(cents).alias("pv"))
     )
     return (
         partial.groupBy("user_id")
         .agg(
             F.sum("pn").cast("bigint").alias("n_events"),
-            F.round(F.sum("pv"), 6).alias("total_value"),
+            (F.sum("pv").cast("double") / F.lit(100.0)).alias("total_value"),
         )
         .orderBy(F.col("total_value").desc(), "user_id")
         .limit(25)

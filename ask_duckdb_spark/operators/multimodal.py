@@ -43,7 +43,8 @@ from .registry import query
            CAST(count(*) AS BIGINT) AS n,
            CAST(min(k) AS BIGINT) AS min_k,
            CAST(max(k) AS BIGINT) AS max_k,
-           ROUND(avg(k), 6) AS avg_k
+           floor(CAST(sum(k) AS DOUBLE) / CAST(count(k) AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS avg_k
     FROM (
       SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       FROM events
@@ -69,7 +70,17 @@ def x18_props_schema_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n"),
             F.min("p.k").cast("bigint").alias("min_k"),
             F.max("p.k").cast("bigint").alias("max_k"),
-            F.round(F.avg("p.k"), 6).alias("avg_k"),
+            # explicit exact-sum/count avg + portable floor-round: the
+            # engines' avg-then-ROUND paths differ in representation
+            (
+                F.floor(
+                    F.sum("p.k").cast("double")
+                    / F.count("p.k").cast("double")
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("avg_k"),
         )
         .orderBy("event_type")
     )

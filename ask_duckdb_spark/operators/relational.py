@@ -25,7 +25,31 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
+from ._util import (
+    floor_round,
+    floor_round_sql,
+    icents,
+    icents_sql,
+    money,
+    money_sql,
+    rev_units,
+    rev_units_sql,
+)
 from .registry import query
+
+#: Shared oracle fragments for the exact-money discipline (_util.py):
+#: revenue = price*(1-disc) summed as exact integer 1e-4 dollar units.
+_REV_U = rev_units_sql()
+_REV = money_sql(f"sum({_REV_U})", 10_000)
+_REV_U_L = rev_units_sql("l.l_extendedprice", "l.l_discount")
+_PROMO_PCT = floor_round_sql(
+    "100.0 * CAST(sum(CASE WHEN p.p_type LIKE 'small%' THEN "
+    + _REV_U_L
+    + " ELSE 0 END) AS DOUBLE) / CAST(sum("
+    + _REV_U_L
+    + ") AS DOUBLE)",
+    6,
+)
 
 CUTOFF = "1998-09-02 00:00:00"
 
@@ -679,17 +703,23 @@ def w1_row_number_topk_per_group(spark, sf_dir):
 
 @query(
     "w2_running_sum",
-    oracle="""
-    SELECT event_id, user_id,
-           sum(value) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS running_value
-    FROM events
-    """,
+    oracle=(
+        "SELECT event_id, user_id, "
+        + money_sql(
+            "sum(" + icents_sql("value") + ") OVER ("
+            " PARTITION BY user_id ORDER BY ts, event_id"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+            100,
+        )
+        + " AS running_value FROM events"
+    ),
 )
 def w2_running_sum(spark, sf_dir):
-    """Per-user running sum over event time (ROWS UNBOUNDED PRECEDING)."""
+    """Per-user running sum over event time (ROWS UNBOUNDED PRECEDING).
+
+    Accumulates exact integer cents (value is a 2-decimal double) so
+    every prefix sum is bit-portable — a raw double running sum drifts
+    from the oracle's by an ulp after a few hundred rows."""
     e = t(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
@@ -697,7 +727,9 @@ def w2_running_sum(spark, sf_dir):
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return e.select(
-        "event_id", "user_id", F.sum("value").over(w).alias("running_value")
+        "event_id",
+        "user_id",
+        money(F.sum(icents("value")).over(w), 100).alias("running_value"),
     )
 
 
@@ -1099,9 +1131,9 @@ def sq4_cte(spark, sf_dir):
 
 @query(
     "q3_shipping_priority",
-    oracle="""
+    oracle=f"""
     SELECT l.l_orderkey,
-           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+           {money_sql(f"sum({rev_units_sql('l.l_extendedprice', 'l.l_discount')})", 10_000)} AS revenue,
            CAST(o.o_orderdate AS DATE) AS orderdate
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -1114,7 +1146,12 @@ def sq4_cte(spark, sf_dir):
     """,
 )
 def q3_shipping_priority(spark, sf_dir):
-    """TPC-H Q3 shipping priority: top unshipped-order revenue."""
+    """TPC-H Q3 shipping priority: top unshipped-order revenue.
+
+    Revenue sums exact integer 1e-4 dollar units (_util.rev_units) —
+    the hashed float-aggregate class is order-dependent in its last ulp
+    (the bit-exact diffcheck caught q3 diverging at sf0.01), and an
+    exact-cents sum is bit-portable at any partitioning."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
@@ -1125,11 +1162,7 @@ def q3_shipping_priority(spark, sf_dir):
         .join(li, li.l_orderkey == o.o_orderkey)
         .filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
-        )
+        .agg(money(F.sum(rev_units()), 10_000).alias("revenue"))
         .select(
             "l_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("orderdate")
         )
@@ -1172,8 +1205,8 @@ def q4_order_priority(spark, sf_dir):
 
 @query(
     "q6_forecast_revenue",
-    oracle="""
-    SELECT ROUND(sum(l_extendedprice * l_discount), 4) AS revenue
+    oracle=f"""
+    SELECT {money_sql(f"sum({icents_sql('l_extendedprice')} * {icents_sql('l_discount')})", 10_000)} AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -1182,7 +1215,11 @@ def q4_order_priority(spark, sf_dir):
     """,
 )
 def q6_forecast_revenue(spark, sf_dir):
-    """TPC-H Q6 shape: every predicate pushes to the parquet scan."""
+    """TPC-H Q6 shape: every predicate pushes to the parquet scan.
+
+    ``price * discount`` in exact 1e-4 dollar units; the former
+    ROUND(sum(double), 4) was the order-dependent hashed-aggregate
+    class (VERDICT r5 §next-2) and is now exact by construction."""
     li = t(spark, sf_dir, "lineitem")
     return (
         li.filter(
@@ -1192,38 +1229,46 @@ def q6_forecast_revenue(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
-                "revenue"
-            )
+            money(
+                F.sum(icents("l_extendedprice") * icents("l_discount")), 10_000
+            ).alias("revenue")
         )
     )
 
 
 @query(
     "q14_promo_effect",
-    oracle="""
-    SELECT ROUND(100.00 * sum(CASE WHEN p.p_type LIKE 'small%'
-                                   THEN l.l_extendedprice * (1 - l.l_discount)
-                                   ELSE 0 END)
-                 / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_pct
+    oracle=f"""
+    SELECT {_PROMO_PCT} AS promo_pct
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
       AND l.l_shipdate < TIMESTAMP '1996-04-01'
     """,
 )
 def q14_promo_effect(spark, sf_dir):
-    """TPC-H Q14 shape: fact ⋈ broadcast dim + conditional aggregate."""
+    """TPC-H Q14 shape: fact ⋈ broadcast dim + conditional aggregate.
+
+    Both sums are exact integer revenue units; the ratio is one
+    deterministic double division, closed with the portable
+    floor-round (scale factors cancel, so no unit conversion)."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type").like("small%"), rev).otherwise(0.0)
+    rev_u = rev_units()
+    promo_u = F.when(F.col("p_type").like("small%"), rev_u).otherwise(F.lit(0))
     return (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp_ntz"))
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
         )
         .join(p, li.l_partkey == p.p_partkey)
-        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias("promo_pct"))
+        .agg(
+            floor_round(
+                F.lit(100.0)
+                * F.sum(promo_u).cast("double")
+                / F.sum(rev_u).cast("double"),
+                6,
+            ).alias("promo_pct")
+        )
     )
 
 
@@ -1261,8 +1306,9 @@ def q18_large_orders(spark, sf_dir):
 
 @query(
     "q5_local_supplier_volume",
-    oracle="""
-    SELECT n.n_name, sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+    oracle=f"""
+    SELECT n.n_name,
+           {money_sql(f"sum({rev_units_sql('l.l_extendedprice', 'l.l_discount')})", 10_000)} AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -1306,19 +1352,15 @@ def q5_local_supplier_volume(spark, sf_dir):
         .join(c, (o.o_custkey == c.c_custkey)
               & (c.c_nationkey == s_asia.s_nationkey))
         .groupBy("n_name")
-        .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
-        )
+        .agg(money(F.sum(rev_units()), 10_000).alias("revenue"))
     )
 
 
 @query(
     "q10_returned_items",
-    oracle="""
+    oracle=f"""
     SELECT c.c_custkey, c.c_name,
-           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+           {money_sql(f"sum({rev_units_sql('l.l_extendedprice', 'l.l_discount')})", 10_000)} AS revenue,
            n.n_name
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -1340,11 +1382,7 @@ def q10_returned_items(spark, sf_dir):
         .join(li.filter(F.col("l_returnflag") == "R"), li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
-        )
+        .agg(money(F.sum(rev_units()), 10_000).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
@@ -1353,10 +1391,10 @@ def q10_returned_items(spark, sf_dir):
 
 @query(
     "q7_nation_volume",
-    oracle="""
+    oracle=f"""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
-           ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+           {money_sql(f"sum({rev_units_sql('l.l_extendedprice', 'l.l_discount')})", 10_000)} AS revenue
     FROM supplier s
     JOIN lineitem l ON s.s_suppkey = l.l_suppkey
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -1405,11 +1443,7 @@ def q7_nation_volume(spark, sf_dir):
             "cust_nation",
             F.year("l_shipdate").cast("int").alias("l_year"),
         )
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
-        )
+        .agg(money(F.sum(rev_units()), 10_000).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -1451,8 +1485,10 @@ def q13_order_distribution(spark, sf_dir):
 
 @query(
     "q17_small_quantity_revenue",
-    oracle="""
-    SELECT ROUND(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    oracle=f"""
+    SELECT {floor_round_sql(
+        f"CAST(sum({icents_sql('l.l_extendedprice')}) AS DOUBLE) / 100.0 / 7.0", 4
+    )} AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#23'
@@ -1480,14 +1516,21 @@ def q17_small_quantity_revenue(spark, sf_dir):
         li.join(p, li.l_partkey == p.p_partkey)
         .join(avg_q, li.l_partkey == F.col("ak"))
         .filter(F.col("l_quantity") < F.col("half_avg"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+        .agg(
+            floor_round(
+                F.sum(icents("l_extendedprice")).cast("double")
+                / F.lit(100.0)
+                / F.lit(7.0),
+                4,
+            ).alias("avg_yearly")
+        )
     )
 
 
 @query(
     "q19_disjunctive_predicates",
-    oracle="""
-    SELECT ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+    oracle=f"""
+    SELECT {money_sql(f"sum({rev_units_sql('l.l_extendedprice', 'l.l_discount')})", 10_000)} AS revenue,
            CAST(count(*) AS BIGINT) AS n
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
@@ -1519,21 +1562,21 @@ def q19_disjunctive_predicates(spark, sf_dir):
         | branch("Brand#23", 25, 10, 20)
         | branch("Brand#34", 35, 20, 30)
     ).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-        ).alias("revenue"),
+        money(F.sum(rev_units()), 10_000).alias("revenue"),
         F.count("*").cast("bigint").alias("n"),
     )
 
 
 @query(
     "q22_dormant_high_balance",
-    oracle="""
+    oracle=f"""
     SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
-           ROUND(sum(c.c_acctbal), 2) AS total_bal
+           {money_sql(f"sum({icents_sql('c.c_acctbal')})", 100)} AS total_bal
     FROM customer c
-    WHERE c.c_acctbal > (
-        SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0
+    WHERE {icents_sql('c.c_acctbal')} * (
+        SELECT count(*) FROM customer WHERE c_acctbal > 0
+      ) > (
+        SELECT sum({icents_sql('c_acctbal')}) FROM customer WHERE c_acctbal > 0
       )
       AND NOT EXISTS (
         SELECT 1 FROM orders o
@@ -1550,21 +1593,29 @@ def q22_dormant_high_balance(spark, sf_dir):
     broadcast) + anti join against qualifying orders + grouped rollup.
     The anti join is the scalable NOT EXISTS: no correlated per-row
     probing, one hash anti join on the order side's distinct keys.
+
+    Exactness: the above-average filter compares in cross-multiplied
+    integer cents (``cents * n > sum_cents``) — a float average
+    threshold is order-dependent in its last ulp, which can flip
+    membership of a boundary customer; the cents sum is the hashed
+    aggregate, exact by construction.
     """
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
-    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("ab")
+    pos = c.filter(F.col("c_acctbal") > 0)
+    bal_stats = pos.agg(
+        F.sum(icents("c_acctbal")).alias("s_cents"),
+        F.count("*").alias("n_pos"),
     )
     big = o.filter(F.col("o_totalprice") > 400000).select("o_custkey")
     return (
-        c.join(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("ab"))
+        c.join(F.broadcast(bal_stats))
+        .filter(icents("c_acctbal") * F.col("n_pos") > F.col("s_cents"))
         .join(big, c.c_custkey == big.o_custkey, "left_anti")
         .groupBy("c_nationkey")
         .agg(
             F.count("*").cast("bigint").alias("n_cust"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            money(F.sum(icents("c_acctbal")), 100).alias("total_bal"),
         )
         .orderBy("c_nationkey")
     )
@@ -1572,13 +1623,16 @@ def q22_dormant_high_balance(spark, sf_dir):
 
 @query(
     "q8_market_share",
-    oracle="""
+    oracle=f"""
     SELECT yr,
-           ROUND(sum(CASE WHEN supp_nation = 'NATION_9' THEN volume
-                          ELSE 0 END) / sum(volume), 6) AS mkt_share
+           {floor_round_sql(
+               "CAST(sum(CASE WHEN supp_nation = 'NATION_9' THEN volume"
+               " ELSE 0 END) AS DOUBLE) / CAST(sum(volume) AS DOUBLE)",
+               6,
+           )} AS mkt_share
     FROM (
       SELECT CAST(year(o.o_orderdate) AS INTEGER) AS yr,
-             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             {rev_units_sql('l.l_extendedprice', 'l.l_discount')} AS volume,
              n2.n_name AS supp_nation
       FROM lineitem l
       JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -1615,7 +1669,7 @@ def q8_market_share(spark, sf_dir):
         F.broadcast(n1.join(r, n1.n_regionkey == r.r_regionkey)),
         c.c_nationkey == n1.n_nationkey,
     ).select("c_custkey")
-    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    volume = rev_units()
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(cust_in_region, o.o_custkey == F.col("c_custkey"))
@@ -1628,12 +1682,12 @@ def q8_market_share(spark, sf_dir):
         )
         .groupBy("yr")
         .agg(
-            F.round(
+            floor_round(
                 F.sum(
                     F.when(F.col("supp_nation") == "NATION_9", F.col("volume"))
-                    .otherwise(F.lit(0.0))
-                )
-                / F.sum("volume"),
+                    .otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum("volume").cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -1643,10 +1697,10 @@ def q8_market_share(spark, sf_dir):
 
 @query(
     "q15_top_supplier",
-    oracle="""
+    oracle=f"""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             ROUND(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+             {money_sql(f"sum({_REV_U})", 10_000)} AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= DATE '1996-01-01'
         AND l_shipdate < DATE '1996-04-01'
@@ -1673,11 +1727,7 @@ def q15_top_supplier(spark, sf_dir):
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("total_revenue")
-        )
+        .agg(money(F.sum(rev_units()), 10_000).alias("total_revenue"))
     )
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     s = t(spark, sf_dir, "supplier")
@@ -1798,11 +1848,14 @@ def q2_min_cost_supplier(spark, sf_dir):
 
 @query(
     "q9_product_type_profit",
-    oracle="""
+    oracle=f"""
     SELECT n.n_name AS nation,
            CAST(year(l.l_shipdate) AS INTEGER) AS o_year,
-           ROUND(sum(l.l_extendedprice * (1 - l.l_discount)
-                     - 0.1 * p.p_retailprice * l.l_quantity), 4) AS sum_profit
+           {money_sql(
+               "sum(" + _REV_U_L + " - 10 * " + icents_sql("p.p_retailprice")
+               + " * CAST(l.l_quantity AS BIGINT))",
+               10_000,
+           )} AS sum_profit
     FROM lineitem l
     JOIN part p     ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -1826,10 +1879,11 @@ def q9_product_type_profit(spark, sf_dir):
     p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
-    profit = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
-    )
+    # Exact 1e-4 dollar units: cost 0.1*retail*qty == 10*retail_cents*qty
+    # (quantity is integer-valued), so profit stays an exact BIGINT sum.
+    profit = rev_units() - F.lit(10) * icents("p_retailprice") * F.col(
+        "l_quantity"
+    ).cast("long")
     return (
         li.join(p, li.l_partkey == p.p_partkey)
         .join(
@@ -1840,7 +1894,7 @@ def q9_product_type_profit(spark, sf_dir):
             F.col("n_name").alias("nation"),
             F.year("l_shipdate").cast("int").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit), 4).alias("sum_profit"))
+        .agg(money(F.sum(profit), 10_000).alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 

@@ -77,15 +77,21 @@ _SESSION_CTE = f"""
            CAST(count(*) AS BIGINT) AS n_events,
            min(ts) AS session_start,
            max(ts) AS session_end,
-           ROUND(sum(value), 6) AS total_value
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS total_value
     FROM sessions
     GROUP BY user_id, sess_no
     ORDER BY user_id, sess_no
     """,
 )
 def x13_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization → per-session rollup."""
+    """Gap-based sessionization → per-session rollup.
+
+    total_value sums exact integer cents (the hashed float-aggregate
+    class is order-dependent; cents are lossless on the 2-decimal
+    fixture values)."""
     e = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * F.lit(100) + F.lit(0.5)).cast("long")
     return (
         with_session_no(e)
         .groupBy("user_id", F.col("sess_no").cast("bigint").alias("sess_no"))
@@ -93,7 +99,7 @@ def x13_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            (F.sum(cents).cast("double") / F.lit(100.0)).alias("total_value"),
         )
         .orderBy("user_id", "sess_no")
     )
@@ -142,7 +148,8 @@ def x14_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            CAST(count(*) AS BIGINT) AS n,
-           ROUND(sum(value), 6) AS total_value
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS total_value
     FROM events
     GROUP BY 1, 2
     ORDER BY 1, 2
@@ -156,11 +163,12 @@ def x15_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     can use date_trunc.
     """
     e = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * F.lit(100) + F.lit(0.5)).cast("long")
     return (
         e.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            (F.sum(cents).cast("double") / F.lit(100.0)).alias("total_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),
@@ -213,13 +221,14 @@ def x16_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     , per_session AS (
       SELECT user_id, sess_no,
              count(*) AS n_events,
-             epoch(max(ts)) - epoch(min(ts)) AS dur_sec
+             epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
       FROM sessions GROUP BY user_id, sess_no
     )
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_sessions,
            CAST(max(n_events) AS BIGINT) AS max_events,
-           ROUND(avg(dur_sec), 4) AS avg_session_sec
+           floor(CAST(sum(dur_us) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS avg_session_sec
     FROM per_session
     GROUP BY user_id
     ORDER BY user_id
@@ -238,20 +247,27 @@ def x17_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             (
-                (
-                    F.unix_micros(F.max("ts").cast("timestamp"))
-                    - F.unix_micros(F.min("ts").cast("timestamp"))
-                )
-                / 1_000_000.0
-            ).alias("dur_sec"),
+                F.unix_micros(F.max("ts").cast("timestamp"))
+                - F.unix_micros(F.min("ts").cast("timestamp"))
+            ).alias("dur_us"),
         )
+    )
+    # Durations stay exact integer MICROSECONDS through the second
+    # aggregation (a float avg is partition-order-dependent); the only
+    # float ops are the identical closing sequence on both engines.
+    avg_sec = (
+        F.sum("dur_us").cast("double")
+        / F.count("*").cast("double")
+        / F.lit(1000000.0)
     )
     return (
         per_session.groupBy("user_id")
         .agg(
             F.count("*").cast("bigint").alias("n_sessions"),
             F.max("n_events").cast("bigint").alias("max_events"),
-            F.round(F.avg("dur_sec"), 4).alias("avg_session_sec"),
+            (
+                F.floor(avg_sec * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+            ).alias("avg_session_sec"),
         )
         .orderBy("user_id")
     )

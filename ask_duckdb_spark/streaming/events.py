@@ -49,7 +49,16 @@ def tumbling_counts(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> Da
         .groupBy(F.window("event_time", "1 hour"), "event_type")
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            # exact integer cents, mirroring batch x15 (order-independent
+            # across micro-batches, unlike a float sum)
+            (
+                F.sum(
+                    F.floor(F.col("value") * F.lit(100) + F.lit(0.5)).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / F.lit(100.0)
+            ).alias("total_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),
