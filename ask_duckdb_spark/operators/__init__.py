@@ -31,74 +31,75 @@ from . import profile  # noqa: F401,E402
 # x28b (r3's one red row, fixed this round) and q1 (flagship,
 # regression canary).
 #
-# ROUND-5 WINDOW (active): CORRECTNESS_r04 landed green for the whole
-# r4 window except x28b (oracle conditioning, fixed) and f20/f21
-# (driver-canonicalizer array columns, serialized — plus the
-# registry-wide atomic-output gate in tests/test_registry_schema.py).
-# Per the rotation plan, this window re-checks those three fixes plus
-# the flagship canary, then covers: the ops whose r3 rows predate the
-# portable-hash full oracles (x2/x4/x4b/x6/x7b/x24/x27/x29/x44 —
-# VERDICT r4 item 4), SemDeDup (x62/x63, never driver-checked), and
-# the never-checked so/w/j/nl tail and x38-x68 block. Everything here
-# passes the committed full-registry vanilla diffcheck
-# (DIFFCHECK_r05.md); the remaining never-checked entries (x69-x102)
-# rotate into the round-6+ windows.
+# ROUND-6 WINDOW (active): CORRECTNESS_r05 landed 49/50 green; the one
+# red (x28b, hash-only, three rounds running) is rebuilt this round on
+# exact integer sufficient statistics (operators/multimodal.py
+# TREND_ORACLE) and leads the window — the judge's done-criterion is
+# x28b green in a DRIVER run. The rest of the window is exactly the
+# never-driver-checked tail (VERDICT r5 item 3): the 46 oracle-backed
+# r5 additions x69-x114 (+ the x74-x99 eval/clustering block), then
+# the rows-only fast-path twins. Every entry passes the committed
+# full-registry BIT-EXACT diffcheck (DIFFCHECK_r06.md — floats compared
+# as uint64, stricter than r5's tolerance compare). The remaining
+# rows-only entries (x37/x54/x67) rotate into round 7.
 _VERIFY_FIRST = [
-    # r4 red rows, fixed this round — must land green
+    # r3-r5 red row, rebuilt on integer-exact arithmetic — must land green
     "x28b_user_value_trend_sql",
-    "f20_array_agg_sorted",
-    "f21_map_functions",
     "q1_pricing_summary",  # flagship, regression canary
-    # stale-err / rows-only-era flagship ops (VERDICT r4 item 4)
-    "x2_minhash_neardup",
-    "x4_simhash",
-    "x4b_simhash_neardup_pairs",
-    "x6_ann_lsh_topk",
-    "x7b_embedding_neardup_lsh",
-    "x24_dedup_keep",
-    "x27_ivf_topk",
-    "x29_dedup_clusters",
-    "x44_knn_graph",
-    # SemDeDup pair — never driver-checked
-    "x62_semdedup",
-    "x63_semdedup_hier",
-    # never-checked relational tail
-    "so4_intersect_all",
-    "so5_except_all",
-    "so6_union_by_name",
+    # never-driver-checked, oracle-backed (x69-x114 + eval/cluster block)
+    "x69_knn_pagerank",
+    "x70_kmeans_lloyd",
+    "x71_mixture_sample",
+    "x72_cell_exemplars",
+    "x73_source_divergence",
+    "x74_neardup_eval",
+    "x75_hard_negatives",
+    "x76_bm25_topk",
+    "x77_zipf_slope",
+    "x78_curriculum_bins",
+    "x79_vocab_growth",
+    "x80_cc_star",
+    "x81_token_budget_select",
+    "x82_source_card",
+    "x83_budget_select_cutoff",
+    "x84_truncation_recall",
+    "x85_cluster_keep_best",
+    "x86_novelty_ratio",
+    "x87_ann_recall_eval",
+    "x88_source_novelty",
+    "x89_hybrid_rrf",
+    "x90_stratified_budget_select",
+    "x91_containment_pairs",
+    "x92_source_calibrated_quality",
+    "x93_mean_surprisal",
+    "x94_retention_cohorts",
+    "x95_vocab_coverage",
+    "x96_leakage_safe_split",
+    "x97_late_event_audit",
+    "x98_mixture_deficiency",
+    "x99_dup_source_attribution",
+    "x100_event_transitions",
+    "x101_readability",
+    "x102_journey_surprisal",
+    "x103_column_profile",
+    "x104_value_mad",
+    "x105_embedding_drift",
+    "x106_ann_tuning_curve",
+    "x107_user_ewma",
+    "x108_reshard_audit",
+    "x109_session_transitions",
+    "x110_interarrival_percentiles",
+    "x111_conversion_time",
+    "x112_norm_audit",
+    "x113_char_entropy",
+    "x114_fk_audit",
+    # structurally rewritten this round (float-agg -> exact integer
+    # sufficient statistics); their r2-r5 driver rows predate the
+    # rewrite, so re-verify. (The remaining never-checked entries —
+    # x2f/x4f/x37/x54/x67, all rows-only by design — rotate into r7;
+    # every r6 window slot stays full-value-hash oracle-paired.)
     "w5_range_frame",
-    "w6_first_last_nth",
-    "w7_percent_rank_cume",
-    "w8_forward_fill",
-    "j8_event_range_join",
-    "j10_salted_skew_join",
-    "j11_fuzzy_name_join",
-    "nl6_duckdb_dialect_passthrough",
-    # never-checked x-family block (all oracle-backed)
-    "x38_cms_heavy_hitters",
-    "x39_repetition_ratio",
-    "x42_label_centroids",
-    "x43_quantize_error",
-    "x45_pii_redaction",
-    "x46_url_normalize_dedup",
-    "x47_chunk_documents",
-    "x48_char_diversity_filter",
-    "x49_incremental_dedup",
-    "x50_length_outlier_filter",
-    "x51_domain_cap",
-    "x52_funnel_stages",
-    "x53_prefix_filter_jaccard",
-    "x55_full_prep_pipeline",
-    "x56_join_key_skew_report",
-    "x57_bigram_rarity",
-    "x58_random_projection",
-    "x59_source_overlap",
-    "x60_mixture_weights",
-    "x61_gopher_quality_rules",
-    "x64_paragraph_dedup",
-    "x65_pq_adc_topk",
-    "x66_dsir_importance",
-    "x68_repeated_window_spans",
+    "g12_stats_agg",
 ]
 
 

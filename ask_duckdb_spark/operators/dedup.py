@@ -1294,13 +1294,15 @@ def _x74_oracle() -> str:
                 AS BIGINT) AS fp,
            CAST(sum(CASE WHEN in_truth AND NOT in_pred THEN 1 ELSE 0 END)
                 AS BIGINT) AS fn,
-           ROUND(CAST(sum(CASE WHEN in_pred AND in_truth THEN 1 ELSE 0 END)
+           floor(CAST(sum(CASE WHEN in_pred AND in_truth THEN 1 ELSE 0 END)
                       AS DOUBLE)
-                 / greatest(sum(CASE WHEN in_pred THEN 1 ELSE 0 END), 1), 6)
+                 / CAST(greatest(sum(CASE WHEN in_pred THEN 1 ELSE 0 END), 1)
+                        AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
              AS precision,
-           ROUND(CAST(sum(CASE WHEN in_pred AND in_truth THEN 1 ELSE 0 END)
+           floor(CAST(sum(CASE WHEN in_pred AND in_truth THEN 1 ELSE 0 END)
                       AS DOUBLE)
-                 / greatest(sum(CASE WHEN in_truth THEN 1 ELSE 0 END), 1), 6)
+                 / CAST(greatest(sum(CASE WHEN in_truth THEN 1 ELSE 0 END), 1)
+                        AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
              AS recall
     FROM j
     """
@@ -1368,15 +1370,23 @@ def x74_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt(in_pred & in_truth).cast("bigint").alias("tp"),
         cnt(in_pred & ~in_truth).cast("bigint").alias("fp"),
         cnt(in_truth & ~in_pred).cast("bigint").alias("fn"),
-        F.round(
-            cnt(in_pred & in_truth).cast("double")
-            / F.greatest(cnt(in_pred), F.lit(1)),
-            6,
+        (
+            F.floor(
+                cnt(in_pred & in_truth).cast("double")
+                / F.greatest(cnt(in_pred), F.lit(1)).cast("double")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
         ).alias("precision"),
-        F.round(
-            cnt(in_pred & in_truth).cast("double")
-            / F.greatest(cnt(in_truth), F.lit(1)),
-            6,
+        (
+            F.floor(
+                cnt(in_pred & in_truth).cast("double")
+                / F.greatest(cnt(in_truth), F.lit(1)).cast("double")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
         ).alias("recall"),
     )
 
@@ -1631,8 +1641,9 @@ def _x86_oracle() -> str:
            CAST(count(*) AS BIGINT) AS n_distinct_windows,
            CAST(sum(CASE WHEN f.fs = w.doc_id THEN 1 ELSE 0 END) AS BIGINT)
              AS n_novel,
-           ROUND(CAST(sum(CASE WHEN f.fs = w.doc_id THEN 1 ELSE 0 END)
-                      AS DOUBLE) / count(*), 6) AS novelty_ratio
+           floor(CAST(sum(CASE WHEN f.fs = w.doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS novelty_ratio
     FROM wins w JOIN first_seen f USING (h)
     GROUP BY w.doc_id ORDER BY w.doc_id
     """
@@ -1687,8 +1698,14 @@ def x86_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_distinct_windows"),
             F.sum(novel).cast("bigint").alias("n_novel"),
-            F.round(
-                F.sum(novel).cast("double") / F.count("*"), 6
+            (
+                F.floor(
+                    F.sum(novel).cast("double")
+                    / F.count("*").cast("double")
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
             ).alias("novelty_ratio"),
         )
         .orderBy("doc_id")
@@ -1704,8 +1721,9 @@ def x86_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(p.n_distinct_windows) AS BIGINT) AS n_windows,
            CAST(sum(p.n_novel) AS BIGINT) AS n_novel,
-           ROUND(CAST(sum(p.n_novel) AS DOUBLE)
-                 / sum(p.n_distinct_windows), 6) AS novelty_ratio
+           floor(CAST(sum(p.n_novel) AS DOUBLE)
+                 / CAST(sum(p.n_distinct_windows) AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS novelty_ratio
     FROM per_doc p JOIN documents d USING (doc_id)
     GROUP BY d.source ORDER BY d.source
     """,
@@ -1728,10 +1746,14 @@ def x88_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_docs"),
             F.sum("n_distinct_windows").cast("bigint").alias("n_windows"),
             F.sum("n_novel").cast("bigint").alias("n_novel"),
-            F.round(
-                F.sum("n_novel").cast("double")
-                / F.sum("n_distinct_windows"),
-                6,
+            (
+                F.floor(
+                    F.sum("n_novel").cast("double")
+                    / F.sum("n_distinct_windows").cast("double")
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
             ).alias("novelty_ratio"),
         )
         .orderBy("source")

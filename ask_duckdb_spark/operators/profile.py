@@ -206,12 +206,15 @@ def _ring_assign_sql(tag: str, n_shards: int) -> str:
                     THEN 1 ELSE 0 END) AS BIGINT) AS moved_mod,
            CAST(sum(CASE WHEN a.shard <> b.shard THEN 1 ELSE 0 END)
                 AS BIGINT) AS moved_ring,
-           ROUND(CAST(sum(CASE WHEN d.dpos % {RING_SHARDS_A}
+           floor(CAST(sum(CASE WHEN d.dpos % {RING_SHARDS_A}
                                <> d.dpos % {RING_SHARDS_B}
-                         THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
-             AS frac_mod,
-           ROUND(CAST(sum(CASE WHEN a.shard <> b.shard THEN 1 ELSE 0 END)
-                      AS DOUBLE) / count(*), 6) AS frac_ring
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS frac_mod,
+           floor(CAST(sum(CASE WHEN a.shard <> b.shard THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS frac_ring
     FROM dpos d JOIN asg_a a USING (doc_id) JOIN asg_b b USING (doc_id)
     """,
 )
@@ -273,11 +276,23 @@ def x108_reshard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum(moved_mod).cast("bigint").alias("moved_mod"),
         F.sum(moved_ring).cast("bigint").alias("moved_ring"),
-        F.round(F.sum(moved_mod).cast("double") / F.count("*"), 6).alias(
-            "frac_mod"
-        ),
-        F.round(
-            F.sum(moved_ring).cast("double") / F.count("*"), 6
+        (
+            F.floor(
+                F.sum(moved_mod).cast("double")
+                / F.count("*").cast("double")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("frac_mod"),
+        (
+            F.floor(
+                F.sum(moved_ring).cast("double")
+                / F.count("*").cast("double")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
         ).alias("frac_ring"),
     )
 

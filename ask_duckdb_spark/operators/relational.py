@@ -551,11 +551,43 @@ def g9_median_percentile(spark, sf_dir):
     )
 
 
-@query("g10_approx_count_distinct")  # estimator differs per engine: rows-only check
+@query(
+    "g10_approx_count_distinct",
+    oracle="""
+    SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+           abs(CAST(approx_count_distinct(l_partkey) AS DOUBLE)
+               - count(DISTINCT l_partkey))
+             / count(DISTINCT l_partkey) <= 0.05 AS hll_within_bounds
+    FROM lineitem
+    """,
+)
 def g10_approx_count_distinct(spark, sf_dir):
-    """HyperLogLog++ approx_count_distinct sketch (error-bound gated in tests)."""
+    """HyperLogLog++ approx_count_distinct, registered rotation-safe.
+
+    The raw HLL estimate differs between engines by design (different
+    sketch implementations), so hashing it produced a stale driver red
+    in r2 and the entry sat rows-only since (VERDICT r5 item 6). The
+    hashed output is now (a) the EXACT distinct count — identical on
+    both engines — and (b) a boolean asserting each engine's OWN
+    estimate lands within the 5% relative-error contract of its own
+    exact count. Both columns hash stably under any window rotation,
+    and an estimator regression on either engine flips the boolean —
+    the error-bound gate is now driver-checkable instead of
+    pytest-only (the tighter pytest bound in tests remains).
+    """
     li = t(spark, sf_dir, "lineitem")
-    return li.agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+    agg = li.agg(
+        F.countDistinct("l_partkey").alias("n_exact"),
+        F.approx_count_distinct("l_partkey").alias("est"),
+    )
+    return agg.select(
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (
+            F.abs(F.col("est").cast("double") - F.col("n_exact"))
+            / F.col("n_exact")
+            <= 0.05
+        ).alias("hll_within_bounds"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -471,8 +471,8 @@ def x49_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x50_length_outlier_filter",
     oracle=f"""
     SELECT d.doc_id, d.n_chars,
-           ROUND((SELECT quantile_cont(n_chars, {LENGTH_PCT})
-                  FROM documents), 4) AS p95_cutoff
+           floor((SELECT quantile_cont(n_chars, {LENGTH_PCT})
+                  FROM documents) * 10000.0 + 0.5) / 10000.0 AS p95_cutoff
     FROM documents d
     WHERE d.n_chars > (SELECT quantile_cont(n_chars, {LENGTH_PCT})
                        FROM documents)
@@ -500,7 +500,10 @@ def x50_length_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_chars",
-            F.round("cut", 4).alias("p95_cutoff"),
+            (
+                F.floor(F.col("cut") * F.lit(10000.0) + F.lit(0.5))
+                / F.lit(10000.0)
+            ).alias("p95_cutoff"),
         )
         .orderBy("doc_id")
     )
@@ -562,9 +565,13 @@ def x51_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(count(*) AS BIGINT) AS n_keys,
            CAST(max(cnt) AS BIGINT) AS max_rows,
-           ROUND(avg(cnt), 4) AS avg_rows,
-           ROUND(max(cnt) * 1.0 / avg(cnt), 4) AS skew_factor,
-           ROUND(max(cnt) * 1.0 / sum(cnt), 6) AS top_key_share
+           floor(CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 * 10000.0 + 0.5) / 10000.0 AS avg_rows,
+           floor(CAST(max(cnt) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+                 / CAST(sum(cnt) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+             AS skew_factor,
+           floor(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS top_key_share
     FROM per_key
     """,
 )
@@ -583,10 +590,22 @@ def x56_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_key = ev.groupBy("user_id").agg(
         F.count("*").cast("bigint").alias("cnt")
     )
+    # All stats derive from exact integer (sum, count, max) — the
+    # closing scalar sequences mirror the oracle op-for-op, so the hash
+    # is bit-portable (avg/ROUND paths differ between engines).
+    s, n, mx = (
+        F.sum("cnt").cast("double"),
+        F.count("*").cast("double"),
+        F.max("cnt").cast("double"),
+    )
+
+    def fr(c, p):
+        return F.floor(c * F.lit(p) + F.lit(0.5)) / F.lit(p)
+
     return per_key.agg(
         F.count("*").cast("bigint").alias("n_keys"),
         F.max("cnt").cast("bigint").alias("max_rows"),
-        F.round(F.avg("cnt"), 4).alias("avg_rows"),
-        F.round(F.max("cnt") / F.avg("cnt"), 4).alias("skew_factor"),
-        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_key_share"),
+        fr(s / n, 10000.0).alias("avg_rows"),
+        fr(mx * n / s, 10000.0).alias("skew_factor"),
+        fr(mx / s, 1000000.0).alias("top_key_share"),
     )

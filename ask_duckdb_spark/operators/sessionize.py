@@ -455,10 +455,11 @@ LATE_DELAY_S = 600
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(sum(CASE WHEN ts < wm_high - INTERVAL {LATE_DELAY_S} SECOND
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
-           ROUND(CAST(sum(CASE WHEN ts < wm_high
+           floor(CAST(sum(CASE WHEN ts < wm_high
                                     - INTERVAL {LATE_DELAY_S} SECOND
-                         THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
-             AS late_ratio
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS late_ratio
     FROM w GROUP BY 1 ORDER BY 1
     """,
 )
@@ -508,8 +509,14 @@ def x97_late_event_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
             F.sum("is_late").cast("bigint").alias("n_late"),
-            F.round(
-                F.sum("is_late").cast("double") / F.count("*"), 6
+            (
+                F.floor(
+                    F.sum("is_late").cast("double")
+                    / F.count("*").cast("double")
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
             ).alias("late_ratio"),
         )
         .orderBy("event_type")
@@ -541,8 +548,9 @@ def x97_late_event_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
-           ROUND(CAST(n AS DOUBLE)
-                 / sum(n) OVER (PARTITION BY from_type), 6) AS p
+           floor(CAST(n AS DOUBLE)
+                 / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS p
     FROM t ORDER BY from_type, to_type
     """,
 )
@@ -579,10 +587,14 @@ def x100_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "from_type",
         "to_type",
         F.col("n").cast("bigint").alias("n"),
-        F.round(
-            F.col("n").cast("double")
-            / F.sum("n").over(W.partitionBy("from_type")),
-            6,
+        (
+            F.floor(
+                F.col("n").cast("double")
+                / F.sum("n").over(W.partitionBy("from_type")).cast("double")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
         ).alias("p"),
     ).orderBy("from_type", "to_type")
 
@@ -618,8 +630,9 @@ def x100_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_trans,
            CAST(sum(length(bin(rowt.rt // cell.c)) - 1) AS BIGINT)
              AS sum_surprisal,
-           ROUND(CAST(sum(length(bin(rowt.rt // cell.c)) - 1) AS DOUBLE)
-                 / count(*), 6) AS mean_surprisal
+           floor(CAST(sum(length(bin(rowt.rt // cell.c)) - 1) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS mean_surprisal
     FROM tr JOIN cell USING (f, t) JOIN rowt USING (f)
     GROUP BY 1 ORDER BY 1
     """,
@@ -667,8 +680,14 @@ def x102_journey_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "n_trans",
             "sum_surprisal",
-            F.round(
-                F.col("sum_surprisal").cast("double") / F.col("n_trans"), 6
+            (
+                F.floor(
+                    F.col("sum_surprisal").cast("double")
+                    / F.col("n_trans").cast("double")
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
             ).alias("mean_surprisal"),
         )
         .orderBy("user_id")
@@ -902,8 +921,10 @@ def x109_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            CAST(count(gap_us) AS BIGINT) AS n_gaps,
-           ROUND(quantile_cont(gap_us, 0.5) / 1e6, 6) AS p50_sec,
-           ROUND(quantile_cont(gap_us, 0.9) / 1e6, 6) AS p90_sec
+           floor(quantile_cont(gap_us, 0.5) / 1e6 * 1000000.0 + 0.5)
+             / 1000000.0 AS p50_sec,
+           floor(quantile_cont(gap_us, 0.9) / 1e6 * 1000000.0 + 0.5)
+             / 1000000.0 AS p90_sec
     FROM gaps WHERE gap_us IS NOT NULL
     GROUP BY 1 ORDER BY 1
     """,
@@ -936,12 +957,12 @@ def x110_interarrival_percentiles(
         gaps.groupBy("event_type")
         .agg(
             F.count("gap_us").cast("bigint").alias("n_gaps"),
-            F.round(F.expr("percentile(gap_us, 0.5) / 1e6"), 6).alias(
-                "p50_sec"
-            ),
-            F.round(F.expr("percentile(gap_us, 0.9) / 1e6"), 6).alias(
-                "p90_sec"
-            ),
+            F.expr(
+                "floor(percentile(gap_us, 0.5) / 1e6 * 1e6 + 0.5) / 1e6"
+            ).alias("p50_sec"),
+            F.expr(
+                "floor(percentile(gap_us, 0.9) / 1e6 * 1e6 + 0.5) / 1e6"
+            ).alias("p90_sec"),
         )
         .orderBy("event_type")
     )
@@ -964,10 +985,12 @@ def x110_interarrival_percentiles(
     )
     SELECT CAST(count(*) AS BIGINT) AS n_signup,
            CAST(count(delta_us) AS BIGINT) AS n_converted,
-           ROUND(CAST(count(delta_us) AS DOUBLE) / count(*), 6)
-             AS conversion_rate,
-           ROUND(quantile_cont(delta_us, 0.5) / 1e6, 6) AS p50_sec,
-           ROUND(quantile_cont(delta_us, 0.9) / 1e6, 6) AS p90_sec
+           floor(CAST(count(delta_us) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS conversion_rate,
+           floor(quantile_cont(delta_us, 0.5) / 1e6 * 1000000.0 + 0.5)
+             / 1000000.0 AS p50_sec,
+           floor(quantile_cont(delta_us, 0.9) / 1e6 * 1000000.0 + 0.5)
+             / 1000000.0 AS p90_sec
     FROM d
     """,
 )
@@ -1001,16 +1024,19 @@ def x111_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = s.join(p, "user_id", "left").select(
         (F.col("p_us") - F.col("s_us")).alias("delta_us")
     )
+    fr6 = lambda c: (  # noqa: E731 — portable floor-round, both engines
+        F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    )
     return d.agg(
         F.count("*").cast("bigint").alias("n_signup"),
         F.count("delta_us").cast("bigint").alias("n_converted"),
-        F.round(
-            F.count("delta_us").cast("double") / F.count("*"), 6
+        fr6(
+            F.count("delta_us").cast("double") / F.count("*").cast("double")
         ).alias("conversion_rate"),
-        F.round(F.expr("percentile(delta_us, 0.5) / 1e6"), 6).alias(
-            "p50_sec"
-        ),
-        F.round(F.expr("percentile(delta_us, 0.9) / 1e6"), 6).alias(
-            "p90_sec"
-        ),
+        F.expr(
+            "floor(percentile(delta_us, 0.5) / 1e6 * 1e6 + 0.5) / 1e6"
+        ).alias("p50_sec"),
+        F.expr(
+            "floor(percentile(delta_us, 0.9) / 1e6 * 1e6 + 0.5) / 1e6"
+        ).alias("p90_sec"),
     )

@@ -732,11 +732,14 @@ def x7b_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallel unnests zip positionally in DuckDB; range(0, n) matches
     # posexplode's 0-based pos
     oracle="""
-    SELECT label, CAST(pos AS INTEGER) AS pos, ROUND(avg(v), 6) AS c
+    SELECT label, CAST(pos AS INTEGER) AS pos,
+           floor(CAST(sum(vq) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 / 1000000000.0 * 1000000.0 + 0.5) / 1000000.0 AS c
     FROM (
       SELECT label,
              unnest(range(0, len(embedding))) AS pos,
-             unnest(list_transform(embedding, x -> x::DOUBLE)) AS v
+             unnest(list_transform(embedding,
+               x -> CAST(floor(x::DOUBLE * 1000000000.0 + 0.5) AS BIGINT))) AS vq
       FROM embeddings
     )
     GROUP BY label, pos
@@ -752,12 +755,31 @@ def x42_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy — partial aggregation means the shuffle carries (label,
     pos, partial-sum) tuples, O(|labels| x dims) per map task, however
     large the corpus.
+
+    Exactness: elements quantize to an integer 1e-9 grid per row (well
+    inside float32 resolution for unit-range values), so the sum is an
+    order-independent BIGINT — a float avg hashes differently across
+    partitionings (the x28b class). Quantization bias is < 5e-10, four
+    orders below the 1e-6 output rounding.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    vq = F.floor(
+        F.col("v").cast("double") * F.lit(1000000000.0) + F.lit(0.5)
+    ).cast("long")
+    avg_c = (
+        F.sum(vq).cast("double")
+        / F.count("*").cast("double")
+        / F.lit(1000000000.0)
+    )
     return (
         emb.select("label", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("label", "pos")
-        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
+        .agg(
+            (
+                F.floor(avg_c * F.lit(1000000.0) + F.lit(0.5))
+                / F.lit(1000000.0)
+            ).alias("c")
+        )
         .select("label", F.col("pos").cast("int").alias("pos"), "c")
         .orderBy("label", "pos")
     )
@@ -2003,7 +2025,8 @@ def _x87_oracle() -> str:
     )
     SELECT x.qid AS query_id,
            CAST(count(a.cid) AS BIGINT) AS n_overlap,
-           ROUND(CAST(count(a.cid) AS DOUBLE) / {ANN_EVAL_K}, 6) AS recall
+           floor(CAST(count(a.cid) AS DOUBLE) / {float(ANN_EVAL_K)!r}
+                 * 1000000.0 + 0.5) / 1000000.0 AS recall
     FROM exact x
     LEFT JOIN ann a
       ON a.qid = x.qid AND a.cid = x.cid AND a.rn <= {ANN_EVAL_K}
@@ -2091,9 +2114,15 @@ def x87_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(
             F.sum(hit).cast("bigint").alias("n_overlap"),
-            F.round(F.sum(hit).cast("double") / ANN_EVAL_K, 6).alias(
-                "recall"
-            ),
+            (
+                F.floor(
+                    F.sum(hit).cast("double")
+                    / F.lit(float(ANN_EVAL_K))
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("recall"),
         )
         .orderBy("query_id")
     )
@@ -2122,7 +2151,8 @@ def x87_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
            LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) d
     ), m AS (
       SELECT h, dim,
-             ROUND(CAST(sum(qv) AS DOUBLE) / count(*) / {QSCALE}, 9)
+             floor(CAST(sum(qv) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   / {QSCALE} * 1000000000.0 + 0.5) / 1000000000.0
                AS mean_v,
              count(*) AS cnt
       FROM q GROUP BY 1, 2
@@ -2135,15 +2165,18 @@ def x87_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(n_base AS BIGINT) AS n_base,
            CAST(n_cur AS BIGINT) AS n_cur,
-           ROUND({_cos_sql('ma', 'mb')}, 6) AS mean_cosine,
-           ROUND(sqrt(list_reduce(
+           floor(({_cos_sql('ma', 'mb')}) * 1000000.0 + 0.5) / 1000000.0
+             AS mean_cosine,
+           floor(sqrt(list_reduce(
                list_transform(range(1, len(ma) + 1),
                               i -> (ma[i] - mb[i]) * (ma[i] - mb[i])),
-               (acc, x) -> acc + x)), 6) AS mean_l2,
-           ROUND(list_reduce(
+               (acc, x) -> acc + x)) * 1000000.0 + 0.5) / 1000000.0
+             AS mean_l2,
+           floor(list_reduce(
                list_transform(range(1, len(ma) + 1),
                               i -> abs(ma[i] - mb[i])),
-               (acc, x) -> greatest(acc, x)), 6) AS max_dim_shift
+               (acc, x) -> greatest(acc, x)) * 1000000.0 + 0.5) / 1000000.0
+             AS max_dim_shift
     FROM ab
     """,
 )
@@ -2175,8 +2208,15 @@ def x105_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("qv"),
     )
     m = q.groupBy("h", "dim").agg(
-        F.round(
-            F.sum("qv").cast("double") / F.count("*") / QSCALE, 9
+        (
+            F.floor(
+                F.sum("qv").cast("double")
+                / F.count("*").cast("double")
+                / QSCALE
+                * F.lit(1000000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000000.0)
         ).alias("mean_v"),
         F.count("*").alias("cnt"),
     )
@@ -2203,14 +2243,15 @@ def x105_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     maxshift = F.aggregate(
         diff, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
     )
+    fr6 = lambda c: (  # noqa: E731 — portable floor-round
+        F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    )
     return ab.select(
         F.col("n_base").cast("bigint").alias("n_base"),
         F.col("n_cur").cast("bigint").alias("n_cur"),
-        F.round(
-            cosine_similarity(F.col("ma"), F.col("mb")), 6
-        ).alias("mean_cosine"),
-        F.round(l2, 6).alias("mean_l2"),
-        F.round(maxshift, 6).alias("max_dim_shift"),
+        fr6(cosine_similarity(F.col("ma"), F.col("mb"))).alias("mean_cosine"),
+        fr6(l2).alias("mean_l2"),
+        fr6(maxshift).alias("max_dim_shift"),
     )
 
 
@@ -2375,10 +2416,12 @@ NORM_EPS = 1e-6
     SELECT CAST(count(*) AS BIGINT) AS n_vecs,
            CAST(sum(CASE WHEN nrm < {NORM_EPS} THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_zero,
-           ROUND(min(nrm), 6) AS min_norm,
-           ROUND(quantile_cont(nrm, 0.5), 6) AS p50_norm,
-           ROUND(quantile_cont(nrm, 0.9), 6) AS p90_norm,
-           ROUND(max(nrm), 6) AS max_norm
+           floor(min(nrm) * 1000000.0 + 0.5) / 1000000.0 AS min_norm,
+           floor(quantile_cont(nrm, 0.5) * 1000000.0 + 0.5) / 1000000.0
+             AS p50_norm,
+           floor(quantile_cont(nrm, 0.9) * 1000000.0 + 0.5) / 1000000.0
+             AS p90_norm,
+           floor(max(nrm) * 1000000.0 + 0.5) / 1000000.0 AS max_norm
     FROM n
     """,
 )
@@ -2398,13 +2441,18 @@ def x112_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n = emb.select(nrm.alias("nrm"))
+    fr6 = lambda c: (  # noqa: E731 — portable floor-round (ROUND splits
+        # between engines on representation; min/max/percentile inputs
+        # here are deterministic per-row folds, so floor-round closes it)
+        F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    )
     return n.agg(
         F.count("*").cast("bigint").alias("n_vecs"),
         F.sum(F.when(F.col("nrm") < NORM_EPS, 1).otherwise(0))
         .cast("bigint")
         .alias("n_zero"),
-        F.round(F.min("nrm"), 6).alias("min_norm"),
-        F.round(F.expr("percentile(nrm, 0.5)"), 6).alias("p50_norm"),
-        F.round(F.expr("percentile(nrm, 0.9)"), 6).alias("p90_norm"),
-        F.round(F.max("nrm"), 6).alias("max_norm"),
+        fr6(F.min("nrm")).alias("min_norm"),
+        fr6(F.expr("percentile(nrm, 0.5)")).alias("p50_norm"),
+        fr6(F.expr("percentile(nrm, 0.9)")).alias("p90_norm"),
+        fr6(F.max("nrm")).alias("max_norm"),
     )

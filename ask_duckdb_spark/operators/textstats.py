@@ -1186,11 +1186,15 @@ def x59_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents
       GROUP BY 1
     ), p AS (
-      SELECT source, n_docs, pow(CAST(n_docs AS DOUBLE), 0.7) AS raw
+      SELECT source, n_docs,
+             CAST(floor(pow(CAST(n_docs AS DOUBLE), 0.7) * 1000000.0 + 0.5)
+                  AS BIGINT) AS rawq
       FROM n
     )
     SELECT source, n_docs,
-           ROUND(raw / (SELECT sum(raw) FROM p), 6) AS weight
+           floor(CAST(rawq AS DOUBLE) / CAST((SELECT sum(rawq) FROM p)
+                                             AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS weight
     FROM p
     """,
 )
@@ -1204,18 +1208,34 @@ def x60_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     (x32's shape) would consume.
 
     Scale (100 TB): one map-side-combinable count per source; the
-    normalization constant is a broadcast of |sources| doubles. ROUND 6
-    absorbs the engine-dependent addition order of the pow() sum (same
-    policy as x22's ln()).
+    normalization constant is a broadcast of |sources| values. The
+    pow() weights quantize to an integer 1e-6 grid before the
+    normalizing sum (exact, order-independent — a raw double sum is
+    the x28b class), closing with the portable floor-round.
     """
     d = load_table(spark, sf_dir, "documents")
     n = d.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
-    p = n.withColumn("raw", F.pow(F.col("n_docs").cast("double"), F.lit(0.7)))
-    total = p.agg(F.sum("raw").alias("t"))
+    p = n.withColumn(
+        "rawq",
+        F.floor(
+            F.pow(F.col("n_docs").cast("double"), F.lit(0.7))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    total = p.agg(F.sum("rawq").alias("t"))
     return p.crossJoin(F.broadcast(total)).select(
         "source",
         "n_docs",
-        F.round(F.col("raw") / F.col("t"), 6).alias("weight"),
+        (
+            F.floor(
+                F.col("rawq").cast("double")
+                / F.col("t").cast("double")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("weight"),
     )
 
 
@@ -1242,13 +1262,16 @@ def x60_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), scored AS (
       SELECT base.doc_id,
              CAST(n_words AS BIGINT) AS n_words,
-             ROUND(CAST(list_sum(list_transform(toks, t -> len(t)))
-                        AS DOUBLE) / n_words, 6) AS mean_word_len,
-             ROUND(CAST(len(list_filter(toks,
+             floor(CAST(list_sum(list_transform(toks, t -> len(t)))
+                        AS DOUBLE) / CAST(n_words AS DOUBLE)
+                   * 1000000.0 + 0.5) / 1000000.0 AS mean_word_len,
+             floor(CAST(len(list_filter(toks,
                         t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
-                   / n_words, 6) AS alpha_frac,
-             ROUND(CAST(top_bigram_n AS DOUBLE) / (n_words - 1), 6)
-                 AS top_bigram_frac
+                   / CAST(n_words AS DOUBLE) * 1000000.0 + 0.5)
+               / 1000000.0 AS alpha_frac,
+             floor(CAST(top_bigram_n AS DOUBLE)
+                   / CAST(n_words - 1 AS DOUBLE) * 1000000.0 + 0.5)
+               / 1000000.0 AS top_bigram_frac
       FROM base JOIN mode_cnt USING (doc_id)
     )
     SELECT *,
@@ -1318,12 +1341,15 @@ def x61_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, x: a + x,
     )
     alpha_n = F.size(F.filter(F.col("toks"), lambda t: t.rlike("[a-z]")))
+    fr6 = lambda c: (  # noqa: E731 — portable floor-round
+        F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    )
     scored = d.select(
         "doc_id",
         n.cast("bigint").alias("n_words"),
-        F.round(char_sum.cast("double") / n, 6).alias("mean_word_len"),
-        F.round(alpha_n.cast("double") / n, 6).alias("alpha_frac"),
-        F.round(top_bigram_n.cast("double") / (n - 1), 6).alias(
+        fr6(char_sum.cast("double") / n.cast("double")).alias("mean_word_len"),
+        fr6(alpha_n.cast("double") / n.cast("double")).alias("alpha_frac"),
+        fr6(top_bigram_n.cast("double") / (n - 1).cast("double")).alias(
             "top_bigram_frac"
         ),
     )
@@ -1371,11 +1397,14 @@ def _x66_oracle() -> str:
     ), tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM counts),
     lw AS (
       SELECT b,
-             ln((ct + 1) / CAST(tt + {NB_DSIR} AS DOUBLE))
-           - ln((cr + 1) / CAST(tr + {NB_DSIR} AS DOUBLE)) AS w
+             CAST(floor((ln((ct + 1) / CAST(tt + {NB_DSIR} AS DOUBLE))
+                         - ln((cr + 1) / CAST(tr + {NB_DSIR} AS DOUBLE)))
+                        * 1000000000.0 + 0.5) AS BIGINT) AS wq
       FROM counts CROSS JOIN tot
     )
-    SELECT f.doc_id, ROUND(SUM(lw.w), 6) AS dsir_logweight
+    SELECT f.doc_id,
+           floor(CAST(SUM(lw.wq) AS DOUBLE) / 1000000000.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS dsir_logweight
     FROM feats f JOIN lw USING (b)
     WHERE f.source <> 'src0'
     GROUP BY f.doc_id
@@ -1430,18 +1459,32 @@ def x66_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = counts.agg(
         F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
     )
+    # Per-bucket log weight quantized to an integer 1e-9 grid so the
+    # per-doc aggregation is an exact order-independent BIGINT sum (the
+    # x28b hashed-float-aggregate class); the ln inputs are exact
+    # integer ratios, so wq is deterministic per bucket.
+    w = F.log((F.col("ct") + 1) / (F.col("tt") + NB_DSIR).cast("double")) - F.log(
+        (F.col("cr") + 1) / (F.col("tr") + NB_DSIR).cast("double")
+    )
     lw = counts.crossJoin(F.broadcast(tot)).select(
         "b",
-        (
-            F.log((F.col("ct") + 1) / (F.col("tt") + NB_DSIR).cast("double"))
-            - F.log((F.col("cr") + 1) / (F.col("tr") + NB_DSIR).cast("double"))
-        ).alias("w"),
+        F.floor(w * F.lit(1000000000.0) + F.lit(0.5)).cast("long").alias("wq"),
     )
     scored = (
         feats.filter(~is_tgt)
         .join(F.broadcast(lw), "b")
         .groupBy("doc_id")
-        .agg(F.round(F.sum("w"), 6).alias("dsir_logweight"))
+        .agg(
+            (
+                F.floor(
+                    F.sum("wq").cast("double")
+                    / F.lit(1000000000.0)
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("dsir_logweight")
+        )
     )
     return scored.orderBy(
         F.col("dsir_logweight").desc(), "doc_id"
@@ -1566,10 +1609,15 @@ SAMPLE_BUDGET = 200  # total docs in the mixed sample (binds at fixture size)
       SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents
       GROUP BY 1
     ), p AS (
-      SELECT source, pow(CAST(n_docs AS DOUBLE), 0.7) AS raw FROM n
+      SELECT source,
+             CAST(floor(pow(CAST(n_docs AS DOUBLE), 0.7) * 1000000.0 + 0.5)
+                  AS BIGINT) AS rawq
+      FROM n
     ), quota AS (
       SELECT source,
-             CAST(floor(ROUND(raw / (SELECT sum(raw) FROM p), 6)
+             CAST(floor(floor(CAST(rawq AS DOUBLE)
+                              / CAST((SELECT sum(rawq) FROM p) AS DOUBLE)
+                              * 1000000.0 + 0.5) / 1000000.0
                         * {SAMPLE_BUDGET}) AS BIGINT) AS k
       FROM p
     ), ranked AS (
@@ -1591,10 +1639,11 @@ def x71_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     source's quota of documents deterministically.
 
     Composes x60 (alpha=0.7 source weights) with x23/x32's
-    reproducible-sampling discipline: quota_s = floor(round(w_s, 6) *
-    SAMPLE_BUDGET) — the ROUND(6) first makes the double identical on
-    both engines (x60's policy), so the floor can never straddle an
-    engine-dependent ulp — and each source contributes its quota of
+    reproducible-sampling discipline: quota_s = floor(w6_s *
+    SAMPLE_BUDGET), where w6 is x60's exact-integer weight (quantized
+    pow sum + portable floor-round, identical on both engines), so the
+    floor can never straddle an engine-dependent ulp — each source
+    contributes its quota of
     docs ranked by the multiplicative hash (stable under corpus
     growth: a doc's rank only changes when earlier-hashed docs
     arrive). This is the step that turns mixing WEIGHTS into an actual
@@ -1610,14 +1659,28 @@ def x71_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     n = d.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
     p = n.select(
-        "source", F.pow(F.col("n_docs").cast("double"), F.lit(0.7)).alias("raw")
-    )
-    tot = p.agg(F.sum("raw").alias("t"))
-    quota = p.crossJoin(F.broadcast(tot)).select(
         "source",
         F.floor(
-            F.round(F.col("raw") / F.col("t"), 6) * SAMPLE_BUDGET
-        ).cast("bigint").alias("k"),
+            F.pow(F.col("n_docs").cast("double"), F.lit(0.7))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("rawq"),
+    )
+    tot = p.agg(F.sum("rawq").alias("t"))
+    w6 = (
+        F.floor(
+            F.col("rawq").cast("double")
+            / F.col("t").cast("double")
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        / F.lit(1000000.0)
+    )
+    quota = p.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.floor(w6 * SAMPLE_BUDGET).cast("bigint").alias("k"),
     )
     h = (F.col("doc_id") * 2654435761) % 4294967296
     ranked = d.select("source", "doc_id").withColumn(
@@ -1663,10 +1726,11 @@ def _x73_oracle() -> str:
       FROM grid JOIN tot USING (source)
     )
     SELECT a.source AS src_a, b.source AS src_b,
-           ROUND(SUM(
+           floor(CAST(SUM(CAST(floor((
              0.5 * a.p * ln(a.p / ((a.p + b.p) / 2))
            + 0.5 * b.p * ln(b.p / ((a.p + b.p) / 2))
-           ), 6) AS jsd
+           ) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 1000000000000.0 * 1000000.0 + 0.5) / 1000000.0 AS jsd
     FROM p a JOIN p b ON a.b = b.b AND a.source < b.source
     GROUP BY a.source, b.source
     ORDER BY src_a, src_b
@@ -1721,11 +1785,22 @@ def x73_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     term = 0.5 * F.col("pa") * F.log(F.col("pa") / m) + 0.5 * F.col(
         "pb"
     ) * F.log(F.col("pb") / m)
+    # per-bucket term quantized to an integer 1e-12 grid (terms are
+    # deterministic: exact-int ratios through ln), summed exactly —
+    # the former ROUND(sum(double)) was the x28b order-dependent class
+    termq = F.floor(term * F.lit(1e12) + F.lit(0.5)).cast("long")
+    jsd = (
+        F.floor(
+            F.sum(termq).cast("double") / F.lit(1e12) * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        / F.lit(1000000.0)
+    )
     return (
         a.join(b, "b")
         .filter(F.col("src_a") < F.col("src_b"))
         .groupBy("src_a", "src_b")
-        .agg(F.round(F.sum(term), 6).alias("jsd"))
+        .agg(jsd.alias("jsd"))
         .orderBy("src_a", "src_b")
     )
 
@@ -1776,7 +1851,10 @@ BM25_B = 0.75
                   + {BM25_B} * dl.dl / s.avgdl)) AS c
       FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats s
     )
-    SELECT doc_id, ROUND(sum(c), 6) AS bm25
+    SELECT doc_id,
+           floor(CAST(sum(CAST(floor(c * 1000000000.0 + 0.5) AS BIGINT))
+                      AS DOUBLE)
+                 / 1000000000.0 * 1000000.0 + 0.5) / 1000000.0 AS bm25
     FROM contrib GROUP BY doc_id
     ORDER BY bm25 DESC, doc_id LIMIT 10
     """,
@@ -1831,9 +1909,20 @@ def x76_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (idf * F.col("tf") * (BM25_K1 + 1) / denom).alias("c"),
         )
     )
+    # per-term contribution quantized to an integer 1e-9 grid (each c is
+    # deterministic scalar math over exact counts), summed exactly —
+    # hashed float sums are the x28b order-dependent class
+    cq = F.floor(F.col("c") * F.lit(1000000000.0) + F.lit(0.5)).cast("long")
+    bm25 = (
+        F.floor(
+            F.sum(cq).cast("double") / F.lit(1000000000.0) * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        / F.lit(1000000.0)
+    )
     return (
         contrib.groupBy("doc_id")
-        .agg(F.round(F.sum("c"), 6).alias("bm25"))
+        .agg(bm25.alias("bm25"))
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(10)
     )
@@ -1856,11 +1945,26 @@ ZIPF_TOP_N = 100
       GROUP BY 1 ORDER BY f DESC, tok LIMIT {ZIPF_TOP_N}
     ), ranked AS (
       SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS r FROM freq
+    ), q AS (
+      SELECT CAST(floor(ln(f) * 1000000.0 + 0.5) AS BIGINT) AS yq,
+             CAST(floor(ln(r) * 1000000.0 + 0.5) AS BIGINT) AS xq
+      FROM ranked
+    ), s AS (
+      SELECT count(*) AS n, sum(xq) AS sx, sum(yq) AS sy,
+             sum(xq * yq) AS sxy, sum(xq * xq) AS sxx
+      FROM q
     )
-    SELECT CAST(count(*) AS BIGINT) AS n_terms,
-           ROUND(regr_slope(ln(f), ln(r)), 4) AS zipf_slope,
-           ROUND(regr_intercept(ln(f), ln(r)), 4) AS zipf_intercept
-    FROM ranked
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)
+                 * 10000.0 + 0.5) / 10000.0 AS zipf_slope,
+           floor((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                    * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                       / 1000000.0))
+                 * 10000.0 + 0.5) / 10000.0 AS zipf_intercept
+    FROM s
     """,
 )
 def x77_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1868,10 +1972,12 @@ def x77_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Zipf's law says the slope is ≈ -1 for natural language; a corpus
     whose head diverges (template spam flattens it, key-collapse
-    steepens it) fails the monitor. Both engines run their native
-    ``regr_slope`` aggregate; ROUND 4 absorbs the accumulation-order
-    wobble of the 100-term sums (the x28b lesson: ln-scale values are
-    O(1-10), so 4 dp leaves ~1e10 x headroom over the 1e-14 noise).
+    steepens it) fails the monitor. The regression uses the x28b
+    integer-sufficient-statistics discipline: ln values quantize to an
+    integer 1e-6 grid (per-row deterministic), the five sums are exact
+    BIGINTs, and slope/intercept close with one identical scalar
+    sequence — native regr_slope's double accumulation was the
+    order-dependent hashed-float class ROUND cannot make portable.
 
     Scale (100 TB): one word-count shuffle (map-side combinable) + a
     TakeOrdered of the top 100; the regression runs on 100 rows on a
@@ -1892,12 +1998,33 @@ def x77_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.orderBy(F.col("f").desc(), "tok"))
         .alias("r"),
     )
-    return ranked.agg(
-        F.count("*").cast("bigint").alias("n_terms"),
-        F.round(F.regr_slope(F.log("f"), F.log("r")), 4).alias("zipf_slope"),
-        F.round(F.regr_intercept(F.log("f"), F.log("r")), 4).alias(
-            "zipf_intercept"
-        ),
+    g = F.lit(1000000.0)
+    q = ranked.select(
+        F.floor(F.log("f") * g + F.lit(0.5)).cast("long").alias("yq"),
+        F.floor(F.log("r") * g + F.lit(0.5)).cast("long").alias("xq"),
+    )
+    s = q.agg(
+        F.count("*").alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    den = (n * F.col("sxx") - sx * sx).cast("double")
+    slope_raw = num / den
+    intercept_raw = sy.cast("double") / n.cast("double") / g - slope_raw * (
+        sx.cast("double") / n.cast("double") / g
+    )
+
+    def fr4(c):
+        return F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+
+    return s.select(
+        n.cast("bigint").alias("n_terms"),
+        fr4(slope_raw).alias("zipf_slope"),
+        fr4(intercept_raw).alias("zipf_intercept"),
     )
 
 
@@ -1915,26 +2042,29 @@ N_CURRICULUM_BINS = 10
     oracle=rf"""
     WITH scored AS (
       SELECT doc_id,
-             ROUND(CAST(len(list_distinct(toks)) AS DOUBLE)
-                   / greatest(len(toks), 1), 6) AS score
+             CAST(floor(CAST(len(list_distinct(toks)) AS DOUBLE)
+                        / greatest(len(toks), 1) * 1000000.0 + 0.5)
+                  AS BIGINT) AS sq
       FROM (SELECT doc_id, {_TOKENS_ORACLE} AS toks FROM documents)
     ), binned AS (
-      SELECT doc_id, score,
-             ntile({N_CURRICULUM_BINS}) OVER (ORDER BY score, doc_id) AS bin
+      SELECT doc_id, sq, CAST(sq AS DOUBLE) / 1000000.0 AS score,
+             ntile({N_CURRICULUM_BINS}) OVER (ORDER BY sq, doc_id) AS bin
       FROM scored
     )
     SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
            min(score) AS min_score, max(score) AS max_score,
-           ROUND(avg(score), 6) AS avg_score
+           floor(CAST(sum(sq) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS avg_score
     FROM binned GROUP BY bin ORDER BY bin
     """,
 )
 def x78_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-decile curriculum binning with per-bin statistics.
 
-    ``ntile(10)`` over (score, doc_id) — the score is ROUNDed to 6 dp
-    BEFORE ordering so both engines rank the identical values and the
-    doc_id tiebreak makes the assignment fully deterministic. Output is
+    ``ntile(10)`` over (sq, doc_id) — the score is floor-quantized to
+    integer 1e-6 units BEFORE ordering so both engines rank identical
+    values and the doc_id tiebreak makes the assignment fully
+    deterministic (and the per-bin average an exact sum). Output is
     the bin manifest a curriculum sampler consumes (count + score range
     per decile); joining ``binned`` back to the corpus is the loader's
     one extra hash join.
@@ -1949,19 +2079,36 @@ def x78_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
+    # score carried as integer 1e-6 units (sq): per-row deterministic,
+    # identical ntile ordering on both engines, and the per-bin average
+    # becomes an exact BIGINT sum (the x28b hashed-float-agg class)
     scored = d.select(
         "doc_id",
-        F.round(
+        F.floor(
             F.size(F.array_distinct(toks)).cast("double")
-            / F.greatest(F.size(toks), F.lit(1)),
-            6,
-        ).alias("score"),
+            / F.greatest(F.size(toks), F.lit(1))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("sq"),
     )
     binned = scored.select(
-        "score",
+        "sq",
+        (F.col("sq").cast("double") / F.lit(1000000.0)).alias("score"),
         F.ntile(N_CURRICULUM_BINS)
-        .over(W.orderBy("score", "doc_id"))
+        .over(W.orderBy("sq", "doc_id"))
         .alias("bin"),
+    )
+    avg_score = (
+        F.floor(
+            F.sum("sq").cast("double")
+            / F.count("*").cast("double")
+            / F.lit(1000000.0)
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        / F.lit(1000000.0)
     )
     return (
         binned.groupBy("bin")
@@ -1969,7 +2116,7 @@ def x78_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_docs"),
             F.min("score").alias("min_score"),
             F.max("score").alias("max_score"),
-            F.round(F.avg("score"), 6).alias("avg_score"),
+            avg_score.alias("avg_score"),
         )
         .orderBy("bin")
     )
@@ -2162,10 +2309,12 @@ def x81_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(count(*) AS BIGINT)                    AS n_docs,
            CAST(sum(n_tokens) AS BIGINT)               AS total_tokens,
-           ROUND(CAST(sum(ok) AS DOUBLE) / count(*), 6) AS quality_ok_rate,
+           floor(CAST(sum(ok) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0       AS quality_ok_rate,
            CAST(count(DISTINCT text) AS BIGINT)        AS n_distinct_texts,
-           ROUND(1.0 - CAST(count(DISTINCT text) AS DOUBLE) / count(*), 6)
-                                                       AS dup_ratio,
+           floor((1.0 - CAST(count(DISTINCT text) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0       AS dup_ratio,
            CAST(min(n_tokens) AS BIGINT)               AS min_tokens,
            CAST(max(n_tokens) AS BIGINT)               AS max_tokens
     FROM per_doc GROUP BY source ORDER BY source
@@ -2221,12 +2370,27 @@ def x82_source_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-            F.round(
-                F.sum("ok").cast("double") / F.count("*"), 6
+            (
+                F.floor(
+                    F.sum("ok").cast("double")
+                    / F.count("*").cast("double")
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
             ).alias("quality_ok_rate"),
             F.countDistinct("th").cast("bigint").alias("n_distinct_texts"),
-            F.round(
-                1.0 - F.countDistinct("th").cast("double") / F.count("*"), 6
+            (
+                F.floor(
+                    (
+                        F.lit(1.0)
+                        - F.countDistinct("th").cast("double")
+                        / F.count("*").cast("double")
+                    )
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
             ).alias("dup_ratio"),
             F.min("n_tokens").cast("bigint").alias("min_tokens"),
             F.max("n_tokens").cast("bigint").alias("max_tokens"),
@@ -2410,11 +2574,12 @@ RRF_TOP = 10
     ), df AS (
       SELECT tok, count(*) AS df FROM tf GROUP BY 1
     ), bm25 AS (
-      SELECT tf.doc_id, ROUND(sum(
+      SELECT tf.doc_id, sum(CAST(floor((
                ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
                * tf.tf * ({BM25_K1} + 1)
                / (tf.tf + {BM25_K1} * (1 - {BM25_B}
-                  + {BM25_B} * dl.dl / s.avgdl))), 6) AS score
+                  + {BM25_B} * dl.dl / s.avgdl)))
+               * 1000000000.0 + 0.5) AS BIGINT)) AS score
       FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats s
       GROUP BY tf.doc_id
     ), trank AS (
@@ -2430,8 +2595,9 @@ RRF_TOP = 10
     )
     SELECT coalesce(t.doc_id, v.doc_id) AS doc_id,
            t.tr AS text_rank, v.vr AS vec_rank,
-           ROUND(coalesce(1.0 / ({RRF_K} + t.tr), 0)
-                 + coalesce(1.0 / ({RRF_K} + v.vr), 0), 6) AS rrf
+           floor((coalesce(1.0 / ({RRF_K} + t.tr), 0)
+                  + coalesce(1.0 / ({RRF_K} + v.vr), 0))
+                 * 1000000.0 + 0.5) / 1000000.0 AS rrf
     FROM trank t FULL OUTER JOIN vrank v ON t.doc_id = v.doc_id
     ORDER BY rrf DESC, doc_id LIMIT {RRF_TOP}
     """,
@@ -2482,8 +2648,13 @@ def x89_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(
-            F.round(
-                F.sum(idf * F.col("tf") * (BM25_K1 + 1) / denom), 6
+            # integer 1e-9-unit contributions, exact sum (x76 pattern)
+            F.sum(
+                F.floor(
+                    (idf * F.col("tf") * (BM25_K1 + 1) / denom)
+                    * F.lit(1000000000.0)
+                    + F.lit(0.5)
+                ).cast("long")
             ).alias("score")
         )
     )
@@ -2517,10 +2688,16 @@ def x89_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("tr").alias("text_rank"),
         F.col("vr").alias("vec_rank"),
-        F.round(
-            F.coalesce(1.0 / (RRF_K + F.col("tr")), F.lit(0.0))
-            + F.coalesce(1.0 / (RRF_K + F.col("vr")), F.lit(0.0)),
-            6,
+        (
+            F.floor(
+                (
+                    F.coalesce(1.0 / (RRF_K + F.col("tr")), F.lit(0.0))
+                    + F.coalesce(1.0 / (RRF_K + F.col("vr")), F.lit(0.0))
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
         ).alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(RRF_TOP)
@@ -2715,8 +2892,9 @@ def x92_source_calibrated_quality(
            CAST(count(*) AS BIGINT) AS n_tokens,
            CAST(sum(length(bin(tot.n // cnt.c)) - 1) AS BIGINT)
              AS sum_surprisal,
-           ROUND(CAST(sum(length(bin(tot.n // cnt.c)) - 1) AS DOUBLE)
-                 / count(*), 6) AS mean_surprisal
+           floor(CAST(sum(length(bin(tot.n // cnt.c)) - 1) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS mean_surprisal
     FROM tok JOIN cnt USING (t) CROSS JOIN tot
     GROUP BY 1
     ORDER BY 1
@@ -2761,8 +2939,14 @@ def x93_mean_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         "sum_surprisal",
-        F.round(
-            F.col("sum_surprisal").cast("double") / F.col("n_tokens"), 6
+        (
+            F.floor(
+                F.col("sum_surprisal").cast("double")
+                / F.col("n_tokens").cast("double")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
         ).alias("mean_surprisal"),
     ).orderBy("doc_id")
 
@@ -2791,13 +2975,15 @@ def x93_mean_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS vocab,
            CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
            CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
-           ROUND(1.0 - CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
-                            AS DOUBLE) / sum(c), 6) AS coverage,
-           ROUND(count(*)
-                 + CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-                   * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
-                   / (2 * greatest(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END),
-                                   1)), 6) AS chao1
+           floor((1.0 - CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                             AS DOUBLE) / CAST(sum(c) AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS coverage,
+           floor((CAST(count(*) AS DOUBLE)
+                  + CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                    * CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                    / CAST(2 * greatest(sum(CASE WHEN c = 2 THEN 1 ELSE 0
+                                            END), 1) AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS chao1
     FROM cnt GROUP BY 1 ORDER BY 1
     """,
 )
@@ -2833,13 +3019,29 @@ def x95_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("vocab"),
             f1.cast("bigint").alias("f1"),
             f2.cast("bigint").alias("f2"),
-            F.round(
-                F.lit(1.0) - f1.cast("double") / F.sum("c"), 6
+            (
+                F.floor(
+                    (
+                        F.lit(1.0)
+                        - f1.cast("double") / F.sum("c").cast("double")
+                    )
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
             ).alias("coverage"),
-            F.round(
-                F.count("*")
-                + f1.cast("double") * f1 / (2 * F.greatest(f2, F.lit(1))),
-                6,
+            (
+                F.floor(
+                    (
+                        F.count("*").cast("double")
+                        + f1.cast("double")
+                        * f1.cast("double")
+                        / (2 * F.greatest(f2, F.lit(1))).cast("double")
+                    )
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
             ).alias("chao1"),
         )
         .orderBy("source")
@@ -2875,15 +3077,22 @@ MIX_ALPHA = 0.7  # x60's temperature
       FROM toks GROUP BY 1
     ), wt AS (
       SELECT source, n_tokens,
-             ROUND(pow(n_tokens, {MIX_ALPHA})
-                   / sum(pow(n_tokens, {MIX_ALPHA})) OVER (), 6) AS weight
-      FROM src
+             floor(CAST(rawq AS DOUBLE)
+                   / CAST(sum(rawq) OVER () AS DOUBLE)
+                   * 1000000.0 + 0.5) / 1000000.0 AS weight
+      FROM (
+        SELECT source, n_tokens,
+               CAST(floor(pow(n_tokens, {MIX_ALPHA}) * 1000000.0 + 0.5)
+                    AS BIGINT) AS rawq
+        FROM src
+      )
     )
     SELECT source, n_tokens, weight,
            CAST(floor({MIX_BUDGET_TOKENS} * weight) AS BIGINT)
              AS needed_tokens,
-           ROUND(floor({MIX_BUDGET_TOKENS} * weight) / n_tokens, 6)
-             AS epochs,
+           floor(floor({MIX_BUDGET_TOKENS} * weight)
+                 / CAST(n_tokens AS DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS epochs,
            CASE WHEN floor({MIX_BUDGET_TOKENS} * weight) > n_tokens
                 THEN 1 ELSE 0 END AS deficient
     FROM wt ORDER BY source
@@ -2894,13 +3103,12 @@ def x98_mixture_deficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     weight_s = n_s^alpha / sum(n^alpha) over TOKEN counts (x60's rule,
     re-based from documents to tokens because budgets are in tokens);
-    needed = floor(budget * weight) with the weight pre-ROUNDed to 6
-    digits, so the product is one identical IEEE multiply on both
-    engines and the floor cannot straddle; epochs = needed/available
-    (epochs > 1 = the source must repeat — the deficiency a data card
-    should disclose); deficient flags it. The only accumulation-order
-    float is the pow() normalization sum, absorbed by ROUND 6 exactly
-    as in x60.
+    needed = floor(budget * weight) with the weight computed exactly
+    (x60's quantized-pow integer sum + portable floor-round), so the
+    product is one identical IEEE multiply on both engines and the
+    floor cannot straddle; epochs = needed/available (epochs > 1 = the
+    source must repeat — the deficiency a data card should disclose);
+    deficient flags it. No float accumulates anywhere.
 
     Scale (100 TB): one source-keyed combinable token count, one
     |sources|-row window normalization, then narrow arithmetic —
@@ -2912,27 +3120,40 @@ def x98_mixture_deficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.size(tokens(F.col("text"))).alias("n")
     ).groupBy("source").agg(F.sum("n").cast("bigint").alias("n_tokens"))
     wsum = W.partitionBy()
-    weight = F.round(
+    rawq = F.floor(
         F.pow(F.col("n_tokens").cast("double"), F.lit(MIX_ALPHA))
-        / F.sum(
-            F.pow(F.col("n_tokens").cast("double"), F.lit(MIX_ALPHA))
-        ).over(wsum),
-        6,
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    weight = (
+        F.floor(
+            F.col("rawq").cast("double")
+            / F.sum("rawq").over(wsum).cast("double")
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        / F.lit(1000000.0)
     )
     needed = F.floor(F.lit(MIX_BUDGET_TOKENS) * F.col("weight")).cast(
         "bigint"
     )
     return (
-        src.withColumn("weight", weight)
+        src.withColumn("rawq", rawq)
+        .withColumn("weight", weight)
         .withColumn("needed_tokens", needed)
         .select(
             "source",
             "n_tokens",
             "weight",
             "needed_tokens",
-            F.round(
-                F.col("needed_tokens").cast("double") / F.col("n_tokens"),
-                6,
+            (
+                F.floor(
+                    F.col("needed_tokens").cast("double")
+                    / F.col("n_tokens").cast("double")
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
             ).alias("epochs"),
             F.when(
                 F.col("needed_tokens") > F.col("n_tokens"), 1

@@ -52,6 +52,20 @@ HEADLINE = [
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # Settle wait (VERDICT r5 item 4): the r5 driver run started at
+    # load1 4.23 and read ratio 2.15 where idle-host runs of the same
+    # commit read 1.87-1.93 — the per-query floor inflates under
+    # contention and it multiplies across 22 queries. If the host is
+    # busy when the bench starts, wait (bounded) for the burst to pass
+    # before measuring; both engines are timed after the wait, so this
+    # is condition hygiene, not thumb-on-scale.
+    settle_deadline = time.time() + float(
+        os.environ.get("SPARK_GRAFT_BENCH_SETTLE_MAX_S", "90")
+    )
+    settled_wait = 0.0
+    while os.getloadavg()[0] > 2.0 and time.time() < settle_deadline:
+        time.sleep(5)
+        settled_wait += 5
     load_start = os.getloadavg()[0]
     spark = get_spark("bench")
     # Warm the JVM + parquet footers so per-query timings measure the
@@ -83,13 +97,15 @@ def main() -> int:
                 QUERIES[name](spark, warm_dir).count()
             spark.catalog.clearCache()  # drop sf0.01 persisted frames
 
-    # Two reps per query, report the MIN: host noise is one-sided (a
-    # noisy-neighbor burst can only ADD wall time), so min-of-reps is
-    # the standard steady-state estimator. Applied symmetrically to the
-    # DuckDB side below. r4/r5 measured 1.2-2x run-to-run swings on
-    # identical commits from load alone (BENCHLOG.md) — this VM has
-    # noisy neighbors (r5: load1 ~3 with zero local processes running).
-    REPS = 3
+    # Min-of-reps: host noise is one-sided (a noisy-neighbor burst can
+    # only ADD wall time), so min-of-reps is the standard steady-state
+    # estimator. Applied symmetrically to the DuckDB side below. r4/r5
+    # measured 1.2-2x run-to-run swings on identical commits from load
+    # alone (BENCHLOG.md) — this VM has noisy neighbors (r5: load1 ~3
+    # with zero local processes running). 5 reps (VERDICT r5 item 4):
+    # under contention the min of 3 still sampled a burst; 5 gives two
+    # more chances to catch a quiet scheduling window per query.
+    REPS = 5
     # Build each headline plan ONCE and re-execute it across reps:
     # constructing the DataFrame tree costs 20-230 ms of driver-side
     # Py4J round-trips per operator (1.5 s total, measured r5) — pure
@@ -223,6 +239,7 @@ def main() -> int:
                 # BENCHLOG.md). load1 near 0 at start = trustworthy.
                 "load_avg_start": round(load_start, 2),
                 "load_avg_end": round(os.getloadavg()[0], 2),
+                "settle_wait_sec": settled_wait,
             }
         )
     )
