@@ -982,8 +982,9 @@ def _x62_oracle() -> str:
 def x62_semdedup(
     spark: SparkSession, sf_dir: str, n_cells: int = None
 ) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023): semantic dedup via k-means cells.
+    """SemDeDup flat twin — production use routes to x63_semdedup_hier.
 
+    (Abbas et al. 2023: semantic dedup via k-means cells.)
     NOTE — flat differential twin, superseded at scale: the SCALE.md
     100x trial measured this flat-IVF assignment at O(n^2/cell) (76x
     wall at 100x data), so ``x63_semdedup_hier`` is the DEFAULT

@@ -61,10 +61,20 @@ def build_corpus(spark, factor: int, workdir: str) -> None:
     # boundary, so replicas of one document stop colliding at the gram
     # level — corpus grows 100x while the true-duplicate rate stays at
     # the base corpus's, which is what a real crawl looks like.
+    # Exception (VERDICT r5 item 7): the fixed BM25 query terms are
+    # left unperturbed so retrieval trials (x76/x89) measure real
+    # postings — suffixing them zeroed the match set and the r5 x76
+    # 10x reading timed an empty-posting scan. Three isolated common
+    # words cannot form a shared 8-gram, so the dedup trials are
+    # unaffected.
+    from ask_duckdb_spark.operators.textstats import BM25_TERMS
+
     perturbed = F.array_join(
         F.transform(
             F.split(F.col("text"), " "),
-            lambda w: F.concat(w, F.lit("~"), k.cast("string")),
+            lambda w: F.when(
+                w.isin(*BM25_TERMS), w
+            ).otherwise(F.concat(w, F.lit("~"), k.cast("string"))),
         ),
         " ",
     )
