@@ -32,7 +32,7 @@ from ..functions.porthash import (
 )
 from ..functions.text import char_ngrams, tokens
 from ..sources.catalog import load_table
-from ._util import widen
+from ._util import unpersist_with, widen
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -404,10 +404,10 @@ def x2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once. ~100 B/doc (32 longs + id): memory at test SF, spills to
     # disk at 100 TB — either way far cheaper than 3x the hashing.
     # Lifecycle: the cache must outlive this call (the returned plan
-    # reads it), so the CONSUMER owns cleanup — the harnesses
-    # (diffcheck/bench) clearCache after evaluating each operator.
+    # reads it); unpersist_with drops it when the caller releases the
+    # result, so long sessions don't accumulate dead blocks (ADVICE r5).
     sig = minhash_signatures(d, "doc_id", "text").persist()
-    return _neardup_pairs_from_signatures(sig)
+    return unpersist_with(_neardup_pairs_from_signatures(sig), sig)
 
 
 def _neardup_pairs_from_signatures(sig: DataFrame) -> DataFrame:
@@ -448,7 +448,7 @@ def x2f_minhash_neardup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures_fast(d, "doc_id", "text").persist()
-    return _neardup_pairs_from_signatures(sig)
+    return unpersist_with(_neardup_pairs_from_signatures(sig), sig)
 
 
 # ---------------------------------------------------------------------------
@@ -1364,7 +1364,7 @@ def x74_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_pred = F.col("in_pred").isNotNull()
     in_truth = F.col("in_truth").isNotNull()
     cnt = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
-    return j.agg(
+    result = j.agg(
         cnt(in_pred).cast("bigint").alias("n_pred"),
         cnt(in_truth).cast("bigint").alias("n_truth"),
         cnt(in_pred & in_truth).cast("bigint").alias("tp"),
@@ -1389,6 +1389,9 @@ def x74_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("recall"),
     )
+    # ADVICE r5: the shingle cache must not outlive the result in a
+    # long session — drop it when the caller releases the frame.
+    return unpersist_with(result, sh)
 
 
 # ---------------------------------------------------------------------------
@@ -1799,10 +1802,11 @@ def _x91_oracle() -> str:
       GROUP BY 1, 2
     )
     SELECT id_a AS contained_id, id_b AS container_id,
-           ROUND(CAST(c AS DOUBLE) / sa.n, 6) AS containment
+           floor(CAST(c AS DOUBLE) / CAST(sa.n AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS containment
     FROM ov
     JOIN sizes sa ON sa.doc_id = ov.id_a
-    WHERE CAST(c AS DOUBLE) / sa.n >= {CONTAINMENT_T}
+    WHERE CAST(c AS DOUBLE) / CAST(sa.n AS DOUBLE) >= {CONTAINMENT_T}
     ORDER BY contained_id, container_id
     """
 
@@ -1840,17 +1844,26 @@ def x91_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("c"))
     )
-    return (
+    result = (
         ov.join(
             sizes.withColumnRenamed("doc_id", "contained_id"), "contained_id"
         )
         .withColumn(
-            "containment", F.round(F.col("c").cast("double") / F.col("n"), 6)
+            "containment",
+            F.floor(
+                F.col("c").cast("double")
+                / F.col("n").cast("double")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0),
         )
         .filter(F.col("c").cast("double") / F.col("n") >= CONTAINMENT_T)
         .select("contained_id", "container_id", "containment")
         .orderBy("contained_id", "container_id")
     )
+    # ADVICE r5: drop the shingle cache when the caller releases the frame
+    return unpersist_with(result, sh)
 
 
 # ---------------------------------------------------------------------------

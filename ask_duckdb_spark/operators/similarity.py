@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity
 from ..sources.catalog import load_table
+from ._util import unpersist_with
 from .registry import query
 
 # Banded sign-random-projection tuning. For neighbors at angle θ a band
@@ -482,7 +483,7 @@ def x27_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qv", "cell")
     )
     cands = assigned.filter(F.col("vec_id") != 0).join(F.broadcast(probes), "cell")
-    return (
+    result = (
         cands.select(
             "vec_id", cosine_similarity(F.col("embedding"), F.col("qv")).alias("sim")
         )
@@ -490,6 +491,8 @@ def x27_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", "sim")
     )
+    # drop the codebook cache when the caller releases the result
+    return unpersist_with(result, cents)
 
 
 _BATCH_COS = """
@@ -1050,7 +1053,7 @@ def x62_semdedup(
         .distinct()
         .withColumn("_dropped", F.lit(True))
     )
-    return (
+    result = (
         assigned.join(dropped, "vec_id", "left")
         .select(
             "vec_id",
@@ -1058,6 +1061,8 @@ def x62_semdedup(
             F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
         )
     )
+    # drop the codebook cache when the caller releases the result
+    return unpersist_with(result, cents)
 
 
 # --- x63: hierarchical semantic dedup (the x62 100x-finding fix) -----
