@@ -1,0 +1,71 @@
+"""Unit pins for operators/_util helpers."""
+
+from __future__ import annotations
+
+import gc
+
+from pyspark.sql import functions as F
+
+from ask_duckdb_spark.operators._util import (
+    floor_round,
+    icents,
+    money,
+    rev_units,
+    unpersist_with,
+)
+
+
+def test_unpersist_with_drops_cache_on_release(spark):
+    """The cached frame must leave the cache manager once the caller
+    releases the returned result (ADVICE r5: x74/x91 leak class)."""
+    cached = spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("y"))
+    cached = cached.persist()
+    result = cached.groupBy().sum("y")
+    result = unpersist_with(result, cached)
+    result.collect()
+    assert cached.storageLevel.useMemory  # still cached while referenced
+    del result
+    gc.collect()
+    # finalizer fired: the frame's storage level is reset to NONE
+    assert not cached.storageLevel.useMemory
+    cached.unpersist()  # idempotent no-op
+
+
+def test_exact_money_helpers_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(19.99, 0.05), (0.01, 0.0), (123.45, 0.08)],
+        "l_extendedprice double, l_discount double",
+    )
+    row = df.select(
+        icents("l_extendedprice").alias("pc"),
+        rev_units().alias("u"),
+        money(rev_units(), 10_000).alias("rev"),
+        floor_round(F.col("l_extendedprice") * 3, 2).alias("fr"),
+    ).collect()
+    assert [r.pc for r in row] == [1999, 1, 12345]
+    # 1999 * (100 - 5) = 189905 units = 18.9905 dollars
+    assert row[0].u == 189905 and row[0].rev == 18.9905
+    assert row[0].fr == 59.97
+
+
+def test_x62_x63_non_default_knobs_warn(spark):
+    """Non-default codebook knobs VOID the registered oracle pairing;
+    the call must say so loudly (VERDICT r5 item 5)."""
+    import warnings
+
+    from ask_duckdb_spark.operators.similarity import (
+        x62_semdedup,
+        x63_semdedup_hier,
+    )
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        x62_semdedup(spark, "/root/testdata/sf0.001", n_cells=16)
+        x63_semdedup_hier(spark, "/root/testdata/sf0.001", n_coarse=3)
+    texts = [str(x.message) for x in w]
+    assert any("x62_semdedup" in t and "VOID" in t for t in texts)
+    assert any("x63_semdedup_hier" in t and "VOID" in t for t in texts)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        x62_semdedup(spark, "/root/testdata/sf0.001")  # defaults: silent
+    assert not [x for x in w if "VOID" in str(x.message)]
