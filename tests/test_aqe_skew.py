@@ -21,6 +21,7 @@ def skew_confs(spark):
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
             "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
         )
     }
     spark.conf.set(
@@ -28,7 +29,12 @@ def skew_confs(spark):
     )
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
     spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    # Disable BOTH broadcast paths (plan-time and AQE runtime): the
+    # skew splitter only exists inside a sort-merge join, and the
+    # session's 64m adaptive threshold would otherwise convert this
+    # 100-row dim join to broadcast at runtime.
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     yield
     for k, v in prev.items():
         spark.conf.set(k, v)
