@@ -37,11 +37,21 @@ def test_bucket_spec_persisted(spark, bucketed_tables):
 @pytest.fixture()
 def no_auto_broadcast(spark):
     """Force the sort-merge path: at test SF everything fits a
-    broadcast, which would bypass the bucket co-location under test."""
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    broadcast, which would bypass the bucket co-location under test;
+    the session's SHJ preference is likewise pinned off so the
+    bucket-sorted merge (the thing under test) is what plans."""
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.join.preferSortMergeJoin",
+    )
+    prev = {k: spark.conf.get(k) for k in keys}
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
     yield
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    for k, v in prev.items():
+        spark.conf.set(k, v)
 
 
 def test_bucketed_join_is_exchange_free(spark, bucketed_tables, no_auto_broadcast):
