@@ -50,17 +50,13 @@ RUNTIME_CONF: dict[str, str] = {
     # post-shuffle stats conversions use the same bound.
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.sql.adaptive.autoBroadcastJoinThreshold": "64m",
-    # Prefer shuffled-hash over sort-merge when the planner's
-    # build-side bound (shuffle.partitions x autoBroadcastJoinThreshold
-    # per partition) holds: SHJ drops both sides' sorts, which the
-    # ratio-curve x8 point measured at 14-42% of medium-scale join
-    # wall (q10 2.38 -> 1.51 s, q5 2.48 -> 1.93 s, x22 1.78 -> 1.24 s).
-    # Trade documented for 100 TB: SHJ's per-partition build must fit
-    # memory — the planner only chooses it under the bound above, AQE
-    # skew splitting caps partition width, and genuinely huge-vs-huge
-    # joins still plan SortMergeJoin. Bucketed sorted tables keep SMJ
-    # (sorted buckets merge sort-free; see tests/test_bucketing.py).
-    "spark.sql.join.preferSortMergeJoin": "false",
+    # preferSortMergeJoin stays at the DEFAULT (true). A same-session
+    # alternating A/B (min-of-3 per mode, sf0.1 and the x8 corpus)
+    # showed shuffled-hash is NOT a global win here — SMJ edged it on
+    # most join shapes (sf0.1 totals 4.28 vs 4.58 s) and only x22
+    # favored SHJ; an earlier apparent 14-42% SHJ win was a
+    # page-cache/warmup artifact (BENCHLOG r6). SMJ also remains the
+    # spill-safe default for genuinely huge joins at 100 TB.
 }
 
 #: Build-time confs (need a fresh session).
