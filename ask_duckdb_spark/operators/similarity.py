@@ -1914,7 +1914,8 @@ def _x84_oracle() -> str:
     )
     SELECT f.qid AS query_id,
            CAST(count(t.cid) AS BIGINT) AS n_overlap,
-           ROUND(CAST(count(t.cid) AS DOUBLE) / {TRUNC_K}, 6) AS recall
+           floor(CAST(count(t.cid) AS DOUBLE) / {float(TRUNC_K)!r}
+                 * 1000000.0 + 0.5) / 1000000.0 AS recall
     FROM full_rank f
     LEFT JOIN trunc_rank t
       ON t.qid = f.qid AND t.cid = f.cid AND t.rn <= {TRUNC_K}
@@ -1976,12 +1977,15 @@ def x84_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("trn") <= TRUNC_K, 1).otherwise(0))
             .cast("bigint")
             .alias("n_overlap"),
-            F.round(
-                F.sum(F.when(F.col("trn") <= TRUNC_K, 1).otherwise(0)).cast(
-                    "double"
+            (
+                F.floor(
+                    F.sum(F.when(F.col("trn") <= TRUNC_K, 1).otherwise(0))
+                    .cast("double")
+                    / F.lit(float(TRUNC_K))
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
                 )
-                / TRUNC_K,
-                6,
+                / F.lit(1000000.0)
             ).alias("recall"),
         )
         .orderBy("query_id")

@@ -72,8 +72,15 @@ def novelty_ingest(
         .agg(
             F.count("*").cast("bigint").alias("n_distinct_windows"),
             F.sum(novel).cast("bigint").alias("n_novel"),
-            F.round(
-                F.sum(novel).cast("double") / F.count("*"), 6
+            # portable floor-round over exact counts (batch-x86 parity)
+            (
+                F.floor(
+                    F.sum(novel).cast("double")
+                    / F.count("*").cast("double")
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
             ).alias("novelty_ratio"),
         )
     )

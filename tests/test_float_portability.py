@@ -83,15 +83,20 @@ def test_no_spark_round_over_aggregate_in_sources():
     import pathlib
 
     root = pathlib.Path(__file__).resolve().parent.parent / "ask_duckdb_spark"
+    # Multiline: F.round( ... F.sum( may span lines (black formatting),
+    # so scan whole-file text, not lines (a line scan missed x84's
+    # wrapped F.round(F.sum(...)) the first time).
     pat = re.compile(
         r"F\.round\s*\(\s*F\.(sum|avg|mean|stddev\w*|var\w*|corr|covar\w*|"
         r"regr_\w+|median|product|percentile\w*)\s*\(",
+        re.S,
     )
     offenders = []
     for py in sorted(root.rglob("*.py")):
-        for ln, line in enumerate(py.read_text().splitlines(), 1):
-            if pat.search(line):
-                offenders.append(f"{py.name}:{ln}: {line.strip()[:80]}")
+        text = py.read_text()
+        for m in pat.finditer(text):
+            ln = text.count("\n", 0, m.start()) + 1
+            offenders.append(f"{py.name}:{ln}: {m.group(0)[:60]!r}")
     assert not offenders, (
         "Spark source rounds a float aggregate (x28b class) — use the "
         f"quantize-then-sum pattern: {offenders}"
