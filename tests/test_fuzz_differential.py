@@ -326,6 +326,14 @@ def test_fuzz_x28b_user_value_trend(spark, rows):
 
 @_FUZZ_SETTINGS
 @given(rows=events())
+def test_fuzz_x28_user_value_trend_pandas(spark, rows):
+    # the grouped-map twin shares TREND_ORACLE: Python-int sufficient
+    # statistics must be bit-identical to the SQL sides on any corpus
+    _fuzz_events(spark, "x28_user_value_trend", rows)
+
+
+@_FUZZ_SETTINGS
+@given(rows=events())
 def test_fuzz_x13_sessionize(spark, rows):
     _fuzz_events(spark, "x13_sessionize", rows)
 
