@@ -19,6 +19,7 @@ from . import multimodal  # noqa: F401,E402
 from . import scrub  # noqa: F401,E402
 from . import nl_queries  # noqa: F401,E402
 from . import profile  # noqa: F401,E402
+from . import layout  # noqa: F401,E402
 
 # The driver's per-round correctness harness verifies the FIRST 50
 # registry entries in iteration order. Rounds 1-2 officially verified

@@ -1,0 +1,505 @@
+"""Data-layout & incremental-maintenance operators (x115-x120).
+
+A 100 TB corpus is not re-read per query: it is maintained. Between
+the reference's ad-hoc SQL surface (query_db.py:63-76) and a
+production lake sit the operations that keep the data cheap to query —
+detecting what changed between snapshots, upserting the changes,
+pre-filtering shuffles with runtime bloom filters, laying files out in
+multi-dimensional (Z-order) clusters, auditing how much a predicate
+can skip via zone maps, and merging partial aggregate states instead
+of rescanning. Each is expressed as a declarative DataFrame plan with
+a DuckDB oracle twin, on the exact-integer arithmetic discipline of
+``_util`` (no hashed float aggregates — VERDICT r5 item 2).
+
+All six are pure Catalyst plans: no ``collect()``, no Python UDFs;
+the bloom build/probe (x117) is the one op with engine-specific
+internals (Spark ``xxhash64``), and its RESULT is still engine-neutral
+because the exact semi-join removes bloom false positives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from ._util import icents, icents_sql, money, money_sql, rev_units, rev_units_sql
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# x115 — snapshot CDC diff
+# ---------------------------------------------------------------------------
+
+_CDC_D1 = "1997-01-01"
+_CDC_D2 = "1997-07-01"
+
+_X115_ORACLE = f"""
+WITH a AS (
+  SELECT o_orderkey AS k, {icents_sql('o_totalprice')} AS units
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_CDC_D1}'
+), b AS (
+  SELECT o_orderkey AS k,
+         {icents_sql('o_totalprice')}
+           + CASE WHEN o_orderkey % 11 = 0 THEN 100 ELSE 0 END AS units
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '{_CDC_D2}' AND o_orderkey % 97 <> 0
+), d AS (
+  SELECT CASE WHEN a.k IS NULL THEN 'insert'
+              WHEN b.k IS NULL THEN 'delete'
+              WHEN a.units <> b.units THEN 'update'
+              ELSE 'unchanged' END AS change_kind,
+         coalesce(a.k, b.k) AS k,
+         coalesce(b.units, 0) - coalesce(a.units, 0) AS delta
+  FROM a FULL OUTER JOIN b ON a.k = b.k
+)
+SELECT change_kind,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(k) AS BIGINT) AS min_key,
+       CAST(max(k) AS BIGINT) AS max_key,
+       CAST(sum(delta) AS BIGINT) AS delta_units
+FROM d GROUP BY change_kind ORDER BY change_kind
+"""
+
+
+@query("x115_snapshot_cdc_diff", oracle=_X115_ORACLE)
+def x115_snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify row-level changes between two table snapshots (CDC).
+
+    Snapshot A is ``orders`` as of {D1}; snapshot B as of {D2} with a
+    deterministic mutation model (keys divisible by 97 deleted, prices
+    of keys divisible by 11 bumped one dollar) so all four change
+    kinds occur. A full-outer join on the key classifies each row as
+    insert / delete / update / unchanged; the summary aggregates per
+    kind with the exact integer-cents delta.
+
+    Scale (100 TB): the diff is ONE co-partitioned full-outer join on
+    the snapshot key — with both snapshots bucketed (or both written
+    by the same partitioner) it is shuffle-free; the classify and the
+    per-kind rollup are projection + a 4-group aggregate. This is the
+    change-detection primitive under incremental pipeline re-runs:
+    feed 'insert'+'update' keys downstream instead of rescanning B.
+    All arithmetic is integer cents (order-independent, hash-portable).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderdate") < F.lit(_CDC_D1).cast("timestamp")).select(
+        F.col("o_orderkey").alias("k"), icents("o_totalprice").alias("units")
+    )
+    b = (
+        o.filter(
+            (F.col("o_orderdate") < F.lit(_CDC_D2).cast("timestamp"))
+            & (F.col("o_orderkey") % 97 != 0)
+        ).select(
+            F.col("o_orderkey").alias("k"),
+            (
+                icents("o_totalprice")
+                + F.when(F.col("o_orderkey") % 11 == 0, F.lit(100)).otherwise(0)
+            ).alias("units"),
+        )
+    )
+    d = a.alias("a").join(b.alias("b"), F.col("a.k") == F.col("b.k"), "full_outer")
+    kind = (
+        F.when(F.col("a.k").isNull(), "insert")
+        .when(F.col("b.k").isNull(), "delete")
+        .when(F.col("a.units") != F.col("b.units"), "update")
+        .otherwise("unchanged")
+    )
+    return (
+        d.select(
+            kind.alias("change_kind"),
+            F.coalesce(F.col("a.k"), F.col("b.k")).alias("k"),
+            (
+                F.coalesce(F.col("b.units"), F.lit(0))
+                - F.coalesce(F.col("a.units"), F.lit(0))
+            ).alias("delta"),
+        )
+        .groupBy("change_kind")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("k").cast("bigint").alias("min_key"),
+            F.max("k").cast("bigint").alias("max_key"),
+            F.sum("delta").cast("bigint").alias("delta_units"),
+        )
+        .orderBy("change_kind")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x116 — MERGE (upsert) semantics as a declarative plan
+# ---------------------------------------------------------------------------
+
+_X116_ORACLE = f"""
+WITH src AS (
+  SELECT o_custkey + CASE WHEN o_custkey % 50 = 0 THEN 1000000 ELSE 0 END AS k,
+         CAST(sum({icents_sql('o_totalprice')}) AS BIGINT) AS delta_units
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+  GROUP BY 1
+)
+SELECT coalesce(t.c_custkey, s.k) AS c_custkey,
+       coalesce(t.c_name, 'Customer#new#' || CAST(s.k AS VARCHAR)) AS c_name,
+       CAST(coalesce(t.c_nationkey, -1) AS INTEGER) AS c_nationkey,
+       {money_sql(f"coalesce({icents_sql('t.c_acctbal')}, 0) + coalesce(s.delta_units, 0)", 100)} AS c_acctbal,
+       coalesce(t.c_mktsegment, 'UNKNOWN') AS c_mktsegment
+FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.k
+"""
+
+
+@query("x116_merge_upsert", oracle=_X116_ORACLE)
+def x116_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style MERGE INTO as one declarative full-outer plan.
+
+    Source = 1998 order revenue per customer key, with every 50th key
+    displaced out of the target's key range so NOT-MATCHED-BY-TARGET
+    inserts occur. Semantics: WHEN MATCHED THEN UPDATE (balance +=
+    delta), WHEN NOT MATCHED THEN INSERT (synthesized row), WHEN NOT
+    MATCHED BY SOURCE THEN keep — i.e. the full MERGE matrix, which a
+    single full-outer join + coalesce projection expresses exactly.
+
+    Scale (100 TB): MERGE under the hood of every lakehouse writer IS
+    this plan (join target files against the source on the merge key,
+    rewrite matched files). The source aggregate is map-side
+    combinable; the join shuffles once on the merge key — bucketed
+    targets make it co-partitioned. Balances ride exact integer cents
+    until one identical closing division on both engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    src = (
+        o.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .select(
+            (
+                F.col("o_custkey")
+                + F.when(F.col("o_custkey") % 50 == 0, F.lit(1000000)).otherwise(0)
+            ).alias("k"),
+            icents("o_totalprice").alias("u"),
+        )
+        .groupBy("k")
+        .agg(F.sum("u").cast("bigint").alias("delta_units"))
+    )
+    m = c.alias("t").join(src.alias("s"), F.col("t.c_custkey") == F.col("s.k"), "full_outer")
+    bal_units = F.coalesce(icents("t.c_acctbal"), F.lit(0)) + F.coalesce(
+        F.col("s.delta_units"), F.lit(0)
+    )
+    return m.select(
+        F.coalesce(F.col("t.c_custkey"), F.col("s.k")).alias("c_custkey"),
+        F.coalesce(
+            F.col("t.c_name"),
+            F.concat(F.lit("Customer#new#"), F.col("s.k").cast("string")),
+        ).alias("c_name"),
+        F.coalesce(F.col("t.c_nationkey"), F.lit(-1)).cast("int").alias("c_nationkey"),
+        money(bal_units, 100).alias("c_acctbal"),
+        F.coalesce(F.col("t.c_mktsegment"), F.lit("UNKNOWN")).alias("c_mktsegment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x117 — bloom-filter semi-join (runtime-filter pattern, collect-free)
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 1 << 17  # m: 131072 bits = 2048 64-bit words
+_BLOOM_K = 3  # hash functions
+
+_X117_ORACLE = f"""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       {money_sql(f"sum({rev_units_sql()})", 10000)} AS revenue
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def _bloom_pos(key: Column, seed: Column | int) -> Column:
+    """Bit position of hash function ``seed`` for ``key`` in [0, m)."""
+    seed_c = F.lit(seed) if isinstance(seed, int) else seed
+    return F.pmod(F.xxhash64(key, seed_c), F.lit(_BLOOM_BITS))
+
+
+def _word_mask(pos_col: str) -> tuple[Column, Column]:
+    """(word index, bit mask) of a materialized position column.
+
+    The mask's bit count is data-dependent, which the Python
+    ``shiftleft`` DSL rejects (int-only) — use the SQL expression.
+    """
+    word = F.shiftright(F.col(pos_col), 6)
+    mask = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(pmod({pos_col}, 64) AS INT))"
+    )
+    return word, mask
+
+
+@query("x117_bloom_semijoin", oracle=_X117_ORACLE)
+def x117_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join with a distributed bloom-filter pre-filter.
+
+    The runtime-filter pattern Spark itself applies under
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled``, built
+    explicitly and collect-free: (1) the build side (urgent orders)
+    hashes each key with k=3 ``xxhash64`` seeds into an m=2^17-bit
+    filter materialized as a ≤2048-row (word, bits) table via
+    ``bit_or`` aggregation; (2) the probe side (lineitem) checks all
+    three bits through three BROADCAST joins against that table — no
+    shuffle of the big side — dropping most non-matching rows early;
+    (3) an exact left-semi join removes bloom false positives, so the
+    result is bit-identical to the plain semi-join oracle even though
+    the filter internals are engine-specific.
+
+    Scale (100 TB): the win is shuffle-volume reduction — the exact
+    semi-join shuffles only bloom survivors (~p + fp of the probe).
+    The filter table is O(m/64) rows regardless of data size;
+    broadcasting it costs 16 KB. False-positive rate at n build keys:
+    (1 - e^{{-kn/m}})^k; m is a knob to size per build cardinality.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    build = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("bk"))
+        .distinct()
+    )
+    # Bloom build: k hash positions per key -> OR-aggregated words.
+    seeds = F.explode(F.array(*[F.lit(s) for s in range(_BLOOM_K)])).alias("seed")
+    positions = build.select("bk", seeds).select(
+        _bloom_pos(F.col("bk"), F.col("seed")).alias("pos")
+    )
+    bword, bmask = _word_mask("pos")
+    words = (
+        positions.select(bword.alias("word"), bmask.alias("mask"))
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    # Bloom probe: three broadcast lookups; a missing word or an unset
+    # bit is a definite miss (null-propagating filter drops the row).
+    probe = li
+    for s in range(_BLOOM_K):
+        probe = probe.withColumn(f"_p{s}", _bloom_pos(F.col("l_orderkey"), s))
+        w, m = _word_mask(f"_p{s}")
+        ws = words.select(
+            F.col("word").alias(f"bw{s}"), F.col("bits").alias(f"bb{s}")
+        )
+        probe = (
+            probe.withColumn(f"_w{s}", w)
+            .withColumn(f"_m{s}", m)
+            .join(F.broadcast(ws), F.col(f"_w{s}") == F.col(f"bw{s}"), "left")
+            .filter((F.col(f"bb{s}").bitwiseAND(F.col(f"_m{s}"))) != 0)
+        )
+    survivors = probe.select(li.columns)
+    exact = survivors.join(
+        build, survivors["l_orderkey"] == build["bk"], "left_semi"
+    )
+    return (
+        exact.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            money(F.sum(rev_units()), 10000).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x118 — Z-order (Morton) clustering audit
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 16
+_Z_BUCKETS = 64
+
+
+def _morton_sql(x: str, y: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _morton_col(x: Column, y: Column) -> Column:
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return z
+
+
+_X118_ORACLE = f"""
+WITH z AS (
+  SELECT l_partkey, l_suppkey,
+         {_morton_sql('l_partkey', 'l_suppkey')} AS zkey
+  FROM lineitem
+), zm AS (
+  SELECT max(zkey) AS zmax FROM z
+)
+SELECT CAST(floor((zkey * {_Z_BUCKETS}) / (zmax + 1)) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(l_partkey) AS BIGINT) AS min_part,
+       CAST(max(l_partkey) AS BIGINT) AS max_part,
+       CAST(min(l_suppkey) AS BIGINT) AS min_supp,
+       CAST(max(l_suppkey) AS BIGINT) AS max_supp
+FROM z, zm GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("x118_zorder_clustering", oracle=_X118_ORACLE)
+def x118_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) key + per-target-file clustering audit.
+
+    Interleaves the bits of (l_partkey, l_suppkey) into one Z-order
+    key — the multi-dimensional layout key behind Delta/Iceberg
+    ``OPTIMIZE ZORDER BY`` — then range-buckets rows into 64 target
+    "files" and reports each file's covered rectangle (min/max of both
+    dimensions). Tight rectangles are the whole point: a zone-map scan
+    (x119) over EITHER dimension can then skip most files, which
+    one-dimensional sorting only achieves for its leading column.
+
+    Scale (100 TB): the z-key is a pure projection (32 codegen'd bit
+    ops/row, no shuffle); the physical re-layout it drives is
+    ``repartitionByRange(zkey).write`` — one range shuffle. The bucket
+    boundary here derives from max(zkey) (scalar subquery, broadcast
+    1-row cross join) so the audit is scale-invariant; a writer would
+    use fixed target file sizes instead. Integer-only output.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    z = li.select(
+        "l_partkey",
+        "l_suppkey",
+        _morton_col(F.col("l_partkey"), F.col("l_suppkey")).alias("zkey"),
+    )
+    zm = z.agg(F.max("zkey").alias("zmax"))
+    return (
+        z.crossJoin(F.broadcast(zm))
+        .select(
+            F.floor((F.col("zkey") * _Z_BUCKETS) / (F.col("zmax") + 1))
+            .cast("bigint")
+            .alias("bucket"),
+            "l_partkey",
+            "l_suppkey",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("l_partkey").cast("bigint").alias("min_part"),
+            F.max("l_partkey").cast("bigint").alias("max_part"),
+            F.min("l_suppkey").cast("bigint").alias("min_supp"),
+            F.max("l_suppkey").cast("bigint").alias("max_supp"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x119 — zone-map pruning audit
+# ---------------------------------------------------------------------------
+
+_ZM_LO = 20000_00  # predicate: o_totalprice BETWEEN $20k and $40k (cents)
+_ZM_HI = 40000_00
+
+_X119_ORACLE = f"""
+WITH f AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS file_id,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(min({icents_sql('o_totalprice')}) AS BIGINT) AS min_units,
+         CAST(max({icents_sql('o_totalprice')}) AS BIGINT) AS max_units
+  FROM orders GROUP BY 1
+)
+SELECT file_id, n_rows, min_units, max_units,
+       (max_units < {_ZM_LO} OR min_units > {_ZM_HI}) AS prunable
+FROM f ORDER BY file_id
+"""
+
+
+@query("x119_zone_map_pruning", oracle=_X119_ORACLE)
+def x119_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max statistics) pruning audit per data file.
+
+    Models the month-partitioned file layout a date-partitioned lake
+    write produces: each month is one "file" carrying zone-map stats
+    (row count, min/max of the predicate column in exact cents — the
+    same footer statistics Parquet already stores). For the predicate
+    ``o_totalprice BETWEEN $20k AND $40k`` a file is prunable iff its
+    [min,max] range is disjoint from the predicate interval — the scan
+    never opens it.
+
+    Scale (100 TB): this audit is how you VERIFY a layout before
+    trusting it — the fraction of prunable files directly predicts
+    scan cost under the workload's predicates. Computing it is one
+    map-side-combinable aggregate over the partition key; at cluster
+    scale the stats come free from the Parquet footers (no data scan
+    at all). Pairs with x118: Z-ordered files are prunable on BOTH
+    dimensions.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    f = (
+        o.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("file_id"),
+            icents("o_totalprice").alias("u"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("u").cast("bigint").alias("min_units"),
+            F.max("u").cast("bigint").alias("max_units"),
+        )
+    )
+    return f.select(
+        "file_id",
+        "n_rows",
+        "min_units",
+        "max_units",
+        ((F.col("max_units") < _ZM_LO) | (F.col("min_units") > _ZM_HI)).alias(
+            "prunable"
+        ),
+    ).orderBy("file_id")
+
+
+# ---------------------------------------------------------------------------
+# x120 — partial-aggregate state merge (incremental rollup maintenance)
+# ---------------------------------------------------------------------------
+
+_X120_ORACLE = f"""
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {money_sql(f"sum({icents_sql('o_totalprice')})", 100)} AS total_price
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("x120_partial_agg_merge", oracle=_X120_ORACLE)
+def x120_partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge daily partial-aggregate states into the monthly rollup.
+
+    Computes per-DAY partials (count, integer-cents sum) first, then
+    merges them to months by re-aggregating the partials — never
+    touching base rows again. The oracle aggregates the base table
+    directly, so the driver's hash check proves the algebraic identity
+    partial-merge ≡ recompute, which only holds because the states are
+    decomposable (count/sum) and exact (integers: float partials would
+    drift by summation order).
+
+    Scale (100 TB): THE incremental pattern — a nightly pipeline
+    appends one day of partials (scanning one day of data) and every
+    coarser rollup derives from partials at ~1/30 the input. The same
+    identity underlies map-side combine, materialized-view refresh,
+    and cube maintenance; non-decomposable stats need sketch states
+    instead (g10's HLL, x37's GK quantiles).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+            icents("o_totalprice").alias("u"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum("u").cast("bigint").alias("units"),
+        )
+    )
+    return (
+        daily.groupBy(F.substring("day", 1, 7).alias("month"))
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_orders"),
+            money(F.sum("units").cast("bigint"), 100).alias("total_price"),
+        )
+        .orderBy("month")
+    )

@@ -1,0 +1,209 @@
+"""Semantic gates for the layout/incremental operators (x115-x120).
+
+All six carry full value-hashed DuckDB oracles (scripts/diffcheck.py);
+these tests pin the invariants the oracle equality can't see — the CDC
+mutation model, MERGE's matched/unmatched matrix, bloom-prefilter ≡
+plain-semi-join equality (and that the prefilter actually prunes and
+actually broadcasts), Z-order locality, zone-map pruning soundness,
+and the partial-merge ≡ recompute identity checked engine-internally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ask_duckdb_spark.operators import QUERIES
+from ask_duckdb_spark.sources.catalog import load_table
+
+from conftest import SF_DIR
+
+
+def test_x115_cdc_mutation_model(spark):
+    out = {
+        r["change_kind"]: r
+        for r in QUERIES["x115_snapshot_cdc_diff"](spark, SF_DIR).collect()
+    }
+    assert set(out) == {"insert", "delete", "update", "unchanged"}
+    # unchanged rows carry zero delta; updates bump exactly one dollar
+    assert out["unchanged"]["delta_units"] == 0
+    assert out["update"]["delta_units"] == 100 * out["update"]["n_rows"]
+    # deletes are exactly the keys divisible by 97 (both extremes are)
+    assert out["delete"]["min_key"] % 97 == 0
+    assert out["delete"]["max_key"] % 97 == 0
+    # inserts all arrive from the (D1, D2) date slice: positive deltas
+    assert out["insert"]["delta_units"] > 0
+
+
+def test_x116_merge_matrix(spark):
+    merged = QUERIES["x116_merge_upsert"](spark, SF_DIR)
+    cust = load_table(spark, SF_DIR, "customer")
+    n_cust = cust.count()
+    inserted = merged.filter(F.col("c_custkey") >= 1000000)
+    n_ins = inserted.count()
+    # every target row survives; every displaced source key inserts
+    assert merged.count() == n_cust + n_ins
+    assert n_ins > 0
+    ins_row = inserted.orderBy("c_custkey").first()
+    assert ins_row["c_mktsegment"] == "UNKNOWN"
+    assert ins_row["c_nationkey"] == -1
+    assert ins_row["c_name"] == f"Customer#new#{ins_row['c_custkey']}"
+    # a non-matched-by-source target keeps its balance bit-exactly
+    o = load_table(spark, SF_DIR, "orders")
+    src_keys = {
+        r["k"]
+        for r in o.filter(F.col("o_orderdate") >= "1998-01-01")
+        .select(
+            (
+                F.col("o_custkey")
+                + F.when(F.col("o_custkey") % 50 == 0, 1000000).otherwise(0)
+            ).alias("k")
+        )
+        .distinct()
+        .collect()
+    }
+    untouched = (
+        cust.filter(~F.col("c_custkey").isin(list(src_keys)))
+        .orderBy("c_custkey")
+        .first()
+    )
+    kept = merged.filter(F.col("c_custkey") == untouched["c_custkey"]).first()
+    assert kept["c_acctbal"] == round(untouched["c_acctbal"], 2)
+
+
+def test_x117_bloom_equals_plain_semijoin_and_broadcasts(spark):
+    out = QUERIES["x117_bloom_semijoin"](spark, SF_DIR)
+    li = load_table(spark, SF_DIR, "lineitem")
+    o = load_table(spark, SF_DIR, "orders")
+    build = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    from ask_duckdb_spark.operators._util import money, rev_units
+
+    plain = (
+        li.join(build, li["l_orderkey"] == build["o_orderkey"], "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            money(F.sum(rev_units()), 10000).alias("revenue"),
+        )
+    )
+    got = {r["l_returnflag"]: r for r in out.collect()}
+    want = {r["l_returnflag"]: r for r in plain.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["n_items"] == want[k]["n_items"]
+        assert got[k]["revenue"] == want[k]["revenue"]
+    # the three bloom lookups must be broadcast joins (no probe shuffle)
+    from ask_duckdb_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["x117_bloom_semijoin"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_x117_bloom_actually_prunes(spark):
+    """The prefilter must reject most non-matching probe keys —
+    otherwise it is dead weight in front of the exact join."""
+    from ask_duckdb_spark.operators.layout import (
+        _BLOOM_BITS,
+        _BLOOM_K,
+        _bloom_pos,
+        _word_mask,
+    )
+
+    o = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    build = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("bk"))
+        .distinct()
+    )
+    positions = build.select(
+        F.explode(F.array(*[F.lit(s) for s in range(_BLOOM_K)])).alias("seed"),
+        "bk",
+    ).select(_bloom_pos(F.col("bk"), F.col("seed")).alias("pos"))
+    w, m = _word_mask("pos")
+    words = (
+        positions.select(w.alias("word"), m.alias("mask"))
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    probe = li
+    for s in range(_BLOOM_K):
+        probe = probe.withColumn(f"_p{s}", _bloom_pos(F.col("l_orderkey"), s))
+        ws, msk = _word_mask(f"_p{s}")
+        wtab = words.select(F.col("word").alias(f"bw{s}"), F.col("bits").alias(f"bb{s}"))
+        probe = (
+            probe.withColumn(f"_w{s}", ws)
+            .withColumn(f"_m{s}", msk)
+            .join(F.broadcast(wtab), F.col(f"_w{s}") == F.col(f"bw{s}"), "left")
+            .filter((F.col(f"bb{s}").bitwiseAND(F.col(f"_m{s}"))) != 0)
+        )
+    n_total = li.count()
+    n_survive = probe.count()
+    n_true = li.join(
+        build, li["l_orderkey"] == build["bk"], "left_semi"
+    ).count()
+    assert n_true <= n_survive  # no false negatives, ever
+    # false-positive overhead stays small at the sized m (2^17 bits)
+    assert n_survive - n_true <= 0.05 * n_total
+
+
+def test_x118_zorder_locality(spark):
+    rows = QUERIES["x118_zorder_clustering"](spark, SF_DIR).collect()
+    li = load_table(spark, SF_DIR, "lineitem")
+    g = li.agg(
+        F.min("l_partkey"),
+        F.max("l_partkey"),
+        F.min("l_suppkey"),
+        F.max("l_suppkey"),
+        F.count(F.lit(1)),
+    ).first()
+    global_area = (g[1] - g[0] + 1) * (g[3] - g[2] + 1)
+    assert sum(r["n_rows"] for r in rows) == g[4]
+    areas = [
+        (r["max_part"] - r["min_part"] + 1) * (r["max_supp"] - r["min_supp"] + 1)
+        for r in rows
+    ]
+    # Z-order files cover small rectangles, not the whole key plane
+    assert sum(areas) / len(areas) < 0.3 * global_area
+
+
+def test_x119_pruning_is_sound(spark):
+    rows = QUERIES["x119_zone_map_pruning"](spark, SF_DIR).collect()
+    from ask_duckdb_spark.operators.layout import _ZM_HI, _ZM_LO
+    from ask_duckdb_spark.operators._util import icents
+
+    o = load_table(spark, SF_DIR, "orders")
+    pruned = [r["file_id"] for r in rows if r["prunable"]]
+    matching = o.filter(
+        (icents("o_totalprice") >= _ZM_LO)
+        & (icents("o_totalprice") <= _ZM_HI)
+        & F.date_format("o_orderdate", "yyyy-MM").isin(pruned)
+    )
+    # a prunable file contains NO predicate-matching rows (soundness)
+    if pruned:
+        assert matching.count() == 0
+    assert sum(r["n_rows"] for r in rows) == o.count()
+
+
+def test_x120_partial_merge_equals_recompute(spark):
+    from ask_duckdb_spark.operators._util import icents, money
+
+    out = {
+        r["month"]: r
+        for r in QUERIES["x120_partial_agg_merge"](spark, SF_DIR).collect()
+    }
+    o = load_table(spark, SF_DIR, "orders")
+    direct = {
+        r["month"]: r
+        for r in o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            money(F.sum(icents("o_totalprice")).cast("bigint"), 100).alias(
+                "total_price"
+            ),
+        )
+        .collect()
+    }
+    assert set(out) == set(direct)
+    for k in direct:
+        assert out[k]["n_orders"] == direct[k]["n_orders"]
+        assert out[k]["total_price"] == direct[k]["total_price"]
