@@ -210,10 +210,10 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
-def _bloom_pos(key: Column, seed: Column | int) -> Column:
+def _bloom_pos(key: Column, seed: Column | int, m_bits: int = _BLOOM_BITS) -> Column:
     """Bit position of hash function ``seed`` for ``key`` in [0, m)."""
     seed_c = F.lit(seed) if isinstance(seed, int) else seed
-    return F.pmod(F.xxhash64(key, seed_c), F.lit(_BLOOM_BITS))
+    return F.pmod(F.xxhash64(key, seed_c), F.lit(m_bits))
 
 
 def _word_mask(pos_col: str) -> tuple[Column, Column]:
@@ -230,7 +230,9 @@ def _word_mask(pos_col: str) -> tuple[Column, Column]:
 
 
 @query("x117_bloom_semijoin", oracle=_X117_ORACLE)
-def x117_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x117_bloom_semijoin(
+    spark: SparkSession, sf_dir: str, m_bits: int = _BLOOM_BITS
+) -> DataFrame:
     """Semi-join with a distributed bloom-filter pre-filter.
 
     The runtime-filter pattern Spark itself applies under
@@ -249,7 +251,11 @@ def x117_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join shuffles only bloom survivors (~p + fp of the probe).
     The filter table is O(m/64) rows regardless of data size;
     broadcasting it costs 16 KB. False-positive rate at n build keys:
-    (1 - e^{{-kn/m}})^k; m is a knob to size per build cardinality.
+    (1 - e^{-kn/m})^k — so ``m_bits`` MUST grow with build cardinality
+    (≈13 bits/key holds fp under 3% at k=3; the default 2^17 is sized
+    for the fixture's ~10^4 urgent orders and saturates at 100x —
+    scripts/scale_trial.py passes m_bits = 2^17 * factor, the same
+    stats-driven sizing Spark's own injected runtime filter performs).
     """
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -261,7 +267,7 @@ def x117_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bloom build: k hash positions per key -> OR-aggregated words.
     seeds = F.explode(F.array(*[F.lit(s) for s in range(_BLOOM_K)])).alias("seed")
     positions = build.select("bk", seeds).select(
-        _bloom_pos(F.col("bk"), F.col("seed")).alias("pos")
+        _bloom_pos(F.col("bk"), F.col("seed"), m_bits).alias("pos")
     )
     bword, bmask = _word_mask("pos")
     words = (
@@ -273,7 +279,9 @@ def x117_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bit is a definite miss (null-propagating filter drops the row).
     probe = li
     for s in range(_BLOOM_K):
-        probe = probe.withColumn(f"_p{s}", _bloom_pos(F.col("l_orderkey"), s))
+        probe = probe.withColumn(
+            f"_p{s}", _bloom_pos(F.col("l_orderkey"), s, m_bits)
+        )
         w, m = _word_mask(f"_p{s}")
         ws = words.select(
             F.col("word").alias(f"bw{s}"), F.col("bits").alias(f"bb{s}")

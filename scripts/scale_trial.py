@@ -125,6 +125,56 @@ def build_corpus(spark, factor: int, workdir: str) -> None:
         os.path.join(workdir, "events.parquet")
     )
 
+    # Relational tables, for the layout/incremental family (x115-x120):
+    # fresh orderkey/custkey ranges per replica — the fact tables grow
+    # Nx while part/supplier dimensions stay fixed, the realistic shape
+    # (a lake gains orders, not part numbers). Key-congruence mutation
+    # models (x115's %97/%11) keep their rates: the 10^7 replica stride
+    # shifts residues per replica without changing the densities.
+    cu = load_table(spark, BASE, "customer").crossJoin(
+        spark.range(factor).select(F.col("id").alias("replica"))
+    )
+    cu.select(
+        (F.col("c_custkey") + k * 10_000_000).alias("c_custkey"),
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    ).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(workdir, "customer.parquet")
+    )
+    od = load_table(spark, BASE, "orders").crossJoin(
+        spark.range(factor).select(F.col("id").alias("replica"))
+    )
+    od.select(
+        (F.col("o_orderkey") + k * 10_000_000).alias("o_orderkey"),
+        (F.col("o_custkey") + k * 10_000_000).alias("o_custkey"),
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(workdir, "orders.parquet")
+    )
+    li = load_table(spark, BASE, "lineitem").crossJoin(
+        spark.range(factor).select(F.col("id").alias("replica"))
+    )
+    li.select(
+        (F.col("l_orderkey") + k * 10_000_000).alias("l_orderkey"),
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    ).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(workdir, "lineitem.parquet")
+    )
+
 
 def time_stage(spark, name: str, sf_dir: str, factor: int = 1) -> tuple[float, int]:
     spark.catalog.clearCache()
@@ -146,6 +196,17 @@ def time_stage(spark, name: str, sf_dir: str, factor: int = 1) -> tuple[float, i
         side = max(2, math.isqrt(N_CELLS * factor))
         n = x63_semdedup_hier(
             spark, sf_dir, n_coarse=side, n_fine=side
+        ).count()
+    elif name == "x117_bloom_semijoin" and factor > 1:
+        # size the filter to the grown build side (see the docstring's
+        # fp formula): m_bits scales with build-key cardinality
+        from ask_duckdb_spark.operators.layout import (
+            _BLOOM_BITS,
+            x117_bloom_semijoin,
+        )
+
+        n = x117_bloom_semijoin(
+            spark, sf_dir, m_bits=_BLOOM_BITS * factor
         ).count()
     else:
         n = QUERIES[name](spark, sf_dir).count()
