@@ -34,6 +34,11 @@ PINNED = [
     "w2_running_sum",
     "g12_stats_agg",
     "x60_mixture_weights",
+    # layout family (r6): CDC's full-outer classify and the
+    # partial-merge identity are exactly the shapes a partitioning
+    # change would perturb if any accumulation were float
+    "x115_snapshot_cdc_diff",
+    "x120_partial_agg_merge",
 ]
 
 

@@ -339,3 +339,41 @@ def test_closing_ops_shuffle_budgets(spark):
     # shuffle for the distinct aggregates + unpivot; no join at all
     plan = checks.formatted_plan(QUERIES["x103_column_profile"](spark, SF_DIR))
     assert "Join" not in plan
+
+
+def test_layout_family_shuffle_budgets(spark):
+    """Plan pins for x115-x120 (operators/layout.py): the shapes the
+    100 TB argument rests on must survive plan changes. x118's Z-key is
+    a pure projection (the only exchange is the closing 64-group agg +
+    sort; the scalar max rides a broadcast); x119/x120 are single
+    combinable aggregations with map-side partials; x115's diff is one
+    full-outer join; x117's bloom probe reaches the big scan through
+    BROADCAST joins only (the whole point — no probe-side shuffle
+    before the exact semi-join)."""
+    x115 = QUERIES["x115_snapshot_cdc_diff"](spark, SF_DIR)
+    assert checks.num_shuffles(x115) <= 4  # 2 scan-side + join + agg
+    assert checks.has_partial_aggregate(x115)
+
+    x117 = QUERIES["x117_bloom_semijoin"](spark, SF_DIR)
+    plan = checks.formatted_plan(x117)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    # exactly one exchange touches lineitem rows: the final semi-join's
+    # probe repartition (the word-table builds are orders-side)
+    assert checks.has_partial_aggregate(x117)
+
+    # 3 = zmax scalar-agg exchange + group-agg exchange + closing sort's
+    # range exchange; the zkey projection itself adds none
+    x118 = QUERIES["x118_zorder_clustering"](spark, SF_DIR)
+    assert checks.num_shuffles(x118) <= 3, checks.formatted_plan(x118)
+    assert checks.has_broadcast_join(x118)  # the scalar zmax
+    assert checks.has_partial_aggregate(x118)
+
+    # x120's 3rd exchange is the month-level re-aggregation of the day
+    # partials — the two-level merge IS the operator's point
+    for name, budget in [
+        ("x119_zone_map_pruning", 2),
+        ("x120_partial_agg_merge", 3),
+    ]:
+        df = QUERIES[name](spark, SF_DIR)
+        assert checks.num_shuffles(df) <= budget, name
+        assert checks.has_partial_aggregate(df), name
