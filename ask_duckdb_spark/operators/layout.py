@@ -1,4 +1,4 @@
-"""Data-layout & incremental-maintenance operators (x115-x120).
+"""Data-layout & incremental-maintenance operators (x115-x123).
 
 A 100 TB corpus is not re-read per query: it is maintained. Between
 the reference's ad-hoc SQL surface (query_db.py:63-76) and a
@@ -11,10 +11,15 @@ of rescanning. Each is expressed as a declarative DataFrame plan with
 a DuckDB oracle twin, on the exact-integer arithmetic discipline of
 ``_util`` (no hashed float aggregates — VERDICT r5 item 2).
 
-All six are pure Catalyst plans: no ``collect()``, no Python UDFs;
-the bloom build/probe (x117) is the one op with engine-specific
-internals (Spark ``xxhash64``), and its RESULT is still engine-neutral
-because the exact semi-join removes bloom false positives.
+The second batch (x121-x123) covers dimension-history maintenance
+(SCD Type-2 interval builder), order-preserving small-file compaction
+planning, and deterministic weight-proportional sampling via the
+portable-hash layer.
+
+All are pure Catalyst plans: no ``collect()``, no Python UDFs; the
+bloom build/probe (x117) is the one op with engine-specific internals
+(Spark ``xxhash64``), and its RESULT is still engine-neutral because
+the exact semi-join removes bloom false positives.
 """
 
 from __future__ import annotations
@@ -511,3 +516,206 @@ def x120_partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# x121 — SCD Type-2 dimension history
+# ---------------------------------------------------------------------------
+
+_X121_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type, ts,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), changes AS (
+  SELECT user_id, event_type AS state, ts AS valid_from
+  FROM seq WHERE prev_type IS NULL OR event_type <> prev_type
+)
+SELECT user_id, state, valid_from,
+       lead(valid_from) OVER w2 AS valid_to,
+       CAST(row_number() OVER w2 AS BIGINT) AS version,
+       (lead(valid_from) OVER w2 IS NULL) AS is_current
+FROM changes
+WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)
+ORDER BY user_id, version
+"""
+
+
+@query("x121_scd2_history", oracle=_X121_ORACLE)
+def x121_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build SCD Type-2 validity intervals from an event stream.
+
+    Treats each user's event_type as a tracked dimension attribute:
+    consecutive equal states collapse into one version, each state
+    CHANGE opens a new version row with ``[valid_from, valid_to)``
+    bounds (open-ended + ``is_current`` for the latest). This is the
+    slowly-changing-dimension builder every warehouse needs to answer
+    "what was the user's state AT time t" with a plain range predicate
+    (or j9's as-of join) instead of replaying the event log.
+
+    Scale (100 TB): both windows partition by user_id — ONE shuffle
+    key, no global ordering anywhere; per-user sequences are bounded
+    by per-user activity. The change-collapse drops the payload to
+    |state changes| rows before the second window. Deterministic by
+    construction: ties within a user break on event_id.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = seq.filter(
+        F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type"))
+    ).select("user_id", F.col("event_type").alias("state"), F.col("ts").alias("valid_from"))
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return changes.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.row_number().over(w2).cast("bigint").alias("version"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    ).orderBy("user_id", "version")
+
+
+# ---------------------------------------------------------------------------
+# x122 — ordered small-file compaction plan
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 2000  # rows per output shard (fixture-scaled knob)
+
+_X122_ORACLE = f"""
+WITH files AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS file_id,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM orders GROUP BY 1
+), planned AS (
+  SELECT file_id, n_rows,
+         CAST(floor(
+           CAST(coalesce(sum(n_rows) OVER (ORDER BY file_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+           / {_COMPACT_TARGET}) AS BIGINT) AS shard_id
+  FROM files
+)
+SELECT file_id, n_rows, shard_id,
+       CAST(sum(n_rows) OVER (PARTITION BY shard_id) AS BIGINT) AS shard_rows
+FROM planned ORDER BY file_id
+"""
+
+
+@query("x122_compaction_plan", oracle=_X122_ORACLE)
+def x122_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan small-file compaction into ~target-row shards, IN KEY ORDER.
+
+    Takes the month-file manifest (x119's layout) and assigns each
+    file to an output shard by exclusive-cumulative-sum bucketing:
+    shard = floor(rows_before / target). Unlike x54's FFD bin packing
+    (which reorders freely for tightness), compaction must preserve
+    the sort order — merging non-adjacent files would destroy the
+    zone-map clustering x119 measures. The cumsum rule is the greedy
+    order-preserving packer: every shard lands within one input file
+    of the target.
+
+    Scale (100 TB): the input is the file MANIFEST, not the data —
+    metadata-scale (one row per file; a 100 TB table at 1 GB files is
+    10^5 rows), so the single-partition ordered window is bounded the
+    same way x83's cutoff histogram is. The plan's execution is then
+    one ``repartitionByRange(shard_id).write`` over the real data.
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    files = (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("file_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+    cum_before = (
+        F.coalesce(
+            F.sum("n_rows").over(
+                Window.orderBy("file_id").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        )
+    )
+    planned = files.select(
+        "file_id",
+        "n_rows",
+        F.floor(cum_before.cast("double") / _COMPACT_TARGET)
+        .cast("bigint")
+        .alias("shard_id"),
+    )
+    return planned.select(
+        "file_id",
+        "n_rows",
+        "shard_id",
+        F.sum("n_rows")
+        .over(Window.partitionBy("shard_id"))
+        .cast("bigint")
+        .alias("shard_rows"),
+    ).orderBy("file_id")
+
+
+# ---------------------------------------------------------------------------
+# x123 — deterministic weighted priority sample
+# ---------------------------------------------------------------------------
+
+_SAMPLE_K = 200
+
+def _x123_oracle() -> str:
+    from ..functions.porthash import PH_P, token_hash60_sql
+
+    h = token_hash60_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, source, n_chars,
+             CAST(floor(CAST(({h}) % {PH_P} AS DOUBLE) * 1000000.0
+                        / n_chars) AS BIGINT) AS priority
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, source, n_chars, priority
+    FROM scored ORDER BY priority, doc_id LIMIT {_SAMPLE_K}
+    """
+
+
+@query("x123_weighted_sample", oracle=_x123_oracle())
+def x123_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional document sample (top-k by
+    hashed priority / weight).
+
+    The distributed form of weighted reservoir sampling (Efraimidis-
+    Spirakis by way of integer arithmetic): each doc draws a portable
+    pseudo-uniform integer u = porthash(doc_id) mod P and takes
+    priority = floor(u * 10^6 / weight); the global sample is the k
+    SMALLEST priorities, so inclusion odds grow with weight
+    (n_chars — at training time, token count). Everything is integer
+    and the hash is the md5-based portable layer, so the sample is
+    reproducible across engines, runs and partitionings — the property
+    that makes a training mixture auditable. x23 is the uniform
+    special case.
+
+    Scale (100 TB): one scan + TakeOrdered top-k (no global sort
+    materialization); k log k merge on the driver-side heads only.
+    Weights skew inclusion without any per-source pre-aggregation, so
+    it composes with x71's per-source mixture quotas.
+    """
+    from ..functions.porthash import PH_P, token_hash60
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = F.pmod(token_hash60(F.col("doc_id").cast("string")), F.lit(PH_P))
+    scored = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.floor(u.cast("double") * F.lit(1000000.0) / F.col("n_chars"))
+        .cast("bigint")
+        .alias("priority"),
+    )
+    return scored.orderBy("priority", "doc_id").limit(_SAMPLE_K)

@@ -207,3 +207,56 @@ def test_x120_partial_merge_equals_recompute(spark):
     for k in direct:
         assert out[k]["n_orders"] == direct[k]["n_orders"]
         assert out[k]["total_price"] == direct[k]["total_price"]
+
+
+def test_x121_scd2_interval_algebra(spark):
+    rows = QUERIES["x121_scd2_history"](spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events")
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user) == ev.select("user_id").distinct().count()
+    for u, vs in by_user.items():
+        vs.sort(key=lambda r: r["version"])
+        # contiguous versions, exactly one open interval, abutting bounds
+        assert [r["version"] for r in vs] == list(range(1, len(vs) + 1))
+        assert sum(r["is_current"] for r in vs) == 1
+        assert vs[-1]["is_current"] and vs[-1]["valid_to"] is None
+        for a, b in zip(vs, vs[1:]):
+            assert a["valid_to"] == b["valid_from"]  # no gaps, no overlaps
+            assert a["state"] != b["state"]  # a version exists per CHANGE
+
+
+def test_x122_compaction_preserves_order_and_bounds(spark):
+    from ask_duckdb_spark.operators.layout import _COMPACT_TARGET
+
+    rows = QUERIES["x122_compaction_plan"](spark, SF_DIR).collect()
+    rows.sort(key=lambda r: r["file_id"])
+    # order-preserving: shard ids are non-decreasing along the sort key
+    shard_seq = [r["shard_id"] for r in rows]
+    assert shard_seq == sorted(shard_seq)
+    max_file = max(r["n_rows"] for r in rows)
+    shards = {}
+    for r in rows:
+        shards[r["shard_id"]] = r["shard_rows"]
+        # the window total matches the per-shard sum
+    for sid, total in shards.items():
+        assert total == sum(r["n_rows"] for r in rows if r["shard_id"] == sid)
+        # greedy bound: a shard overshoots the target by < one input file
+        assert total < _COMPACT_TARGET + max_file
+        if sid != max(shards):
+            assert total >= _COMPACT_TARGET - max_file
+
+
+def test_x123_weighted_sample_prefers_heavy_docs(spark):
+    sample = QUERIES["x123_weighted_sample"](spark, SF_DIR)
+    docs = load_table(spark, SF_DIR, "documents").filter(F.col("n_chars") > 0)
+    mean_sample = sample.agg(F.avg("n_chars")).first()[0]
+    mean_corpus = docs.agg(F.avg("n_chars")).first()[0]
+    # weight-proportional inclusion: the sample skews heavy
+    assert mean_sample > mean_corpus
+    # deterministic: a second plan build collects the identical sample
+    again = QUERIES["x123_weighted_sample"](spark, SF_DIR)
+    assert [r["doc_id"] for r in sample.collect()] == [
+        r["doc_id"] for r in again.collect()
+    ]
