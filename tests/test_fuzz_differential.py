@@ -942,3 +942,109 @@ def test_fuzz_d4_format_epoch(spark, rows):
 def test_fuzz_d5_month_arith(spark, rows):
     # Jan 31 + 3mo, Feb 29 + 3mo, Nov 30 + 3mo: clamping semantics
     _fuzz_orders(spark, "d5_month_arith", rows)
+
+
+# ---------------------------------------------------------------------------
+# orders-shaped fuzz: the layout/incremental family (x115/x119/x120/x122)
+# ---------------------------------------------------------------------------
+
+_ORD_TS_BASE = 852_076_800_000_000  # 1997-01-01 UTC in micros
+
+
+@st.composite
+def orders(draw):
+    keys = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=250),
+            min_size=1,
+            max_size=12,
+            unique=True,
+        )
+    )
+    rows = []
+    for k in keys:
+        # day offsets straddle the CDC cutoffs (D1=1997-01-01 is the
+        # base; negative offsets land in snapshot A's range)
+        off_days = draw(st.integers(min_value=-200, max_value=560))
+        cents = draw(st.integers(min_value=100, max_value=5_000_000))
+        rows.append(
+            (
+                k,
+                draw(st.integers(min_value=0, max_value=60)),
+                draw(st.sampled_from(["O", "F"])),
+                cents / 100.0,
+                _ORD_TS_BASE + off_days * 86_400_000_000,
+                draw(st.sampled_from(["1-URGENT", "3-MEDIUM"])),
+            )
+        )
+    return rows
+
+
+def _write_orders(rows, d: str) -> None:
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+            "o_orderstatus": pa.array([r[2] for r in rows], pa.string()),
+            "o_totalprice": pa.array([r[3] for r in rows], pa.float64()),
+            "o_orderdate": pa.array([r[4] for r in rows], pa.timestamp("us")),
+            "o_orderpriority": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "orders.parquet"))
+
+
+def _fuzz_orders(spark, name: str, rows) -> None:
+    with tempfile.TemporaryDirectory() as d:
+        _write_orders(rows, d)
+        got = QUERIES[name](spark, d).toPandas()
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW orders AS SELECT * FROM "
+            f"'{os.path.join(d, 'orders.parquet')}'"
+        )
+        want = con.sql(ORACLES[name]).df()
+        _compare(got, want)
+
+
+@_FUZZ_SETTINGS
+@given(rows=orders())
+def test_fuzz_x115_snapshot_cdc(spark, rows):
+    # keys hitting %97/%11 residues and dates straddling both cutoffs
+    # exercise all four change kinds
+    _fuzz_orders(spark, "x115_snapshot_cdc_diff", rows)
+
+
+@_FUZZ_SETTINGS
+@given(rows=orders())
+def test_fuzz_x119_zone_map_pruning(spark, rows):
+    _fuzz_orders(spark, "x119_zone_map_pruning", rows)
+
+
+@_FUZZ_SETTINGS
+@given(rows=orders())
+def test_fuzz_x120_partial_agg_merge(spark, rows):
+    _fuzz_orders(spark, "x120_partial_agg_merge", rows)
+
+
+@_FUZZ_SETTINGS
+@given(rows=orders())
+def test_fuzz_x122_compaction_plan(spark, rows):
+    # single-file months and months far over the target both occur
+    _fuzz_orders(spark, "x122_compaction_plan", rows)
+
+
+@_FUZZ_SETTINGS
+@given(rows=events())
+def test_fuzz_x121_scd2_history(spark, rows):
+    # the generator forces duplicate timestamps: the (ts, event_id) tie
+    # break is exactly what this pins across engines
+    _fuzz_events(spark, "x121_scd2_history", rows)
+
+
+@_FUZZ_SETTINGS
+@given(texts=corpus())
+def test_fuzz_x123_weighted_sample(spark, texts):
+    # empty docs (n_chars=0) are filtered on both sides; priorities are
+    # integer so the top-k tie-break (priority, doc_id) is total
+    _fuzz_one(spark, "x123_weighted_sample", texts)
