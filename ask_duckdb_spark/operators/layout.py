@@ -719,3 +719,106 @@ def x123_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("priority"),
     )
     return scored.orderBy("priority", "doc_id").limit(_SAMPLE_K)
+
+
+# ---------------------------------------------------------------------------
+# x124 — affected-partition scoping for incremental recompute
+# ---------------------------------------------------------------------------
+
+_X124_ORACLE = f"""
+WITH a AS (
+  SELECT o_orderkey AS k, {icents_sql('o_totalprice')} AS units, o_orderdate AS dt
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_CDC_D1}'
+), b AS (
+  SELECT o_orderkey AS k,
+         {icents_sql('o_totalprice')}
+           + CASE WHEN o_orderkey % 11 = 0 THEN 100 ELSE 0 END AS units,
+         o_orderdate AS dt
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '{_CDC_D2}' AND o_orderkey % 97 <> 0
+), changed AS (
+  SELECT strftime(coalesce(b.dt, a.dt), '%Y-%m') AS file_id,
+         count(*) AS n_changed
+  FROM a FULL OUTER JOIN b ON a.k = b.k
+  WHERE a.k IS NULL OR b.k IS NULL OR a.units <> b.units
+  GROUP BY 1
+), manifest AS (
+  SELECT strftime(dt, '%Y-%m') AS file_id,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM b GROUP BY 1
+)
+SELECT m.file_id, m.n_rows,
+       CAST(coalesce(c.n_changed, 0) AS BIGINT) AS n_changed,
+       (coalesce(c.n_changed, 0) > 0) AS affected
+FROM manifest m LEFT JOIN changed c ON m.file_id = c.file_id
+ORDER BY m.file_id
+"""
+
+
+@query("x124_affected_partitions", oracle=_X124_ORACLE)
+def x124_affected_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scope an incremental recompute to the partitions the CDC diff
+    actually touched.
+
+    Combines x115 (what changed) with x119's manifest view (where data
+    lives): each changed key lands in its month partition — B's month
+    for inserts/updates, A's for deletes — and the output marks every
+    current partition with its changed-key count. A downstream rollup
+    (x120's partials, a materialized view) re-reads ONLY ``affected``
+    partitions; the rest are byte-identical by construction.
+
+    Scale (100 TB): this is the planning step that turns "the snapshot
+    changed" into "re-run 3 of 80 partitions" — the difference between
+    an incremental pipeline and a full rescan. Cost: the x115 diff join
+    plus two month-keyed combinable aggregates; output is
+    manifest-sized (metadata scale). A real lake reads the change set
+    from the table format's commit log instead of re-diffing, with the
+    identical downstream plan.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderdate") < F.lit(_CDC_D1).cast("timestamp")).select(
+        F.col("o_orderkey").alias("k"),
+        icents("o_totalprice").alias("units"),
+        F.col("o_orderdate").alias("dt"),
+    )
+    b = o.filter(
+        (F.col("o_orderdate") < F.lit(_CDC_D2).cast("timestamp"))
+        & (F.col("o_orderkey") % 97 != 0)
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        (
+            icents("o_totalprice")
+            + F.when(F.col("o_orderkey") % 11 == 0, F.lit(100)).otherwise(0)
+        ).alias("units"),
+        F.col("o_orderdate").alias("dt"),
+    )
+    j = a.alias("a").join(b.alias("b"), F.col("a.k") == F.col("b.k"), "full_outer")
+    changed = (
+        j.filter(
+            F.col("a.k").isNull()
+            | F.col("b.k").isNull()
+            | (F.col("a.units") != F.col("b.units"))
+        )
+        .select(
+            F.date_format(
+                F.coalesce(F.col("b.dt"), F.col("a.dt")), "yyyy-MM"
+            ).alias("file_id")
+        )
+        .groupBy("file_id")
+        .agg(F.count(F.lit(1)).alias("n_changed"))
+    )
+    manifest = (
+        b.select(F.date_format("dt", "yyyy-MM").alias("file_id"))
+        .groupBy("file_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+    return (
+        manifest.join(changed, "file_id", "left")
+        .select(
+            "file_id",
+            "n_rows",
+            F.coalesce(F.col("n_changed"), F.lit(0)).cast("bigint").alias("n_changed"),
+            (F.coalesce(F.col("n_changed"), F.lit(0)) > 0).alias("affected"),
+        )
+        .orderBy("file_id")
+    )

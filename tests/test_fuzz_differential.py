@@ -1048,3 +1048,9 @@ def test_fuzz_x123_weighted_sample(spark, texts):
     # empty docs (n_chars=0) are filtered on both sides; priorities are
     # integer so the top-k tie-break (priority, doc_id) is total
     _fuzz_one(spark, "x123_weighted_sample", texts)
+
+
+@_FUZZ_SETTINGS
+@given(rows=orders())
+def test_fuzz_x124_affected_partitions(spark, rows):
+    _fuzz_orders(spark, "x124_affected_partitions", rows)

@@ -260,3 +260,46 @@ def test_x123_weighted_sample_prefers_heavy_docs(spark):
     assert [r["doc_id"] for r in sample.collect()] == [
         r["doc_id"] for r in again.collect()
     ]
+
+
+def test_x124_scopes_recompute_correctly(spark):
+    """Affected partitions = exactly those where recomputing x120's
+    monthly rollup over snapshot B differs from snapshot A's rollup —
+    plus insert/delete months; unaffected months are byte-identical."""
+    from ask_duckdb_spark.operators.layout import _CDC_D1, _CDC_D2
+    from ask_duckdb_spark.operators._util import icents
+
+    rows = QUERIES["x124_affected_partitions"](spark, SF_DIR).collect()
+    o = load_table(spark, SF_DIR, "orders")
+
+    def rollup(df):
+        return {
+            r["m"]: (r["n"], r["u"])
+            for r in df.groupBy(
+                F.date_format("dt", "yyyy-MM").alias("m")
+            )
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("units").alias("u"))
+            .collect()
+        }
+
+    a = o.filter(F.col("o_orderdate") < _CDC_D1).select(
+        icents("o_totalprice").alias("units"), F.col("o_orderdate").alias("dt")
+    )
+    b = o.filter(
+        (F.col("o_orderdate") < _CDC_D2) & (F.col("o_orderkey") % 97 != 0)
+    ).select(
+        (
+            icents("o_totalprice")
+            + F.when(F.col("o_orderkey") % 11 == 0, 100).otherwise(0)
+        ).alias("units"),
+        F.col("o_orderdate").alias("dt"),
+    )
+    ra, rb = rollup(a), rollup(b)
+    differs = {m for m in set(ra) | set(rb) if ra.get(m) != rb.get(m)}
+    flagged = {r["file_id"] for r in rows if r["affected"]}
+    # every month whose rollup changed is flagged (no missed recompute);
+    # months in B with identical rollups may still be flagged only via
+    # offsetting changes, which the fixture's mutation model never makes
+    assert differs & set(r["file_id"] for r in rows) <= flagged
+    unflagged = {r["file_id"] for r in rows} - flagged
+    assert all(ra.get(m) == rb.get(m) for m in unflagged)
