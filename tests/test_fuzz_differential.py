@@ -952,7 +952,7 @@ _ORD_TS_BASE = 852_076_800_000_000  # 1997-01-01 UTC in micros
 
 
 @st.composite
-def orders(draw):
+def layout_orders(draw):
     keys = draw(
         st.lists(
             st.integers(min_value=0, max_value=250),
@@ -980,7 +980,7 @@ def orders(draw):
     return rows
 
 
-def _write_orders(rows, d: str) -> None:
+def _write_layout_orders(rows, d: str) -> None:
     tbl = pa.table(
         {
             "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
@@ -994,9 +994,9 @@ def _write_orders(rows, d: str) -> None:
     pq.write_table(tbl, os.path.join(d, "orders.parquet"))
 
 
-def _fuzz_orders(spark, name: str, rows) -> None:
+def _fuzz_layout_orders(spark, name: str, rows) -> None:
     with tempfile.TemporaryDirectory() as d:
-        _write_orders(rows, d)
+        _write_layout_orders(rows, d)
         got = QUERIES[name](spark, d).toPandas()
         con = duckdb.connect()
         con.sql(
@@ -1008,30 +1008,30 @@ def _fuzz_orders(spark, name: str, rows) -> None:
 
 
 @_FUZZ_SETTINGS
-@given(rows=orders())
+@given(rows=layout_orders())
 def test_fuzz_x115_snapshot_cdc(spark, rows):
     # keys hitting %97/%11 residues and dates straddling both cutoffs
     # exercise all four change kinds
-    _fuzz_orders(spark, "x115_snapshot_cdc_diff", rows)
+    _fuzz_layout_orders(spark, "x115_snapshot_cdc_diff", rows)
 
 
 @_FUZZ_SETTINGS
-@given(rows=orders())
+@given(rows=layout_orders())
 def test_fuzz_x119_zone_map_pruning(spark, rows):
-    _fuzz_orders(spark, "x119_zone_map_pruning", rows)
+    _fuzz_layout_orders(spark, "x119_zone_map_pruning", rows)
 
 
 @_FUZZ_SETTINGS
-@given(rows=orders())
+@given(rows=layout_orders())
 def test_fuzz_x120_partial_agg_merge(spark, rows):
-    _fuzz_orders(spark, "x120_partial_agg_merge", rows)
+    _fuzz_layout_orders(spark, "x120_partial_agg_merge", rows)
 
 
 @_FUZZ_SETTINGS
-@given(rows=orders())
+@given(rows=layout_orders())
 def test_fuzz_x122_compaction_plan(spark, rows):
     # single-file months and months far over the target both occur
-    _fuzz_orders(spark, "x122_compaction_plan", rows)
+    _fuzz_layout_orders(spark, "x122_compaction_plan", rows)
 
 
 @_FUZZ_SETTINGS
@@ -1051,6 +1051,6 @@ def test_fuzz_x123_weighted_sample(spark, texts):
 
 
 @_FUZZ_SETTINGS
-@given(rows=orders())
+@given(rows=layout_orders())
 def test_fuzz_x124_affected_partitions(spark, rows):
-    _fuzz_orders(spark, "x124_affected_partitions", rows)
+    _fuzz_layout_orders(spark, "x124_affected_partitions", rows)
