@@ -97,8 +97,10 @@ _VERIFY_FIRST = [
     # structurally rewritten this round (float-agg -> exact integer
     # sufficient statistics); their r2-r5 driver rows predate the
     # rewrite, so re-verify. (The remaining never-checked entries —
-    # x2f/x4f/x37/x54/x67, all rows-only by design — rotate into r7;
-    # every r6 window slot stays full-value-hash oracle-paired.)
+    # x2f/x4f/x37/x54/x67, all rows-only by design, plus the r6
+    # layout/incremental family x115-x124 added after this window was
+    # frozen — rotate into r7; every r6 window slot stays
+    # full-value-hash oracle-paired.)
     "w5_range_frame",
     "g12_stats_agg",
 ]

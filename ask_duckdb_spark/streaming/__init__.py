@@ -7,3 +7,8 @@ watermarked state. See :mod:`.events`.
 """
 
 from . import events, stateful  # noqa: F401
+
+# Ingest-time twins (imported lazily by their tests, listed here for
+# discoverability): .neardup (streaming near-dup drop), .novelty
+# (first-seen window credit), .upsert (CDC apply with versioned
+# snapshots — the streaming form of operators/layout.py x116).
