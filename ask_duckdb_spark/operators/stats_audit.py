@@ -1,0 +1,448 @@
+"""Positional retrieval + statistical-audit operators (x125-x128).
+
+Round-6 tail of the training-data-pipeline surface (SURVEY.md §2.9),
+four capabilities the registry did not yet express:
+
+* x125 — exact PHRASE match over the corpus: positional semantics, the
+  query class BM25's bag-of-words scoring (x76) cannot answer. The
+  registered plan is the scan-shaped variant (phrase counting as a
+  pure array expression per document — zero shuffles); the
+  postings-join variant you'd run against a materialized positional
+  index is described in the docstring.
+* x126 — functional-dependency audit ("does A determine B?") as ONE
+  scan of the table: the profiling step that picks merge/partition
+  keys and catches denormalization bugs before a 100 TB backfill.
+* x127 — Pearson correlation matrix over lineitem's numeric columns
+  from ONE scan of integer-quantized sufficient statistics.
+* x128 — winsorized (p05/p95) robust group statistics with exact
+  rank-selection bounds (no float percentile interpolation anywhere).
+
+Float-output discipline (tests/test_float_portability.py, _util.py):
+per-row integer quantization -> exact BIGINT sums -> one identical
+closing IEEE scalar sequence on both engines. x127 injects the SAME
+generated expression string into the Spark plan and the DuckDB oracle,
+so the closing sequences cannot drift apart by construction.
+
+Reference parity note: the reference (PalNilsson/ask-duckdb) exposes
+no retrieval or profiling surface of its own — these extend the §2.9
+pipeline families (x76 BM25, x103 profile, x104 MAD) along axes a
+100 TB corpus build needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from ..sources.catalog import load_table
+from .registry import query
+from .textstats import _TOKENS_ORACLE
+
+# ---------------------------------------------------------------------------
+# x125 — exact phrase match
+# ---------------------------------------------------------------------------
+
+#: The registered phrase (a deterministic fixture query, like
+#: BM25_TERMS). The callable builds the same plan for any k-word
+#: phrase — `_phrase_count` chains one position test per word.
+PHRASE: tuple[str, ...] = ("table", "scan")
+
+
+def _phrase_count(arr, phrase: tuple[str, ...]):
+    """Occurrences of ``phrase`` (consecutive tokens) in array column
+    ``arr`` — overlapping matches count, matching the oracle exactly.
+
+    Pure array expression: ``sequence`` over candidate start positions,
+    one ``get`` per phrase word (0-based, null-safe OOB). Guarded for
+    short documents because Spark's ``sequence(a, b)`` DESCENDS when
+    ``b < a`` rather than returning empty.
+    """
+    k = len(phrase)
+
+    def is_match(i):
+        cond = F.get(arr, i) == phrase[0]
+        for j in range(1, k):
+            cond = cond & (F.get(arr, i + j) == phrase[j])
+        return cond
+
+    return (
+        F.when(
+            F.size(arr) >= k,
+            F.size(F.filter(F.sequence(F.lit(0), F.size(arr) - k), is_match)),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )
+
+
+def _phrase_oracle(phrase: tuple[str, ...]) -> str:
+    k = len(phrase)
+    conds = " AND ".join(f"t[i+{j}] = '{w}'" for j, w in enumerate(phrase))
+    return rf"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKENS_ORACLE} AS t FROM documents
+    ), hits AS (
+      SELECT doc_id,
+             len(list_filter(range(1, len(t) - {k - 2}), i -> {conds}))
+               AS n_occurrences
+      FROM tok
+    )
+    SELECT doc_id, CAST(n_occurrences AS BIGINT) AS n_occurrences
+    FROM hits WHERE n_occurrences > 0
+    ORDER BY n_occurrences DESC, doc_id
+    """
+
+
+@query("x125_phrase_match", oracle=_phrase_oracle(PHRASE))
+def x125_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents containing the exact phrase ``PHRASE``, with counts.
+
+    Positional retrieval: a phrase query needs token ADJACENCY, which
+    x76's bag-of-words postings can't see ("table scan" != a document
+    mentioning both words pages apart). Counted per document as a pure
+    array expression over the shared tokenizer — one position test per
+    phrase word, overlapping occurrences counted.
+
+    Scale (100 TB): the counting is a zero-shuffle scan — phrase
+    evaluation is embarrassingly parallel per document and pipelines
+    into the parquet read (WholeStageCodegen; only matching (doc_id,
+    count) rows leave the scan, so the exchange feeding the final
+    order-by carries hit rows only). For interactive phrase QPS you'd
+    instead materialize a POSITIONAL postings index once — ``posexplode
+    (tokens)`` -> (tok, doc_id, pos), bucketed by tok — and answer
+    phrases with a per-word postings lookup joined on (doc_id, pos +
+    offset): the join keys on the rarest word's postings, so the work
+    is O(postings of the rarest word), not O(corpus). Same trade as
+    x76's docstring (scan-shaped registered entry, index-shaped serving
+    path).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    hits = t.select(
+        "doc_id", _phrase_count(F.col("t"), PHRASE).alias("n_occurrences")
+    )
+    return hits.filter(F.col("n_occurrences") > 0).orderBy(
+        F.desc("n_occurrences"), "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# x126 — functional-dependency audit
+# ---------------------------------------------------------------------------
+
+#: Candidate FDs (lhs -> rhs) audited on orders: the key FD (holds by
+#: construction), two plausible-but-false pipeline assumptions, and a
+#: low-cardinality pair. Any column list works — the audit is
+#: |pairs| count-distincts in ONE scan.
+FD_PAIRS: tuple[tuple[str, str], ...] = (
+    ("o_orderkey", "o_custkey"),
+    ("o_custkey", "o_orderpriority"),
+    ("o_orderdate", "o_orderstatus"),
+    ("o_orderstatus", "o_orderpriority"),
+)
+
+
+def _fd_oracle() -> str:
+    aggs, picks = [], []
+    for i, (a, b) in enumerate(FD_PAIRS):
+        aggs.append(f"count(DISTINCT {a}) AS nl_{i}")
+        aggs.append(
+            f"count(DISTINCT CAST({a} AS VARCHAR) || '#' || "
+            f"CAST({b} AS VARCHAR)) AS np_{i}"
+        )
+        picks.append(
+            f"SELECT '{a}' AS lhs, '{b}' AS rhs, "
+            f"CAST(nl_{i} AS BIGINT) AS n_lhs, "
+            f"CAST(np_{i} AS BIGINT) AS n_pairs, "
+            f"CAST(np_{i} - nl_{i} AS BIGINT) AS n_extra, "
+            f"np_{i} = nl_{i} AS fd_holds FROM a"
+        )
+    union = "\nUNION ALL\n".join(picks)
+    return f"""
+    WITH a AS (
+      SELECT {", ".join(aggs)} FROM orders
+    )
+    SELECT * FROM ({union}) ORDER BY lhs, rhs
+    """
+
+
+@query("x126_fd_audit", oracle=_fd_oracle())
+def x126_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit over ``FD_PAIRS`` on orders.
+
+    A -> B holds iff ``count(distinct A) == count(distinct (A, B))``;
+    ``n_extra`` counts the (A, B) combinations beyond one-per-A — the
+    violation mass. This is the pre-backfill check that a proposed
+    merge key actually determines the payload (x116's MERGE assumes
+    source keys are unique; x114 audits FK *coverage*; this audits
+    *determinism*).
+
+    Scale (100 TB): ONE scan — all 2|pairs| exact distincts evaluate in
+    a single Expand-based aggregate (the same single-pass shape as
+    x103's profiler), so the audit costs one pass regardless of how
+    many candidate FDs are tested. The pair domain is counted over a
+    '#'-joined string image (injective on these columns; both engines
+    count the same domain). At petabyte row counts you'd swap exact
+    distincts for HLL sketches (g10 / x120 show the pattern) — the FD
+    verdict then carries the sketch's error bound.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for i, (a, b) in enumerate(FD_PAIRS):
+        aggs.append(F.countDistinct(F.col(a)).alias(f"nl_{i}"))
+        aggs.append(
+            F.countDistinct(
+                F.concat(
+                    F.col(a).cast("string"), F.lit("#"), F.col(b).cast("string")
+                )
+            ).alias(f"np_{i}")
+        )
+    row = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', nl_{i}, np_{i}" for i, (a, b) in enumerate(FD_PAIRS)
+    )
+    return (
+        row.selectExpr(
+            f"stack({len(FD_PAIRS)}, {stack_args}) AS (lhs, rhs, n_lhs, n_pairs)"
+        )
+        .select(
+            "lhs",
+            "rhs",
+            F.col("n_lhs").cast("bigint").alias("n_lhs"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            (F.col("n_pairs") - F.col("n_lhs")).cast("bigint").alias("n_extra"),
+            (F.col("n_pairs") == F.col("n_lhs")).alias("fd_holds"),
+        )
+        .orderBy("lhs", "rhs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x127 — single-scan Pearson correlation matrix
+# ---------------------------------------------------------------------------
+
+#: (name, quantized-unit SQL/Spark grid) of the profiled lineitem
+#: numerics. Quantization grids are chosen so every sufficient
+#: statistic fits int64 with headroom at sf1+ (see docstring):
+#: quantity and whole DOLLARS for extendedprice, CENTS for the
+#: two sub-unit rates.
+CORR_COLS: tuple[tuple[str, str], ...] = (
+    ("l_quantity", "floor(l_quantity + 0.5)"),
+    ("l_extendedprice", "floor(l_extendedprice + 0.5)"),
+    ("l_discount", "floor(l_discount * 100 + 0.5)"),
+    ("l_tax", "floor(l_tax * 100 + 0.5)"),
+)
+
+#: Audited pairs (indices into CORR_COLS).
+CORR_PAIRS: tuple[tuple[int, int], ...] = ((0, 1), (0, 2), (1, 2), (2, 3))
+
+
+def _corr_expr(i: int, j: int) -> str:
+    """The closing scalar sequence for pair (i, j) — ONE string,
+    injected verbatim into BOTH engines' plans, over the exact integer
+    sums ``n, s_{i}, s_{j}, ss_{i}, ss_{j}, sp_{i}_{j}``. Every operand
+    is cast to DOUBLE first (identical IEEE rounding of identical
+    integers), then the arithmetic is a fixed op sequence."""
+    n, sx, sy = "CAST(n AS DOUBLE)", f"CAST(s_{i} AS DOUBLE)", f"CAST(s_{j} AS DOUBLE)"
+    ssx, ssy = f"CAST(ss_{i} AS DOUBLE)", f"CAST(ss_{j} AS DOUBLE)"
+    sp = f"CAST(sp_{i}_{j} AS DOUBLE)"
+    num = f"({n} * {sp} - {sx} * {sy})"
+    den = f"(sqrt({n} * {ssx} - {sx} * {sx}) * sqrt({n} * {ssy} - {sy} * {sy}))"
+    # Literal typing is the one dialect split a shared string can hit:
+    # Spark parses `1000000.0` as DECIMAL (closing the whole sequence in
+    # decimal arithmetic), DuckDB as DOUBLE. Scientific notation is
+    # DOUBLE in BOTH grammars, so the sequence stays float end-to-end.
+    return f"floor({num} / {den} * 1e6 + 5e-1) / 1e6"
+
+
+def _corr_oracle() -> str:
+    units = [f"CAST({u} AS BIGINT) AS u_{i}" for i, (_, u) in enumerate(CORR_COLS)]
+    aggs = ["count(*) AS n"]
+    for i in range(len(CORR_COLS)):
+        aggs.append(f"sum(u_{i}) AS s_{i}")
+        aggs.append(f"sum(u_{i} * u_{i}) AS ss_{i}")
+    for i, j in CORR_PAIRS:
+        aggs.append(f"sum(u_{i} * u_{j}) AS sp_{i}_{j}")
+    picks = [
+        f"SELECT '{CORR_COLS[i][0]}' AS col_x, '{CORR_COLS[j][0]}' AS col_y, "
+        f"CAST(n AS BIGINT) AS n_rows, {_corr_expr(i, j)} AS corr FROM a"
+        for i, j in CORR_PAIRS
+    ]
+    union = "\nUNION ALL\n".join(picks)
+    return f"""
+    WITH q AS (
+      SELECT {", ".join(units)} FROM lineitem
+    ), a AS (
+      SELECT {", ".join(aggs)} FROM q
+    )
+    SELECT * FROM ({union}) ORDER BY col_x, col_y
+    """
+
+
+@query("x127_corr_matrix", oracle=_corr_oracle())
+def x127_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlations among lineitem numerics, ONE scan, exact.
+
+    The feature-engineering sanity check (collinear columns, leaky
+    features) computed the portable way: each input is quantized to an
+    exact integer grid per row (whole units for quantity, DOLLARS for
+    extendedprice, CENTS for the rates — lossless for discount/tax,
+    a documented 1-dollar grid for price), every sufficient statistic
+    (n, Sx, Sxx, Sxy) is an order-independent BIGINT sum, and the
+    closing ``(n·Sxy − Sx·Sy) / √(n·Sxx − Sx²)·√(n·Syy − Sy²)`` is ONE
+    generated expression string injected into BOTH engines — the
+    sequences cannot diverge by construction (the x28b lesson; Spark's
+    own ``corr()`` is a float accumulation and is exactly what this op
+    avoids in hashed output).
+
+    int64 headroom: the largest statistic is Σ ep_dollars² ≤ n·1.1e10 —
+    safe through sf10 (6e7 rows -> 6.6e17 < 9.2e18). Beyond that, or
+    for 100 TB, widen the squared sums to decimal(38,0) (Spark) /
+    HUGEINT (DuckDB): same plan, same one-scan shape. All 4+2·|pairs|
+    sums evaluate in a single partial-aggregate pass (map-side combine;
+    bytes shuffled = one row of sums per partition).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.selectExpr(
+        *[f"CAST({u} AS BIGINT) AS u_{i}" for i, (_, u) in enumerate(CORR_COLS)]
+    )
+    aggs = [F.count("*").alias("n")]
+    for i in range(len(CORR_COLS)):
+        aggs.append(F.sum(F.col(f"u_{i}")).alias(f"s_{i}"))
+        aggs.append(F.sum(F.col(f"u_{i}") * F.col(f"u_{i}")).alias(f"ss_{i}"))
+    for i, j in CORR_PAIRS:
+        aggs.append(F.sum(F.col(f"u_{i}") * F.col(f"u_{j}")).alias(f"sp_{i}_{j}"))
+    a = q.agg(*aggs)
+    # One result struct per pair, exploded off the single sums row — the
+    # aggregate evaluates ONCE (vs a per-pair UNION re-scanning it).
+    structs = [
+        F.struct(
+            F.lit(CORR_COLS[i][0]).alias("col_x"),
+            F.lit(CORR_COLS[j][0]).alias("col_y"),
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.expr(_corr_expr(i, j)).alias("corr"),
+        )
+        for i, j in CORR_PAIRS
+    ]
+    return (
+        a.select(F.explode(F.array(*structs)).alias("s"))
+        .select("s.*")
+        .orderBy("col_x", "col_y")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x128 — winsorized robust group statistics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x128_winsorized_stats",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag AS rf,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+      FROM lineitem
+    ), r AS (
+      SELECT rf, v,
+             row_number() OVER (PARTITION BY rf ORDER BY v) AS rn,
+             count(*)    OVER (PARTITION BY rf) AS n
+      FROM v
+    ), b AS (
+      SELECT rf,
+             max(CASE WHEN rn = greatest(1, CAST(ceil(n * 0.05) AS BIGINT))
+                 THEN v END) AS lo,
+             max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT)
+                 THEN v END) AS hi,
+             max(n) AS n
+      FROM r GROUP BY rf
+    ), c AS (
+      SELECT v.rf, b.lo, b.hi, b.n,
+             greatest(b.lo, least(b.hi, v.v)) AS cv,
+             CASE WHEN v.v < b.lo THEN 1 ELSE 0 END AS is_lo,
+             CASE WHEN v.v > b.hi THEN 1 ELSE 0 END AS is_hi
+      FROM v JOIN b USING (rf)
+    )
+    SELECT rf AS l_returnflag,
+           CAST(max(n) AS BIGINT) AS n_rows,
+           (CAST(max(lo) AS DOUBLE) / 100.0) AS lo_bound,
+           (CAST(max(hi) AS DOUBLE) / 100.0) AS hi_bound,
+           (CAST(sum(cv) AS DOUBLE) / CAST(max(n) AS DOUBLE) / 100.0)
+             AS winsorized_mean,
+           CAST(sum(is_lo) AS BIGINT) AS n_clamped_lo,
+           CAST(sum(is_hi) AS BIGINT) AS n_clamped_hi
+    FROM c GROUP BY rf ORDER BY rf
+    """,
+)
+def x128_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p05/p95) mean of extendedprice per returnflag.
+
+    Robust statistics without float percentile interpolation: the
+    bounds are EXACT RANK SELECTIONS — the cents value at sorted rank
+    ``max(1, ceil(0.05·n))`` / ``ceil(0.95·n)`` within each group —
+    so both bounds are actual data values (integers), the clamp is
+    integer, and the winsorized mean is an exact BIGINT sum closed by
+    two deterministic divisions. No engine quantile function appears
+    on either side (Spark ``percentile`` and DuckDB ``quantile_cont``
+    interpolate in float and need not agree to the last ulp).
+
+    Ties: ``row_number`` over equal values assigns ranks arbitrarily,
+    but the VALUE at any rank of the sorted multiset is
+    order-independent, so the selected bounds are deterministic.
+
+    Scale (100 TB): one hash-partition by group + in-partition sort
+    (the window), then a group-local aggregate and a bounds broadcast
+    back onto the rows (Spark picks broadcast for the |groups|-row
+    ``b``). Groups here are 3 flags — at real scale you'd winsorize
+    per (source, day) so groups are many and the window sort
+    distributes; for single giant groups use x37's approximate
+    quantile bounds instead (documented trade: approx bounds, exact
+    clamp-mean either way).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rf"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("v"),
+    )
+    w = Window.partitionBy("rf")
+    r = li.select(
+        "rf",
+        "v",
+        F.row_number().over(w.orderBy("v")).alias("rn"),
+        F.count("*").over(w).alias("n"),
+    )
+    lo_rank = F.greatest(F.lit(1).cast("bigint"), F.ceil(F.col("n") * 0.05))
+    hi_rank = F.ceil(F.col("n") * 0.95)
+    b = r.groupBy("rf").agg(
+        F.max(F.when(F.col("rn") == lo_rank, F.col("v"))).alias("lo"),
+        F.max(F.when(F.col("rn") == hi_rank, F.col("v"))).alias("hi"),
+        F.max("n").alias("n"),
+    )
+    c = li.join(b, "rf").select(
+        "rf",
+        "lo",
+        "hi",
+        "n",
+        F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("v"))).alias("cv"),
+        F.when(F.col("v") < F.col("lo"), 1).otherwise(0).alias("is_lo"),
+        F.when(F.col("v") > F.col("hi"), 1).otherwise(0).alias("is_hi"),
+    )
+    return (
+        c.groupBy("rf")
+        .agg(
+            F.max("n").cast("bigint").alias("n_rows"),
+            (F.max("lo").cast("double") / F.lit(100.0)).alias("lo_bound"),
+            (F.max("hi").cast("double") / F.lit(100.0)).alias("hi_bound"),
+            (
+                F.sum("cv").cast("double")
+                / F.max("n").cast("double")
+                / F.lit(100.0)
+            ).alias("winsorized_mean"),
+            F.sum("is_lo").cast("bigint").alias("n_clamped_lo"),
+            F.sum("is_hi").cast("bigint").alias("n_clamped_hi"),
+        )
+        .withColumnRenamed("rf", "l_returnflag")
+        .orderBy("l_returnflag")
+    )

@@ -1,0 +1,127 @@
+"""Semantic gates for the retrieval/audit operators (x125-x128).
+
+All four carry full value-hashed DuckDB oracles (scripts/diffcheck.py);
+these tests pin what oracle equality can't see — phrase-count semantics
+against an independent Python recompute (overlaps counted), the FD
+verdict matrix, correlation values against numpy's reference
+implementation on the same integer grid, and the winsorized bounds
+being exact rank selections with the documented clamp counts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ask_duckdb_spark.operators import QUERIES
+from ask_duckdb_spark.operators.stats_audit import (
+    CORR_COLS,
+    CORR_PAIRS,
+    FD_PAIRS,
+    PHRASE,
+)
+
+from conftest import SF_DIR
+
+
+def _docs_tokens():
+    tbl = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    return {r.doc_id: r.text.lower().split() for r in tbl.itertuples()}
+
+
+def test_x125_matches_python_recount(spark):
+    out = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in QUERIES["x125_phrase_match"](spark, SF_DIR).collect()
+    }
+    k = len(PHRASE)
+    expect = {}
+    for doc_id, toks in _docs_tokens().items():
+        n = sum(
+            1
+            for i in range(len(toks) - k + 1)
+            if tuple(toks[i : i + k]) == PHRASE
+        )
+        if n:
+            expect[doc_id] = n
+    assert out == expect
+    assert len(out) > 0  # the fixture phrase actually occurs
+
+
+def test_x125_counts_overlaps(spark):
+    # the counting expression counts overlapping starts: verify on a
+    # crafted frame through the same expression the operator uses
+    from pyspark.sql import functions as F
+
+    from ask_duckdb_spark.operators.stats_audit import _phrase_count
+
+    df = spark.createDataFrame([("a a a a",), ("a b a",), ("",)], ["text"])
+    got = df.select(
+        _phrase_count(F.split(F.col("text"), " "), ("a", "a")).alias("n")
+    ).collect()
+    assert [r["n"] for r in got] == [3, 0, 0]
+
+
+def test_x126_verdict_matrix(spark):
+    rows = {
+        (r["lhs"], r["rhs"]): r
+        for r in QUERIES["x126_fd_audit"](spark, SF_DIR).collect()
+    }
+    assert set(rows) == set(FD_PAIRS)
+    # the key FD holds with zero violation mass; every other audited
+    # pair fails with positive mass
+    key = rows[("o_orderkey", "o_custkey")]
+    assert key["fd_holds"] and key["n_extra"] == 0
+    for pair, r in rows.items():
+        assert r["n_extra"] == r["n_pairs"] - r["n_lhs"]
+        if pair != ("o_orderkey", "o_custkey"):
+            assert not r["fd_holds"] and r["n_extra"] > 0
+
+
+def test_x127_matches_numpy(spark):
+    li = pd.read_parquet(
+        f"{SF_DIR}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    grids = {
+        "l_quantity": np.floor(li.l_quantity + 0.5),
+        "l_extendedprice": np.floor(li.l_extendedprice + 0.5),
+        "l_discount": np.floor(li.l_discount * 100 + 0.5),
+        "l_tax": np.floor(li.l_tax * 100 + 0.5),
+    }
+    out = {
+        (r["col_x"], r["col_y"]): r
+        for r in QUERIES["x127_corr_matrix"](spark, SF_DIR).collect()
+    }
+    assert len(out) == len(CORR_PAIRS)
+    for i, j in CORR_PAIRS:
+        cx, cy = CORR_COLS[i][0], CORR_COLS[j][0]
+        ref = np.corrcoef(grids[cx], grids[cy])[0, 1]
+        r = out[(cx, cy)]
+        assert r["n_rows"] == len(li)
+        assert abs(r["corr"] - ref) < 1.5e-6  # floor-round at 6 digits
+
+
+def test_x128_bounds_are_rank_selections(spark):
+    li = pd.read_parquet(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
+    )
+    li["v"] = np.floor(li.l_extendedprice * 100 + 0.5).astype("int64")
+    out = {
+        r["l_returnflag"]: r
+        for r in QUERIES["x128_winsorized_stats"](spark, SF_DIR).collect()
+    }
+    for rf, grp in li.groupby("l_returnflag"):
+        v = np.sort(grp.v.to_numpy())
+        n = len(v)
+        lo = v[max(1, int(np.ceil(n * 0.05))) - 1]
+        hi = v[int(np.ceil(n * 0.95)) - 1]
+        r = out[rf]
+        assert r["n_rows"] == n
+        assert r["lo_bound"] == lo / 100.0 and r["hi_bound"] == hi / 100.0
+        clamped = np.clip(v, lo, hi)
+        assert r["winsorized_mean"] == float(clamped.sum()) / n / 100.0
+        assert r["n_clamped_lo"] == int((v < lo).sum())
+        assert r["n_clamped_hi"] == int((v > hi).sum())
+        # winsorization clamps ~5% per tail (rank selection, ties aside)
+        assert r["n_clamped_lo"] <= np.ceil(n * 0.05)
