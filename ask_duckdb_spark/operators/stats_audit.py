@@ -1,7 +1,7 @@
-"""Positional retrieval + statistical-audit operators (x125-x128).
+"""Positional retrieval + statistical-audit operators (x125-x130).
 
 Round-6 tail of the training-data-pipeline surface (SURVEY.md §2.9),
-four capabilities the registry did not yet express:
+capabilities the registry did not yet express:
 
 * x125 — exact PHRASE match over the corpus: positional semantics, the
   query class BM25's bag-of-words scoring (x76) cannot answer. The
@@ -15,7 +15,11 @@ four capabilities the registry did not yet express:
 * x127 — Pearson correlation matrix over lineitem's numeric columns
   from ONE scan of integer-quantized sufficient statistics.
 * x128 — winsorized (p05/p95) robust group statistics with exact
-  rank-selection bounds (no float percentile interpolation anywhere).
+  rank-selection bounds (no float percentile interpolation anywhere);
+* x129 — x125's phrase answer from the positional-postings plan (the
+  index/serving shape), row-equality-pinned to the scan shape;
+* x130 — Benford first-significant-digit audit (fabricated/synthetic
+  amount screen) with plan-time integer expectation constants.
 
 Float-output discipline (tests/test_float_portability.py, _util.py):
 per-row integer quantization -> exact BIGINT sums -> one identical
@@ -124,6 +128,50 @@ def x125_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return hits.filter(F.col("n_occurrences") > 0).orderBy(
         F.desc("n_occurrences"), "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# x129 — phrase match, positional-postings plan (x125's serving twin)
+# ---------------------------------------------------------------------------
+
+
+@query("x129_phrase_postings", oracle=_phrase_oracle(PHRASE))
+def x129_phrase_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x125's answer from a POSITIONAL POSTINGS plan — the index shape.
+
+    Same contract as x125 (identical oracle; pytest pins row equality),
+    different physical strategy: explode to (doc_id, pos, tok)
+    postings, keep only the phrase's words (the filter lands before
+    any shuffle, so the exchange carries |phrase-word postings|, not
+    the corpus), then intersect the words' posting lists on aligned
+    start position — word j matches at ``start = pos - j`` — with one
+    equi-join per phrase word. A phrase occurrence is a (doc_id,
+    start) surviving all joins; overlaps count, as in x125.
+
+    This is the plan you run against a MATERIALIZED index: with
+    postings written once, bucketed by tok, a phrase query reads only
+    the phrase words' buckets and the joins are shuffle-free bucket
+    joins driven by the rarest word. The registered entry rebuilds the
+    postings from the corpus per call (no persisted state in the
+    registry contract), which costs one scan — x125 is the better plan
+    for that one-shot case; this entry exists to pin that the index
+    shape returns the SAME answer, the x2/x3-style twin discipline.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    post = d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    ).filter(F.col("tok").isin(*set(PHRASE)))
+    m: DataFrame | None = None
+    for j, w in enumerate(PHRASE):
+        pj = post.filter(F.col("tok") == w).select(
+            "doc_id", (F.col("pos") - F.lit(j)).alias("start")
+        )
+        m = pj if m is None else m.join(pj, ["doc_id", "start"])
+    return (
+        m.groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "doc_id")
     )
 
 
@@ -445,4 +493,85 @@ def x128_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("rf", "l_returnflag")
         .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x130 — Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+#: Benford expectation log10(1 + 1/d) in exact parts-per-million,
+#: computed once at import (plan-time constants injected into BOTH
+#: engines — no runtime float log anywhere).
+BENFORD_PPM: dict[int, int] = {
+    d: _math.floor(_math.log10(1 + 1 / d) * 1_000_000 + 0.5) for d in range(1, 10)
+}
+
+_BENFORD_CASE = (
+    "CASE first_digit "
+    + " ".join(f"WHEN {d} THEN {p}" for d, p in BENFORD_PPM.items())
+    + " END"
+)
+
+
+@query(
+    "x130_benford_audit",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS BIGINT) AS first_digit
+      FROM orders
+    ), c AS (
+      SELECT first_digit, count(*) AS n_obs FROM d GROUP BY 1
+    ), t AS (
+      SELECT sum(n_obs) AS n FROM c
+    )
+    SELECT first_digit,
+           CAST(n_obs AS BIGINT) AS n_obs,
+           CAST((n_obs * 1000000) // n AS BIGINT) AS obs_ppm,
+           CAST({_BENFORD_CASE} AS BIGINT) AS benford_ppm,
+           CAST((n_obs * 1000000) // n - {_BENFORD_CASE} AS BIGINT) AS dev_ppm
+    FROM c CROSS JOIN t ORDER BY first_digit
+    """,
+)
+def x130_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of o_totalprice vs Benford.
+
+    The classic fabricated/synthetic-data screen (Benford 1938; Nigrini
+    1996 for audit use): naturally-occurring multiplicative amounts
+    follow P(d) = log10(1 + 1/d); flat or truncated digit profiles
+    flag generated, capped, or unit-mixed columns before they poison
+    downstream statistics. (The TPC-H-ish fixture is itself synthetic
+    and the audit SHOWS it: digits 1-4 are ~uniform — a correct
+    negative result.)
+
+    Portability: the observed share is integer parts-per-million via
+    integer division (``DIV``/``//``), and the Benford expectation is
+    nine plan-time integer constants — no runtime float log on either
+    engine. The whole audit is one scan + a 9-row aggregate; the total
+    joins back as a broadcast of one row.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("first_digit")
+    )
+    c = o.groupBy("first_digit").agg(F.count("*").alias("n_obs"))
+    t = c.agg(F.sum("n_obs").alias("n"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "first_digit",
+            F.col("n_obs").cast("bigint").alias("n_obs"),
+            F.expr("CAST((n_obs * 1000000) DIV n AS BIGINT)").alias("obs_ppm"),
+            F.expr(f"CAST({_BENFORD_CASE} AS BIGINT)").alias("benford_ppm"),
+            F.expr(
+                f"CAST((n_obs * 1000000) DIV n - {_BENFORD_CASE} AS BIGINT)"
+            ).alias("dev_ppm"),
+        )
+        .orderBy("first_digit")
     )

@@ -61,19 +61,24 @@ def build_corpus(spark, factor: int, workdir: str) -> None:
     # boundary, so replicas of one document stop colliding at the gram
     # level — corpus grows 100x while the true-duplicate rate stays at
     # the base corpus's, which is what a real crawl looks like.
-    # Exception (VERDICT r5 item 7): the fixed BM25 query terms are
-    # left unperturbed so retrieval trials (x76/x89) measure real
-    # postings — suffixing them zeroed the match set and the r5 x76
-    # 10x reading timed an empty-posting scan. Three isolated common
-    # words cannot form a shared 8-gram, so the dedup trials are
-    # unaffected.
+    # Exception (VERDICT r5 item 7): the fixed BM25 query terms AND the
+    # x125/x129 phrase words are left unperturbed so retrieval trials
+    # (x76/x89/x125/x129) measure real postings/matches — suffixing
+    # them zeroes the match set and times an empty-result scan (the r5
+    # x76 lesson; the first x125 10x trial repeated it). The preserved
+    # words are isolated commons plus ONE adjacent pair ("table scan",
+    # 10 chars): a single shared char-8-gram family across replicas,
+    # far below the shingle-overlap threshold of any dedup trial, and
+    # hot-posting caps (MAX_POSTING) bound the x3 inverted index.
+    from ask_duckdb_spark.operators.stats_audit import PHRASE
     from ask_duckdb_spark.operators.textstats import BM25_TERMS
 
+    keep = tuple(set(BM25_TERMS) | set(PHRASE))
     perturbed = F.array_join(
         F.transform(
             F.split(F.col("text"), " "),
             lambda w: F.when(
-                w.isin(*BM25_TERMS), w
+                w.isin(*keep), w
             ).otherwise(F.concat(w, F.lit("~"), k.cast("string"))),
         ),
         " ",

@@ -1,11 +1,12 @@
-"""Semantic gates for the retrieval/audit operators (x125-x128).
+"""Semantic gates for the retrieval/audit operators (x125-x130).
 
-All four carry full value-hashed DuckDB oracles (scripts/diffcheck.py);
+All six carry full value-hashed DuckDB oracles (scripts/diffcheck.py);
 these tests pin what oracle equality can't see — phrase-count semantics
-against an independent Python recompute (overlaps counted), the FD
-verdict matrix, correlation values against numpy's reference
-implementation on the same integer grid, and the winsorized bounds
-being exact rank selections with the documented clamp counts.
+against an independent Python recompute (overlaps counted), scan-form ≡
+postings-form phrase row equality, the FD verdict matrix, correlation
+values against numpy's reference implementation on the same integer
+grid, the winsorized bounds being exact rank selections with the
+documented clamp counts, and the Benford ppm arithmetic.
 """
 
 from __future__ import annotations
@@ -125,3 +126,30 @@ def test_x128_bounds_are_rank_selections(spark):
         assert r["n_clamped_hi"] == int((v > hi).sum())
         # winsorization clamps ~5% per tail (rank selection, ties aside)
         assert r["n_clamped_lo"] <= np.ceil(n * 0.05)
+
+
+def test_x129_row_equal_to_x125(spark):
+    # the index-shaped plan must return exactly the scan-shaped answer
+    a = sorted(
+        map(tuple, QUERIES["x125_phrase_match"](spark, SF_DIR).collect())
+    )
+    b = sorted(
+        map(tuple, QUERIES["x129_phrase_postings"](spark, SF_DIR).collect())
+    )
+    assert a == b and len(a) > 0
+
+
+def test_x130_benford_audit(spark):
+    import math
+
+    rows = {r["first_digit"]: r for r in QUERIES["x130_benford_audit"](spark, SF_DIR).collect()}
+    assert set(rows) <= set(range(1, 10))
+    n = sum(r["n_obs"] for r in rows.values())
+    li = pd.read_parquet(f"{SF_DIR}/orders.parquet", columns=["o_totalprice"])
+    assert n == len(li)
+    for d, r in rows.items():
+        expect_n = int((np.floor(li.o_totalprice).astype("int64").astype(str).str[0] == str(d)).sum())
+        assert r["n_obs"] == expect_n
+        assert r["obs_ppm"] == r["n_obs"] * 1_000_000 // n
+        assert r["benford_ppm"] == math.floor(math.log10(1 + 1 / d) * 1e6 + 0.5)
+        assert r["dev_ppm"] == r["obs_ppm"] - r["benford_ppm"]
