@@ -1,4 +1,4 @@
-"""Positional retrieval + statistical-audit operators (x125-x130).
+"""Positional retrieval + statistical-audit operators (x125-x131).
 
 Round-6 tail of the training-data-pipeline surface (SURVEY.md §2.9),
 capabilities the registry did not yet express:
@@ -19,7 +19,10 @@ capabilities the registry did not yet express:
 * x129 — x125's phrase answer from the positional-postings plan (the
   index/serving shape), row-equality-pinned to the scan shape;
 * x130 — Benford first-significant-digit audit (fabricated/synthetic
-  amount screen) with plan-time integer expectation constants.
+  amount screen) with plan-time integer expectation constants;
+* x131 — collocation mining: top adjacent-token pairs by integer LIFT
+  (monotone in PMI, so no float log), the tokenizer-merge/multi-word
+  vocabulary signal.
 
 Float-output discipline (tests/test_float_portability.py, _util.py):
 per-row integer quantization -> exact BIGINT sums -> one identical
@@ -574,4 +577,109 @@ def x130_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dev_ppm"),
         )
         .orderBy("first_digit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x131 — collocation mining by integer lift
+# ---------------------------------------------------------------------------
+
+#: Minimum bigram count for a collocation candidate (noise floor).
+MIN_COLLOC_COUNT = 10
+
+
+@query(
+    "x131_collocations",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, {{toks}} AS ts FROM documents
+    ), cu AS (
+      SELECT w, count(*) AS c
+      FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY 1
+    ), n AS (
+      SELECT sum(c) AS n_tok FROM cu
+    ), cb AS (
+      SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c_xy
+      FROM (
+        SELECT unnest(list_transform(range(1, len(ts)),
+                      i -> struct_pack(w1 := ts[i], w2 := ts[i+1]))) AS b
+        FROM toks WHERE len(ts) >= 2
+      ) GROUP BY 1, 2
+    )
+    SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+           CAST(cx.c AS BIGINT) AS c_x, CAST(cy.c AS BIGINT) AS c_y,
+           CAST((((c_xy * 1000000) // cx.c) * n.n_tok) // cy.c AS BIGINT)
+             AS lift_ppm
+    FROM cb JOIN cu cx ON cb.w1 = cx.w JOIN cu cy ON cb.w2 = cy.w CROSS JOIN n
+    WHERE c_xy >= {MIN_COLLOC_COUNT}
+    ORDER BY lift_ppm DESC, w1, w2 LIMIT 20
+    """.replace("{toks}", _TOKENS_ORACLE),
+)
+def x131_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-token collocations by integer lift.
+
+    Collocation mining (Manning & Schütze ch. 5) ranks word pairs by
+    how much more often they co-occur than unigram independence
+    predicts — the signal behind multi-word vocabulary entries and
+    tokenizer merge candidates (x67's BPE learns the same structure
+    bottom-up). PMI is log2 of the lift; since log is monotone, ranking
+    by LIFT needs no float log at all. The contract statistic is
+
+        lift_ppm = ((c_xy * 1e6) div c_x * N) div c_y
+
+    — staged integer division (exact: ``c_xy <= c_x`` bounds stage one
+    by 1e6, and ``stage1 * N`` stays in int64 up to N ≈ 9e12 tokens,
+    ~40 TB of text; beyond that widen to decimal(38,0)/HUGEINT). Both
+    engines evaluate the identical integer sequence, so the top-20 is
+    hash-exact; ties break on the bigram itself.
+
+    Scale (100 TB): two word-count-shaped combinable shuffles (unigram
+    and bigram counts), two vocabulary-keyed joins (the unigram side is
+    |vocab| rows — broadcast at fixture scale, exchange at web scale),
+    and a TakeOrdered top-20: no global sort ever materializes. The
+    ``c_xy >= {MIN_COLLOC_COUNT}`` floor prunes the candidate set
+    before both joins.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("ts")
+    )
+    cu = (
+        d.select(F.explode("ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    n = cu.agg(F.sum("c").alias("n_tok"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("ts") - 1),
+        lambda i: F.struct(
+            F.element_at("ts", i).alias("w1"),
+            F.element_at("ts", i + 1).alias("w2"),
+        ),
+    )
+    cb = (
+        d.filter(F.size("ts") >= 2)
+        .select(F.explode(bigrams).alias("b"))
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_xy"))
+        .filter(F.col("c_xy") >= MIN_COLLOC_COUNT)
+    )
+    cx = cu.withColumnRenamed("w", "w1").withColumnRenamed("c", "c_x")
+    cy = cu.withColumnRenamed("w", "w2").withColumnRenamed("c", "c_y")
+    return (
+        cb.join(cx, "w1")
+        .join(cy, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_xy").cast("bigint").alias("c_xy"),
+            F.col("c_x").cast("bigint").alias("c_x"),
+            F.col("c_y").cast("bigint").alias("c_y"),
+            F.expr(
+                "CAST((((c_xy * 1000000) DIV c_x) * n_tok) DIV c_y AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), "w1", "w2")
+        .limit(20)
     )

@@ -1,12 +1,13 @@
-"""Semantic gates for the retrieval/audit operators (x125-x130).
+"""Semantic gates for the retrieval/audit operators (x125-x131).
 
-All six carry full value-hashed DuckDB oracles (scripts/diffcheck.py);
+All seven carry full value-hashed DuckDB oracles (scripts/diffcheck.py);
 these tests pin what oracle equality can't see — phrase-count semantics
 against an independent Python recompute (overlaps counted), scan-form ≡
 postings-form phrase row equality, the FD verdict matrix, correlation
 values against numpy's reference implementation on the same integer
 grid, the winsorized bounds being exact rank selections with the
-documented clamp counts, and the Benford ppm arithmetic.
+documented clamp counts, the Benford ppm arithmetic, and the
+collocation lift ranking against a pure-Python Counter recompute.
 """
 
 from __future__ import annotations
@@ -153,3 +154,34 @@ def test_x130_benford_audit(spark):
         assert r["obs_ppm"] == r["n_obs"] * 1_000_000 // n
         assert r["benford_ppm"] == math.floor(math.log10(1 + 1 / d) * 1e6 + 0.5)
         assert r["dev_ppm"] == r["obs_ppm"] - r["benford_ppm"]
+
+
+def test_x131_collocation_lift(spark):
+    from collections import Counter
+
+    from ask_duckdb_spark.operators.stats_audit import MIN_COLLOC_COUNT
+
+    toks = _docs_tokens()
+    cu = Counter(w for ts in toks.values() for w in ts)
+    n = sum(cu.values())
+    cb = Counter(
+        (ts[i], ts[i + 1]) for ts in toks.values() for i in range(len(ts) - 1)
+    )
+    scored = {
+        (w1, w2): ((c_xy * 1_000_000 // cu[w1]) * n) // cu[w2]
+        for (w1, w2), c_xy in cb.items()
+        if c_xy >= MIN_COLLOC_COUNT
+    }
+    expect = sorted(
+        ((lift, w1, w2) for (w1, w2), lift in scored.items()),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:20]
+    got = QUERIES["x131_collocations"](spark, SF_DIR).collect()
+    assert len(got) == 20
+    for row, (lift, w1, w2) in zip(got, expect):
+        assert (row["w1"], row["w2"], row["lift_ppm"]) == (w1, w2, lift)
+        assert (row["c_x"], row["c_y"], row["c_xy"]) == (
+            cu[w1],
+            cu[w2],
+            cb[(w1, w2)],
+        )
