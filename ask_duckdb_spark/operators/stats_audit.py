@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 from ..sources.catalog import load_table
+from ._util import unpersist_with
 from .registry import query
 from .textstats import _TOKENS_ORACLE
 
@@ -643,10 +644,16 @@ def x131_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", tokens(F.col("text")).alias("ts")
     )
+    # The unigram-count frame feeds THREE consumers (both join sides
+    # and the token total); unpersisted, Catalyst plans three full
+    # tokenize+explode+count subtrees (four corpus scans total —
+    # verified in the formatted plan). It is |vocab| rows — persist it
+    # and tie the cache to the result's lifetime.
     cu = (
         d.select(F.explode("ts").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c"))
+        .persist()
     )
     n = cu.agg(F.sum("c").alias("n_tok"))
     bigrams = F.transform(
@@ -666,7 +673,7 @@ def x131_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cx = cu.withColumnRenamed("w", "w1").withColumnRenamed("c", "c_x")
     cy = cu.withColumnRenamed("w", "w2").withColumnRenamed("c", "c_y")
-    return (
+    result = (
         cb.join(cx, "w1")
         .join(cy, "w2")
         .crossJoin(F.broadcast(n))
@@ -683,3 +690,4 @@ def x131_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_ppm"), "w1", "w2")
         .limit(20)
     )
+    return unpersist_with(result, cu)
