@@ -43,7 +43,8 @@ from . import stats_audit  # noqa: F401,E402
 # the rows-only fast-path twins. Every entry passes the committed
 # full-registry BIT-EXACT diffcheck (DIFFCHECK_r06.md — floats compared
 # as uint64, stricter than r5's tolerance compare). The remaining
-# rows-only entries (x37/x54/x67) rotate into round 7.
+# rows-only entries (x54/x67; x37 became oracle-paired late in r6 via
+# the g10 discipline) rotate into round 7.
 _VERIFY_FIRST = [
     # r3-r5 red row, rebuilt on integer-exact arithmetic — must land green
     "x28b_user_value_trend_sql",
@@ -98,7 +99,7 @@ _VERIFY_FIRST = [
     # structurally rewritten this round (float-agg -> exact integer
     # sufficient statistics); their r2-r5 driver rows predate the
     # rewrite, so re-verify. (The remaining never-checked entries —
-    # x2f/x4f/x37/x54/x67, all rows-only by design, plus the r6
+    # x2f/x4f/x54/x67, all rows-only by design, plus the r6
     # layout/incremental family x115-x124 and the retrieval/audit
     # family x125-x131, both added after this window was frozen —
     # rotate into r7; every r6 window slot stays full-value-hash

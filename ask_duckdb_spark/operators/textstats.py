@@ -666,23 +666,104 @@ def x34_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x37_quantile_sketch")  # sketch estimates differ per engine: rows-only
-def x37_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language approximate quantiles (Greenwald-Khanna sketch).
+def _rank_pick_sql(q: float, alias: str) -> str:
+    return (
+        f"max(CASE WHEN rn = greatest(1, CAST(ceil(n * {q!r}) AS BIGINT)) "
+        f"THEN v END) AS {alias}"
+    )
 
-    ``approx_percentile`` with accuracy 100 — the mergeable-sketch
-    aggregation whose state is O(accuracy), not O(rows): the shape that
-    computes quantiles over 100 TB in one combinable pass where exact
-    ``percentile`` would shuffle every value. tests/test_sketches.py
-    bounds the estimates against the exact quantiles.
+
+@query(
+    "x37_quantile_sketch",
+    oracle=f"""
+    WITH r AS (
+      SELECT lang, n_chars AS v,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+             count(*)    OVER (PARTITION BY lang) AS n
+      FROM documents
+    ), b AS (
+      SELECT lang,
+             {_rank_pick_sql(0.5, "p50_exact")},
+             {_rank_pick_sql(0.9, "p90_exact")},
+             {_rank_pick_sql(0.45, "lo50")},
+             {_rank_pick_sql(0.55, "hi50")},
+             {_rank_pick_sql(0.85, "lo90")},
+             {_rank_pick_sql(0.95, "hi90")},
+             max(n) AS n
+      FROM r GROUP BY lang
+    ), e AS (
+      SELECT lang,
+             approx_quantile(n_chars, 0.5) AS q50,
+             approx_quantile(n_chars, 0.9) AS q90
+      FROM documents GROUP BY lang
+    )
+    SELECT b.lang, CAST(b.n AS BIGINT) AS n,
+           CAST(p50_exact AS BIGINT) AS p50_exact,
+           CAST(p90_exact AS BIGINT) AS p90_exact,
+           (e.q50 BETWEEN b.lo50 AND b.hi50) AS p50_in_bound,
+           (e.q90 BETWEEN b.lo90 AND b.hi90) AS p90_in_bound
+    FROM b JOIN e USING (lang) ORDER BY lang
+    """,
+)
+def x37_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quantile sketch, ORACLE-PAIRED the g10 way.
+
+    The sketch (``approx_percentile`` accuracy 100 — Greenwald-Khanna,
+    mergeable O(accuracy) state, the shape that computes quantiles over
+    100 TB in one combinable pass) produces engine-specific estimates
+    that can never hash-match DuckDB's t-digest. Instead of hashing the
+    estimate (the r2 g10 mistake) or going rows-only (the r2-r5 state),
+    the hashed contract is: the EXACT rank-selected p50/p90 (the value
+    at sorted rank ceil(q*n) within each group — deterministic integers
+    on both engines, the x128 discipline) plus a boolean per quantile
+    checking each ENGINE'S OWN sketch against ITS OWN exact ±5%-rank
+    window [ceil(0.45n), ceil(0.55n)] / [ceil(0.85n), ceil(0.95n)].
+    GK at accuracy 100 guarantees ≤1% rank error (merge-order-
+    independent), t-digest is far tighter at these quantiles, so the
+    booleans are robustly TRUE under any partitioning — the sketch path
+    is exercised on both engines without its estimate entering the
+    hash. tests/test_sketches.py keeps the tighter value-level bracket
+    on the Spark estimate.
     """
     d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang")
+    r = d.select(
+        "lang",
+        F.col("n_chars").alias("v"),
+        F.row_number().over(w.orderBy("n_chars")).alias("rn"),
+        F.count("*").over(w).alias("n"),
+    )
+
+    def pick(q: float):
+        rank = F.greatest(F.lit(1).cast("bigint"), F.ceil(F.col("n") * q))
+        return F.max(F.when(F.col("rn") == rank, F.col("v")))
+
+    b = r.groupBy("lang").agg(
+        pick(0.5).alias("p50_exact"),
+        pick(0.9).alias("p90_exact"),
+        pick(0.45).alias("lo50"),
+        pick(0.55).alias("hi50"),
+        pick(0.85).alias("lo90"),
+        pick(0.95).alias("hi90"),
+        F.max("n").alias("n"),
+    )
+    e = d.groupBy("lang").agg(
+        F.expr("approx_percentile(n_chars, 0.5, 100)").alias("q50"),
+        F.expr("approx_percentile(n_chars, 0.9, 100)").alias("q90"),
+    )
     return (
-        d.groupBy("lang")
-        .agg(
-            F.expr("approx_percentile(n_chars, 0.5, 100)").alias("p50_est"),
-            F.expr("approx_percentile(n_chars, 0.9, 100)").alias("p90_est"),
-            F.count("*").cast("bigint").alias("n"),
+        b.join(e, "lang")
+        .select(
+            "lang",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("p50_exact").cast("bigint").alias("p50_exact"),
+            F.col("p90_exact").cast("bigint").alias("p90_exact"),
+            (
+                (F.col("q50") >= F.col("lo50")) & (F.col("q50") <= F.col("hi50"))
+            ).alias("p50_in_bound"),
+            (
+                (F.col("q90") >= F.col("lo90")) & (F.col("q90") <= F.col("hi90"))
+            ).alias("p90_in_bound"),
         )
         .orderBy("lang")
     )

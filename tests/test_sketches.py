@@ -11,27 +11,46 @@ from tests.conftest import SF_DIR_001
 
 
 def test_x37_quantile_sketch_brackets_exact(spark):
-    est = {
-        r.lang: (r.p50_est, r.p90_est)
+    # the op's hashed contract: rank-selected exact quantiles + the
+    # sketch-in-bound booleans; here additionally bracket Spark's raw
+    # GK estimate against the exact percentile (the tighter value gate
+    # the portable contract deliberately doesn't hash)
+    out = {
+        r.lang: r
         for r in QUERIES["x37_quantile_sketch"](spark, SF_DIR_001).collect()
     }
     d = load_table(spark, SF_DIR_001, "documents")
     exact = {
-        r.lang: (r.p50, r.p90)
+        r.lang: (r.p50, r.p90, r.n)
         for r in d.groupBy("lang")
         .agg(
             F.expr("percentile(n_chars, 0.5)").alias("p50"),
             F.expr("percentile(n_chars, 0.9)").alias("p90"),
+            F.count("*").alias("n"),
         )
         .collect()
     }
-    assert set(est) == set(exact)
-    for lang, (p50e, p90e) in est.items():
-        p50x, p90x = exact[lang]
-        # GK sketch with accuracy 100: rank error <= 1%; on these
-        # distributions that is a few percent of the value
+    est = {
+        r.lang: (r.q50, r.q90)
+        for r in d.groupBy("lang")
+        .agg(
+            F.expr("approx_percentile(n_chars, 0.5, 100)").alias("q50"),
+            F.expr("approx_percentile(n_chars, 0.9, 100)").alias("q90"),
+        )
+        .collect()
+    }
+    assert set(out) == set(exact)
+    for lang, r in out.items():
+        p50x, p90x, n = exact[lang]
+        assert r["n"] == n
+        # rank-selected exact value sits within one value step of the
+        # interpolating percentile (integer data, ceil-rank selection)
+        assert r["p50_in_bound"] and r["p90_in_bound"]
+        p50e, p90e = est[lang]
         assert abs(p50e - p50x) <= max(0.1 * p50x, 50)
         assert abs(p90e - p90x) <= max(0.1 * p90x, 50)
+        assert abs(r["p50_exact"] - p50x) <= max(0.05 * p50x, 10)
+        assert abs(r["p90_exact"] - p90x) <= max(0.05 * p90x, 10)
 
 
 def test_x38_cms_one_sided_and_tight_for_heavy_hitters(spark):
