@@ -1054,3 +1054,39 @@ def test_fuzz_x123_weighted_sample(spark, texts):
 @given(rows=layout_orders())
 def test_fuzz_x124_affected_partitions(spark, rows):
     _fuzz_layout_orders(spark, "x124_affected_partitions", rows)
+
+
+# --- retrieval/audit family (r6): phrase words planted in the pool so
+# matches actually occur; on corpora where x131's min-count floor
+# filters everything, the empty frame is still compared on BOTH sides
+from ask_duckdb_spark.operators.stats_audit import PHRASE  # noqa: E402
+
+_PHRASE_WORD = st.sampled_from([*PHRASE, "the", "a", "naïve", "🚀"])
+_PHRASE_TEXT = st.lists(_PHRASE_WORD, min_size=0, max_size=12).map(" ".join)
+
+
+@st.composite
+def phrase_corpus(draw):
+    n = draw(st.integers(min_value=1, max_value=8))
+    texts = [draw(st.one_of(_PHRASE_TEXT, _DOC_TEXT)) for _ in range(n)]
+    if n >= 2 and draw(st.booleans()):
+        texts[1] = texts[0]
+    return texts
+
+
+@_FUZZ_SETTINGS
+@given(texts=phrase_corpus())
+def test_fuzz_x125_phrase_match(spark, texts):
+    _fuzz_one(spark, "x125_phrase_match", texts)
+
+
+@_FUZZ_SETTINGS
+@given(texts=phrase_corpus())
+def test_fuzz_x129_phrase_postings(spark, texts):
+    _fuzz_one(spark, "x129_phrase_postings", texts)
+
+
+@_FUZZ_SETTINGS
+@given(texts=phrase_corpus())
+def test_fuzz_x131_collocations(spark, texts):
+    _fuzz_one(spark, "x131_collocations", texts)
