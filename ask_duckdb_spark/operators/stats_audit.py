@@ -403,9 +403,9 @@ def x127_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM v
     ), b AS (
       SELECT rf,
-             max(CASE WHEN rn = greatest(1, CAST(ceil(n * 0.05) AS BIGINT))
+             max(CASE WHEN rn = greatest(1, (n * 5 + 99) // 100)
                  THEN v END) AS lo,
-             max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT)
+             max(CASE WHEN rn = (n * 95 + 99) // 100
                  THEN v END) AS hi,
              max(n) AS n
       FROM r GROUP BY rf
@@ -465,8 +465,16 @@ def x128_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w.orderBy("v")).alias("rn"),
         F.count("*").over(w).alias("n"),
     )
-    lo_rank = F.greatest(F.lit(1).cast("bigint"), F.ceil(F.col("n") * 0.05))
-    hi_rank = F.ceil(F.col("n") * 0.95)
+    # ceil(n*k/100) in EXACT integer arithmetic: `ceil(n * 0.05)` is a
+    # divergence trap — Spark evaluates the literal as an inexact
+    # DOUBLE while DuckDB's DECIMAL stays exact, and at boundary
+    # multiples the double product can land one ulp over the integer
+    # (measured: q=0.55 splits at n=100/180/200/...). Integer
+    # (n*k + 99) div 100 is bit-identical everywhere by construction.
+    lo_rank = F.greatest(
+        F.lit(1).cast("bigint"), F.expr("(n * 5 + 99) DIV 100")
+    )
+    hi_rank = F.expr("(n * 95 + 99) DIV 100")
     b = r.groupBy("rf").agg(
         F.max(F.when(F.col("rn") == lo_rank, F.col("v"))).alias("lo"),
         F.max(F.when(F.col("rn") == hi_rank, F.col("v"))).alias("hi"),

@@ -666,9 +666,12 @@ def x34_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _rank_pick_sql(q: float, alias: str) -> str:
+def _rank_pick_sql(k: int, alias: str) -> str:
+    # ceil(n*k/100) in EXACT integer arithmetic — `ceil(n * 0.55)` is a
+    # cross-engine trap (Spark doubles vs DuckDB decimals split at
+    # n=100/180/200/...; see the x128 comment in stats_audit.py)
     return (
-        f"max(CASE WHEN rn = greatest(1, CAST(ceil(n * {q!r}) AS BIGINT)) "
+        f"max(CASE WHEN rn = greatest(1, (n * {k} + 99) // 100) "
         f"THEN v END) AS {alias}"
     )
 
@@ -683,12 +686,12 @@ def _rank_pick_sql(q: float, alias: str) -> str:
       FROM documents
     ), b AS (
       SELECT lang,
-             {_rank_pick_sql(0.5, "p50_exact")},
-             {_rank_pick_sql(0.9, "p90_exact")},
-             {_rank_pick_sql(0.45, "lo50")},
-             {_rank_pick_sql(0.55, "hi50")},
-             {_rank_pick_sql(0.85, "lo90")},
-             {_rank_pick_sql(0.95, "hi90")},
+             {_rank_pick_sql(50, "p50_exact")},
+             {_rank_pick_sql(90, "p90_exact")},
+             {_rank_pick_sql(45, "lo50")},
+             {_rank_pick_sql(55, "hi50")},
+             {_rank_pick_sql(85, "lo90")},
+             {_rank_pick_sql(95, "hi90")},
              max(n) AS n
       FROM r GROUP BY lang
     ), e AS (
@@ -734,17 +737,19 @@ def x37_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n"),
     )
 
-    def pick(q: float):
-        rank = F.greatest(F.lit(1).cast("bigint"), F.ceil(F.col("n") * q))
+    def pick(k: int):
+        rank = F.greatest(
+            F.lit(1).cast("bigint"), F.expr(f"(n * {k} + 99) DIV 100")
+        )
         return F.max(F.when(F.col("rn") == rank, F.col("v")))
 
     b = r.groupBy("lang").agg(
-        pick(0.5).alias("p50_exact"),
-        pick(0.9).alias("p90_exact"),
-        pick(0.45).alias("lo50"),
-        pick(0.55).alias("hi50"),
-        pick(0.85).alias("lo90"),
-        pick(0.95).alias("hi90"),
+        pick(50).alias("p50_exact"),
+        pick(90).alias("p90_exact"),
+        pick(45).alias("lo50"),
+        pick(55).alias("hi50"),
+        pick(85).alias("lo90"),
+        pick(95).alias("hi90"),
         F.max("n").alias("n"),
     )
     e = d.groupBy("lang").agg(

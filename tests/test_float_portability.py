@@ -101,3 +101,31 @@ def test_no_spark_round_over_aggregate_in_sources():
         "Spark source rounds a float aggregate (x28b class) — use the "
         f"quantize-then-sum pattern: {offenders}"
     )
+
+
+#: Dyadic decimal literals are exact in binary — ceil over their
+#: products cannot split between Spark doubles and DuckDB decimals.
+_DYADIC_OK = {"0.5", "0.25", "0.125", "0.75", ".5", ".25"}
+
+
+def test_no_inexact_float_ceil_in_oracles():
+    """Rank/threshold selection must use exact integer arithmetic.
+
+    ``ceil(n * 0.55)`` computes a DIFFERENT rank on the two engines for
+    ~2.6% of n (Spark types the literal DOUBLE, DuckDB DECIMAL;
+    measured splits at n=100/180/200/...). The portable form is
+    ``(n*k + 99) DIV 100`` (see x37/x128). This gate bans ceil over a
+    product with a non-dyadic decimal literal in any oracle.
+    """
+    bad: dict[str, list[str]] = {}
+    pat = re.compile(
+        r"ceil\s*\([^()]*?(?:\*\s*(0?\.\d+)|(0?\.\d+)\s*\*)", re.I
+    )
+    for name, sql in ORACLES.items():
+        for m in pat.finditer(sql):
+            lit = m.group(1) or m.group(2)
+            if lit not in _DYADIC_OK:
+                bad.setdefault(name, []).append(m.group(0))
+    assert not bad, (
+        f"inexact float-literal ceil in oracle (use (n*k+99)//100): {bad}"
+    )

@@ -116,8 +116,10 @@ def test_x128_bounds_are_rank_selections(spark):
     for rf, grp in li.groupby("l_returnflag"):
         v = np.sort(grp.v.to_numpy())
         n = len(v)
-        lo = v[max(1, int(np.ceil(n * 0.05))) - 1]
-        hi = v[int(np.ceil(n * 0.95)) - 1]
+        # exact integer rank math, mirroring the operator (ceil(n*k/100)
+        # as (n*k + 99) // 100 — no float ceil anywhere)
+        lo = v[max(1, (n * 5 + 99) // 100) - 1]
+        hi = v[(n * 95 + 99) // 100 - 1]
         r = out[rf]
         assert r["n_rows"] == n
         assert r["lo_bound"] == lo / 100.0 and r["hi_bound"] == hi / 100.0
