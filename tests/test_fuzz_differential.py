@@ -1090,3 +1090,41 @@ def test_fuzz_x129_phrase_postings(spark, texts):
 @given(texts=phrase_corpus())
 def test_fuzz_x131_collocations(spark, texts):
     _fuzz_one(spark, "x131_collocations", texts)
+
+
+# --- audit-family fuzz over orders (x126 FD audit, x130 Benford):
+# prices drawn across first-digit space (incl. sub-1 and boundary
+# values), keys drawn tiny so FD violations and holds both occur
+@st.composite
+def audit_orders(draw):
+    n = draw(st.integers(min_value=1, max_value=8))
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,  # o_orderkey unique -> the key FD must always hold
+                draw(st.integers(min_value=1, max_value=3)),
+                draw(st.sampled_from(["O", "F", "P"])),
+                draw(
+                    st.sampled_from(
+                        [1.0, 9.99, 10.0, 88.8, 123.45, 2500.5,
+                         99999.99, 300000.0, 7.0]
+                    )
+                ),
+                draw(_EDGE_DATES),
+                draw(st.sampled_from(["1-URGENT", "3-MEDIUM", "5-LOW"])),
+            )
+        )
+    return rows
+
+
+@_FUZZ_SETTINGS
+@given(rows=audit_orders())
+def test_fuzz_x126_fd_audit(spark, rows):
+    _fuzz_orders(spark, "x126_fd_audit", rows)
+
+
+@_FUZZ_SETTINGS
+@given(rows=audit_orders())
+def test_fuzz_x130_benford_audit(spark, rows):
+    _fuzz_orders(spark, "x130_benford_audit", rows)
