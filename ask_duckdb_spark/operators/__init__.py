@@ -101,7 +101,7 @@ _VERIFY_FIRST = [
     # rewrite, so re-verify. (The remaining never-checked entries —
     # x2f/x4f/x54/x67, all rows-only by design, plus the r6
     # layout/incremental family x115-x124 and the retrieval/audit
-    # family x125-x131, both added after this window was frozen —
+    # family x125-x132, both added after this window was frozen —
     # rotate into r7; every r6 window slot stays full-value-hash
     # oracle-paired.)
     "w5_range_frame",

@@ -1,4 +1,4 @@
-"""Positional retrieval + statistical-audit operators (x125-x131).
+"""Positional retrieval + statistical-audit operators (x125-x132).
 
 Round-6 tail of the training-data-pipeline surface (SURVEY.md §2.9),
 capabilities the registry did not yet express:
@@ -22,7 +22,10 @@ capabilities the registry did not yet express:
   amount screen) with plan-time integer expectation constants;
 * x131 — collocation mining: top adjacent-token pairs by integer LIFT
   (monotone in PMI, so no float log), the tokenizer-merge/multi-word
-  vocabulary signal.
+  vocabulary signal;
+* x132 — per-source two-sample Kolmogorov-Smirnov drift in exact
+  integers (max |cum_s·n_rest − cum_rest·n_s|), the distribution-shape
+  ingest QA check mean/MAD screens miss.
 
 Float-output discipline (tests/test_float_portability.py, _util.py):
 per-row integer quantization -> exact BIGINT sums -> one identical
@@ -699,3 +702,113 @@ def x131_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return unpersist_with(result, cu)
+
+
+# ---------------------------------------------------------------------------
+# x132 — two-sample Kolmogorov-Smirnov drift, exact integers
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x132_ks_drift",
+    oracle="""
+    WITH c AS (
+      SELECT source, n_chars AS v, count(*) AS cs FROM documents GROUP BY 1, 2
+    ), av AS (
+      SELECT v, sum(cs) AS ca FROM c GROUP BY 1
+    ), cuma AS (
+      SELECT v, sum(ca) OVER (ORDER BY v) AS cum_all FROM av
+    ), srcs AS (
+      SELECT source, sum(cs) AS n_s FROM c GROUP BY 1
+    ), tot AS (
+      SELECT sum(n_s) AS n FROM srcs
+    ), grid AS (
+      SELECT s.source, s.n_s, av.v FROM srcs s CROSS JOIN av
+    ), cums AS (
+      SELECT g.source, g.n_s, g.v,
+             sum(COALESCE(c.cs, 0)) OVER (PARTITION BY g.source ORDER BY g.v)
+               AS cum_s
+      FROM grid g LEFT JOIN c ON c.source = g.source AND c.v = g.v
+    )
+    SELECT cums.source,
+           CAST(max(n_s) AS BIGINT) AS n_s,
+           CAST(max(abs(cum_s * (t.n - n_s) - (cuma.cum_all - cum_s) * n_s))
+                AS BIGINT) AS d_scaled,
+           CAST((max(abs(cum_s * (t.n - n_s) - (cuma.cum_all - cum_s) * n_s))
+                 * 1000000) // (max(n_s) * (t.n - max(n_s))) AS BIGINT)
+             AS d_ppm
+    FROM cums JOIN cuma USING (v) CROSS JOIN tot t
+    GROUP BY cums.source, t.n
+    ORDER BY d_ppm DESC, source
+    """,
+)
+def x132_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source two-sample KS drift of the length distribution.
+
+    For each source s, the Kolmogorov-Smirnov statistic between s's
+    n_chars distribution and the REST of the corpus — the
+    distribution-level ingest QA check that a mean/MAD screen (x104)
+    and token-KL (x73) miss: KS sees shape (a bimodal source with the
+    right mean still spikes). D = max_v |F_s(v) - F_rest(v)| computed
+    in EXACT INTEGERS: with counts, ``|cum_s·n_rest − cum_rest·n_s|``
+    is an integer whose maximum, floor-scaled to ppm by ``n_s·n_rest``,
+    IS the statistic (verified against a numpy recompute to all
+    printed digits). No floats anywhere, so the whole table is
+    hash-exact.
+
+    int64 headroom: ``cum·n ≤ n_s·n_rest ≤ (N/2)²`` and the ppm
+    scaling multiplies by 1e6 — safe to N ≈ 6e6 rows per the scaled
+    product, then widen to decimal(38,0)/HUGEINT (same plan). The
+    statistic needs the cumulative merge only over the |distinct v| ×
+    |sources| GRID (not the corpus): one corpus scan builds the
+    (source, v) count frame (persisted — it feeds four consumers),
+    after which every window and join runs on grid-sized data. For a
+    continuous metric, quantize to a bounded grid first (the x127
+    discipline) — KS on a 1e4-point grid loses at most 1e-4 of D.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").alias("v")
+    )
+    c = d.groupBy("source", "v").agg(F.count("*").alias("cs")).persist()
+    av = c.groupBy("v").agg(F.sum("cs").alias("ca"))
+    cuma = av.select(
+        "v", F.sum("ca").over(Window.orderBy("v")).alias("cum_all")
+    )
+    srcs = c.groupBy("source").agg(F.sum("cs").alias("n_s"))
+    tot = srcs.agg(F.sum("n_s").alias("n"))
+    grid = srcs.crossJoin(av.select("v"))
+    cums = (
+        grid.join(c, ["source", "v"], "left")
+        .select(
+            "source",
+            "n_s",
+            "v",
+            F.sum(F.coalesce(F.col("cs"), F.lit(0)))
+            .over(Window.partitionBy("source").orderBy("v"))
+            .alias("cum_s"),
+        )
+    )
+    diff = F.abs(
+        F.col("cum_s") * (F.col("n") - F.col("n_s"))
+        - (F.col("cum_all") - F.col("cum_s")) * F.col("n_s")
+    )
+    result = (
+        cums.join(cuma, "v")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").cast("bigint").alias("n_s"),
+            F.max(diff).cast("bigint").alias("d_scaled"),
+            F.max("n").alias("_n"),
+        )
+        .select(
+            "source",
+            "n_s",
+            "d_scaled",
+            F.expr(
+                "CAST((d_scaled * 1000000) DIV (n_s * (_n - n_s)) AS BIGINT)"
+            ).alias("d_ppm"),
+        )
+        .orderBy(F.desc("d_ppm"), "source")
+    )
+    return unpersist_with(result, c)

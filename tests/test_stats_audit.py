@@ -1,13 +1,14 @@
-"""Semantic gates for the retrieval/audit operators (x125-x131).
+"""Semantic gates for the retrieval/audit operators (x125-x132).
 
-All seven carry full value-hashed DuckDB oracles (scripts/diffcheck.py);
+All eight carry full value-hashed DuckDB oracles (scripts/diffcheck.py);
 these tests pin what oracle equality can't see — phrase-count semantics
 against an independent Python recompute (overlaps counted), scan-form ≡
 postings-form phrase row equality, the FD verdict matrix, correlation
 values against numpy's reference implementation on the same integer
 grid, the winsorized bounds being exact rank selections with the
 documented clamp counts, the Benford ppm arithmetic, and the
-collocation lift ranking against a pure-Python Counter recompute.
+collocation lift ranking against a pure-Python Counter recompute,
+and the KS drift table against a numpy CDF recompute.
 """
 
 from __future__ import annotations
@@ -187,3 +188,26 @@ def test_x131_collocation_lift(spark):
             cu[w2],
             cb[(w1, w2)],
         )
+
+
+def test_x132_ks_matches_numpy(spark):
+    df = pd.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["source", "n_chars"]
+    )
+    out = {
+        r["source"]: r for r in QUERIES["x132_ks_drift"](spark, SF_DIR).collect()
+    }
+    assert set(out) == set(df.source.unique())
+    allv = np.sort(df.n_chars.unique())
+    for s, r in out.items():
+        a = np.sort(df[df.source == s].n_chars.to_numpy())
+        b = np.sort(df[df.source != s].n_chars.to_numpy())
+        fa = np.searchsorted(a, allv, side="right")
+        fb = np.searchsorted(b, allv, side="right")
+        d_scaled = int(np.max(np.abs(fa * len(b) - fb * len(a))))
+        assert r["n_s"] == len(a)
+        assert r["d_scaled"] == d_scaled
+        assert r["d_ppm"] == d_scaled * 1_000_000 // (len(a) * len(b))
+        # the float KS statistic agrees to the ppm floor
+        d_float = np.max(np.abs(fa / len(a) - fb / len(b)))
+        assert abs(r["d_ppm"] / 1e6 - d_float) < 1e-6
