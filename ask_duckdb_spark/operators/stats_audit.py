@@ -735,7 +735,8 @@ def x131_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(max(abs(cum_s * (t.n - n_s) - (cuma.cum_all - cum_s) * n_s))
                 AS BIGINT) AS d_scaled,
            CAST((max(abs(cum_s * (t.n - n_s) - (cuma.cum_all - cum_s) * n_s))
-                 * 1000000) // (max(n_s) * (t.n - max(n_s))) AS BIGINT)
+                 * 1000000)
+                // NULLIF(max(n_s) * (t.n - max(n_s)), 0) AS BIGINT)
              AS d_ppm
     FROM cums JOIN cuma USING (v) CROSS JOIN tot t
     GROUP BY cums.source, t.n
@@ -805,8 +806,12 @@ def x132_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_s",
             "d_scaled",
+            # NULLIF guards the degenerate single-source corpus
+            # (n_rest = 0): DuckDB's // 0 ERRORS while Spark's DIV 0
+            # returns NULL — NULLIF makes both sides NULL.
             F.expr(
-                "CAST((d_scaled * 1000000) DIV (n_s * (_n - n_s)) AS BIGINT)"
+                "CAST((d_scaled * 1000000)"
+                " DIV NULLIF(n_s * (_n - n_s), 0) AS BIGINT)"
             ).alias("d_ppm"),
         )
         .orderBy(F.desc("d_ppm"), "source")

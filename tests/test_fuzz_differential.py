@@ -1128,3 +1128,12 @@ def test_fuzz_x126_fd_audit(spark, rows):
 @given(rows=audit_orders())
 def test_fuzz_x130_benford_audit(spark, rows):
     _fuzz_orders(spark, "x130_benford_audit", rows)
+
+
+@_FUZZ_SETTINGS
+@given(texts=corpus())
+def test_fuzz_x132_ks_drift(spark, texts):
+    # the shared corpus writer emits a SINGLE source ('srcF') — the
+    # degenerate n_rest = 0 case that must NULL the ppm on both
+    # engines instead of dividing by zero
+    _fuzz_one(spark, "x132_ks_drift", texts)
