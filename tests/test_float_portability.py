@@ -116,6 +116,13 @@ def test_no_inexact_float_ceil_in_oracles():
     measured splits at n=100/180/200/...). The portable form is
     ``(n*k + 99) DIV 100`` (see x37/x128). This gate bans ceil over a
     product with a non-dyadic decimal literal in any oracle.
+
+    Scope note: the class is functions that keep DuckDB's DECIMAL
+    exact THROUGH arithmetic (ceil/floor/+/*). Percentile PARAMETERS
+    (``percentile(col, 0.9)`` / ``quantile_cont(col, 0.9)``) are NOT
+    in the class: both engines convert q to the same nearest double
+    before interpolating, so g9/g15's non-dyadic q values hash green
+    at every SF — do not "fix" them.
     """
     bad: dict[str, list[str]] = {}
     pat = re.compile(
