@@ -2302,8 +2302,9 @@ BUDGET_FRACTION = 0.5
       FROM scored
     ), cum AS (
       SELECT doc_id, score, n_tokens,
-             sum(n_tokens) OVER (ORDER BY score DESC, doc_id
-                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+             CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+                                      ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_tokens
       FROM scored
     )
     SELECT doc_id, score, n_tokens, cum_tokens
@@ -2508,8 +2509,9 @@ def x82_source_card(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scored
     ), cum AS (
       SELECT doc_id, score, n_tokens,
-             sum(n_tokens) OVER (ORDER BY score DESC, doc_id
-                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+             CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+                                      ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_tokens
       FROM scored
     )
     SELECT doc_id, score, n_tokens, cum_tokens
@@ -2815,9 +2817,10 @@ STRATUM_FRACTION = 0.5  # keep the best half of each source's tokens
       FROM scored GROUP BY source
     ), cum AS (
       SELECT doc_id, source, score, n_tokens,
-             sum(n_tokens) OVER (PARTITION BY source
-                                 ORDER BY score DESC, doc_id
-                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+             CAST(sum(n_tokens) OVER (PARTITION BY source
+                                      ORDER BY score DESC, doc_id
+                                      ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_tokens
       FROM scored
     )
     SELECT c.doc_id, c.source, c.score, c.n_tokens, c.cum_tokens

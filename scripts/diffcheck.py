@@ -63,6 +63,19 @@ def compare(
     for c in a.columns:
         av, bv = a[c], b[c]
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            # int64-vs-float64 is a FAIL, not a coercion: the driver's
+            # value hash distinguishes 6172 from 6172.0, so an oracle
+            # that materializes float64 (e.g. DuckDB HUGEINT from a
+            # bare windowed sum(BIGINT)) against Spark's int64 ships a
+            # hash-red even though the coerced values compare equal —
+            # the r06 x81/x83/x90 signature.
+            if pd.api.types.is_integer_dtype(av) != pd.api.types.is_integer_dtype(bv):
+                problems.append(
+                    f"col {c}: dtype mismatch spark={av.dtype} duck={bv.dtype}"
+                    " (int-vs-float — driver hash WILL differ; cast the"
+                    " oracle, e.g. CAST(sum(...) OVER (...) AS BIGINT))"
+                )
+                continue
             av = pd.to_numeric(av, errors="coerce").astype(float)
             bv = pd.to_numeric(bv, errors="coerce").astype(float)
             both_nan = av.isna() & bv.isna()
