@@ -1021,8 +1021,11 @@ PARA_W = 10
       -- trick); the TABLE function cannot be lateral-correlated.
       SELECT doc_id, b.idx AS idx, b.block AS block FROM (
         SELECT doc_id,
+               -- (len + W-1) // W: integer ceiling division, no float
+               -- ceil path (the engine-split class the portability
+               -- gate bans)
                unnest(list_transform(
-                 range(1, greatest(CAST(ceil(len(tk) / {PARA_W}.0) AS BIGINT),
+                 range(1, greatest((len(tk) + {PARA_W - 1}) // {PARA_W},
                                    1) + 1),
                  i -> struct_pack(
                    idx := i,
@@ -1079,7 +1082,10 @@ def x64_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence(
                     F.lit(1),
                     F.greatest(
-                        F.ceil(F.size("tk") / PARA_W).cast("long"), F.lit(1)
+                        F.expr(f"(size(tk) + {PARA_W - 1}) DIV {PARA_W}").cast(
+                            "long"
+                        ),
+                        F.lit(1),
                     ),
                 ),
                 lambda i: F.array_join(

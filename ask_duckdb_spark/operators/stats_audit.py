@@ -202,9 +202,18 @@ def _fd_oracle() -> str:
     aggs, picks = [], []
     for i, (a, b) in enumerate(FD_PAIRS):
         aggs.append(f"count(DISTINCT {a}) AS nl_{i}")
+        # NULL semantics: rows with NULL lhs are outside the audit (a
+        # NULL key determines nothing — matching count(DISTINCT lhs),
+        # which also drops NULLs), while a NULL rhs is a real value the
+        # lhs maps to, coalesced to a chr(1) sentinel so the pair image
+        # stays non-NULL. Without this, concat(a, b) returns NULL on a
+        # NULL rhs, the pair drops out of n_pairs while lhs still counts
+        # in n_lhs, and n_extra can go negative / fd_holds false for a
+        # dependency that holds on non-null rows.
         aggs.append(
-            f"count(DISTINCT CAST({a} AS VARCHAR) || '#' || "
-            f"CAST({b} AS VARCHAR)) AS np_{i}"
+            f"count(DISTINCT CASE WHEN {a} IS NOT NULL THEN "
+            f"CAST({a} AS VARCHAR) || '#' || "
+            f"coalesce(CAST({b} AS VARCHAR), chr(1)) END) AS np_{i}"
         )
         picks.append(
             f"SELECT '{a}' AS lhs, '{b}' AS rhs, "
@@ -246,10 +255,17 @@ def x126_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs = []
     for i, (a, b) in enumerate(FD_PAIRS):
         aggs.append(F.countDistinct(F.col(a)).alias(f"nl_{i}"))
+        # Mirror the oracle's NULL semantics: NULL lhs rows are outside
+        # the audit; NULL rhs coalesces to a chr(1) sentinel.
         aggs.append(
             F.countDistinct(
-                F.concat(
-                    F.col(a).cast("string"), F.lit("#"), F.col(b).cast("string")
+                F.when(
+                    F.col(a).isNotNull(),
+                    F.concat(
+                        F.col(a).cast("string"),
+                        F.lit("#"),
+                        F.coalesce(F.col(b).cast("string"), F.lit("\x01")),
+                    ),
                 )
             ).alias(f"np_{i}")
         )
@@ -303,7 +319,16 @@ def _corr_expr(i: int, j: int) -> str:
     ssx, ssy = f"CAST(ss_{i} AS DOUBLE)", f"CAST(ss_{j} AS DOUBLE)"
     sp = f"CAST(sp_{i}_{j} AS DOUBLE)"
     num = f"({n} * {sp} - {sx} * {sy})"
-    den = f"(sqrt({n} * {ssx} - {sx} * {sx}) * sqrt({n} * {ssy} - {sy} * {sy}))"
+    # NULLIF guards the zero-variance (constant-column) degenerate case:
+    # without it 0/0 yields NaN, and the engines split downstream —
+    # Spark's floor(NaN) returns a BIGINT that casts NaN to 0 while
+    # DuckDB's floor(NaN) stays NaN. NULL/0 is NULL in both grammars,
+    # so degenerate inputs close as NULL on BOTH engines (the x132
+    # NULLIF discipline).
+    den = (
+        f"NULLIF(sqrt({n} * {ssx} - {sx} * {sx})"
+        f" * sqrt({n} * {ssy} - {sy} * {sy}), 0e0)"
+    )
     # Literal typing is the one dialect split a shared string can hit:
     # Spark parses `1000000.0` as DECIMAL (closing the whole sequence in
     # decimal arithmetic), DuckDB as DOUBLE. Scientific notation is
@@ -537,7 +562,7 @@ _BENFORD_CASE = (
     WITH d AS (
       SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
                          1, 1) AS BIGINT) AS first_digit
-      FROM orders
+      FROM orders WHERE o_totalprice >= 1
     ), c AS (
       SELECT first_digit, count(*) AS n_obs FROM d GROUP BY 1
     ), t AS (
@@ -568,12 +593,23 @@ def x130_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine. The whole audit is one scan + a 9-row aggregate; the total
     joins back as a broadcast of one row.
     """
-    o = load_table(spark, sf_dir, "orders").select(
-        F.substring(
-            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    o = (
+        load_table(spark, sf_dir, "orders")
+        # Benford is defined on the first SIGNIFICANT digit of positive
+        # magnitudes: values in [0, 1) floor to 0 (no CASE arm — NULL
+        # expectation) and negatives would put '-' in the first byte,
+        # so the audit's domain is amounts >= 1. For general columns
+        # with sub-unit or negative values, rescale/abs() upstream.
+        .filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor(F.col("o_totalprice")).cast("bigint").cast("string"),
+                1,
+                1,
+            )
+            .cast("bigint")
+            .alias("first_digit")
         )
-        .cast("bigint")
-        .alias("first_digit")
     )
     c = o.groupBy("first_digit").agg(F.count("*").alias("n_obs"))
     t = c.agg(F.sum("n_obs").alias("n"))

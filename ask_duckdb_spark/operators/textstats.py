@@ -2225,7 +2225,10 @@ def x78_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1
     ), n AS (SELECT count(*) AS n_docs FROM documents),
     cp AS (
-      SELECT k, CAST(ceil(n.n_docs * k / 10.0) AS BIGINT) AS docs
+      -- integer ceiling division: ceil(n*k/10) without the float path
+      -- (ceil over a decimal-literal quotient is the engine-split class
+      -- tests/test_float_portability.py bans)
+      SELECT k, CAST((n.n_docs * k + 9) // 10 AS BIGINT) AS docs
       FROM range(1, 11) t(k) CROSS JOIN n
     )
     SELECT cp.k AS decile, cp.docs AS docs_processed,
@@ -2264,9 +2267,7 @@ def x79_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n))
         .select(
             "k",
-            F.ceil(F.col("n_docs") * F.col("k") / 10.0)
-            .cast("bigint")
-            .alias("docs"),
+            F.expr("(n_docs * k + 9) DIV 10").cast("bigint").alias("docs"),
         )
     )
     return (

@@ -103,9 +103,27 @@ def test_no_spark_round_over_aggregate_in_sources():
     )
 
 
-#: Dyadic decimal literals are exact in binary — ceil over their
-#: products cannot split between Spark doubles and DuckDB decimals.
+#: Dyadic decimal literals (m / 2^k) are exact in binary — ceil over
+#: their products/quotients cannot split between Spark doubles and
+#: DuckDB decimals. (For division the LITERAL being dyadic is only safe
+#: when it is a power of two, so the quotient stays dyadic; 2.0/4.0 are
+#: listed, 0.75 deliberately is not valid as a divisor — but the gate
+#: keys on the literal alone, so keep divisor-only-safe values out.)
 _DYADIC_OK = {"0.5", "0.25", "0.125", "0.75", ".5", ".25"}
+_POW2_DIVISOR_OK = {"0.5", ".5", "0.25", ".25", "0.125", "2.0", "4.0", "8.0"}
+
+
+def _balanced_arg(sql: str, start: int) -> str:
+    """Return the balanced-paren argument text beginning at ``start``
+    (index just past the opening paren)."""
+    depth, j = 1, start
+    while j < len(sql) and depth:
+        if sql[j] == "(":
+            depth += 1
+        elif sql[j] == ")":
+            depth -= 1
+        j += 1
+    return sql[start : j - 1]
 
 
 def test_no_inexact_float_ceil_in_oracles():
@@ -114,8 +132,13 @@ def test_no_inexact_float_ceil_in_oracles():
     ``ceil(n * 0.55)`` computes a DIFFERENT rank on the two engines for
     ~2.6% of n (Spark types the literal DOUBLE, DuckDB DECIMAL;
     measured splits at n=100/180/200/...). The portable form is
-    ``(n*k + 99) DIV 100`` (see x37/x128). This gate bans ceil over a
-    product with a non-dyadic decimal literal in any oracle.
+    ``(n*k + 99) DIV 100`` (see x37/x128). This gate bans, in any
+    oracle, ceil over an argument that multiplies by a non-dyadic
+    decimal literal OR divides by a decimal literal that is not a power
+    of two — ``ceil(n / 20.0)`` is the same class (DuckDB divides in
+    DECIMAL, Spark in binary double). The ceil argument is extracted
+    with a balanced-paren scan so parenthesized operands like
+    ``ceil((n + 1) * 0.55)`` cannot escape the gate.
 
     Scope note: the class is functions that keep DuckDB's DECIMAL
     exact THROUGH arithmetic (ceil/floor/+/*). Percentile PARAMETERS
@@ -125,14 +148,47 @@ def test_no_inexact_float_ceil_in_oracles():
     at every SF — do not "fix" them.
     """
     bad: dict[str, list[str]] = {}
-    pat = re.compile(
-        r"ceil\s*\([^()]*?(?:\*\s*(0?\.\d+)|(0?\.\d+)\s*\*)", re.I
-    )
+    lit = r"(?:\d+\.\d*|\.\d+)"
+    mul_pat = re.compile(rf"\*\s*({lit})|({lit})\s*\*")
+    div_pat = re.compile(rf"/\s*({lit})")
     for name, sql in ORACLES.items():
-        for m in pat.finditer(sql):
-            lit = m.group(1) or m.group(2)
-            if lit not in _DYADIC_OK:
-                bad.setdefault(name, []).append(m.group(0))
+        for m in re.finditer(r"ceil\s*\(", sql, re.I):
+            arg = _balanced_arg(sql, m.end())
+            for mm in mul_pat.finditer(arg):
+                v = mm.group(1) or mm.group(2)
+                if v not in _DYADIC_OK:
+                    bad.setdefault(name, []).append(f"mul {v!r} in ceil({arg[:60]}")
+            for mm in div_pat.finditer(arg):
+                if mm.group(1) not in _POW2_DIVISOR_OK:
+                    bad.setdefault(name, []).append(
+                        f"div {mm.group(1)!r} in ceil({arg[:60]}"
+                    )
     assert not bad, (
         f"inexact float-literal ceil in oracle (use (n*k+99)//100): {bad}"
     )
+
+
+def test_ceil_gate_catches_paren_and_division_forms():
+    """Regression for the gate itself (ADVICE r6): parenthesized
+    operands and decimal-literal division must not escape."""
+    lit = r"(?:\d+\.\d*|\.\d+)"
+    mul_pat = re.compile(rf"\*\s*({lit})|({lit})\s*\*")
+    div_pat = re.compile(rf"/\s*({lit})")
+
+    def hits(sql: str) -> bool:
+        for m in re.finditer(r"ceil\s*\(", sql, re.I):
+            arg = _balanced_arg(sql, m.end())
+            for mm in mul_pat.finditer(arg):
+                if (mm.group(1) or mm.group(2)) not in _DYADIC_OK:
+                    return True
+            for mm in div_pat.finditer(arg):
+                if mm.group(1) not in _POW2_DIVISOR_OK:
+                    return True
+        return False
+
+    assert hits("SELECT ceil((n + 1) * 0.55) FROM t")
+    assert hits("SELECT ceil(n / 20.0) FROM t")
+    assert hits("SELECT ceil(0.55 * (n + 1)) FROM t")
+    assert not hits("SELECT ceil(n * 0.5) FROM t")
+    assert not hits("SELECT ceil(n / 2.0) FROM t")
+    assert not hits("SELECT ceil((n * 55 + 99) // 100) FROM t")
