@@ -32,7 +32,7 @@ from ..functions.porthash import (
 )
 from ..functions.text import char_ngrams, tokens
 from ..sources.catalog import load_table
-from ._util import unpersist_with, widen
+from ._util import floor_round, floor_round_sql, unpersist_with, widen
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -1168,7 +1168,8 @@ def _x68_oracle() -> str:
     SELECT nw.doc_id,
            CAST(nw.n AS BIGINT) AS n_windows,
            CAST(coalesce(dpd.n_dup, 0) AS BIGINT) AS n_dup_windows,
-           ROUND(coalesce(dpd.n_dup, 0) / CAST(nw.n AS DOUBLE), 6)
+           {floor_round_sql(
+               "coalesce(dpd.n_dup, 0) / CAST(nw.n AS DOUBLE)", 6)}
              AS dup_ratio
     FROM nw LEFT JOIN dpd USING (doc_id)
     ORDER BY nw.doc_id
@@ -1234,7 +1235,7 @@ def x68_repeated_window_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_dup"), F.lit(0))
             .cast("bigint")
             .alias("n_dup_windows"),
-            F.round(
+            floor_round(
                 F.coalesce(F.col("n_dup"), F.lit(0)) / F.col("n"), 6
             ).alias("dup_ratio"),
         )
@@ -1527,10 +1528,11 @@ def x80_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the highest-QUALITY member (the cleanest crawl of a mirrored page).
 # ---------------------------------------------------------------------------
 
-_X85_SCORE_SQL = """
+_X85_SCORE_SQL = f"""
       SELECT doc_id,
-             ROUND(CAST(len(list_distinct(toks)) AS DOUBLE)
-                   / greatest(len(toks), 1), 6) AS score
+             {floor_round_sql(
+                 "CAST(len(list_distinct(toks)) AS DOUBLE)"
+                 " / greatest(len(toks), 1)", 6)} AS score
       FROM (
         SELECT doc_id,
                list_filter(string_split_regex(lower(text), '\\s+'),
@@ -1583,7 +1585,7 @@ def x85_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens(F.col("text"))
     scored = d.select(
         "doc_id",
-        F.round(
+        floor_round(
             F.size(F.array_distinct(toks)).cast("double")
             / F.greatest(F.size(toks), F.lit(1)),
             6,

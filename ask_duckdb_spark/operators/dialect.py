@@ -18,6 +18,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
+from ._util import floor_round, floor_round_sql
 from .registry import query
 
 
@@ -80,14 +81,14 @@ def f13_split_array(spark, sf_dir):
 
 @query(
     "f14_math",
-    oracle="""
+    oracle=f"""
     SELECT l_orderkey, l_linenumber,
            abs(l_discount - 0.05)                 AS abs_disc_delta,
-           ROUND(sqrt(l_extendedprice), 6)        AS sqrt_price,
+           {floor_round_sql("sqrt(l_extendedprice)", 6)} AS sqrt_price,
            CAST(ceil(l_quantity) AS BIGINT)       AS qty_ceil,
            CAST(floor(l_tax * 100) AS BIGINT)     AS tax_pct_floor,
-           ROUND(ln(l_extendedprice), 6)          AS ln_price,
-           ROUND(power(1 + l_tax, 2), 6)          AS tax_sq
+           {floor_round_sql("ln(l_extendedprice)", 6)}   AS ln_price,
+           {floor_round_sql("power(1 + l_tax, 2)", 6)}   AS tax_sq
     FROM lineitem
     """,
 )
@@ -109,11 +110,11 @@ def f14_math(spark, sf_dir):
         "l_orderkey",
         "l_linenumber",
         F.abs(F.col("l_discount") - 0.05).alias("abs_disc_delta"),
-        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        floor_round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
         F.ceil("l_quantity").alias("qty_ceil"),
         F.floor(F.col("l_tax") * 100).alias("tax_pct_floor"),
-        F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
-        F.round(F.pow(F.col("l_tax") + 1, 2), 6).alias("tax_sq"),
+        floor_round(F.log("l_extendedprice"), 6).alias("ln_price"),
+        floor_round(F.pow(F.col("l_tax") + 1, 2), 6).alias("tax_sq"),
     )
 
 
@@ -479,12 +480,14 @@ def j8_event_range_join(spark, sf_dir):
 
 @query(
     "w7_percent_rank_cume",
-    oracle="""
+    oracle=f"""
     SELECT c_custkey,
-           ROUND(percent_rank() OVER (PARTITION BY c_mktsegment
-                                      ORDER BY c_acctbal, c_custkey), 6) AS pr,
-           ROUND(cume_dist() OVER (PARTITION BY c_mktsegment
-                                   ORDER BY c_acctbal, c_custkey), 6) AS cd
+           {floor_round_sql(
+               "percent_rank() OVER (PARTITION BY c_mktsegment "
+               "ORDER BY c_acctbal, c_custkey)", 6)} AS pr,
+           {floor_round_sql(
+               "cume_dist() OVER (PARTITION BY c_mktsegment "
+               "ORDER BY c_acctbal, c_custkey)", 6)} AS cd
     FROM customer
     """,
 )
@@ -494,8 +497,8 @@ def w7_percent_rank_cume(spark, sf_dir):
     w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
     return c.select(
         "c_custkey",
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        floor_round(F.percent_rank().over(w), 6).alias("pr"),
+        floor_round(F.cume_dist().over(w), 6).alias("cd"),
     )
 
 

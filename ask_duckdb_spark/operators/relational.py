@@ -1789,14 +1789,14 @@ def q15_top_supplier(spark, sf_dir):
 
 @query(
     "q2_min_cost_supplier",
-    oracle="""
+    oracle=f"""
     WITH catalog AS (
       SELECT l_partkey, l_suppkey,
              floor(min(l_extendedprice / l_quantity) * 10000 + 0.5)
                / 10000 AS unit_cost
       FROM lineitem GROUP BY 1, 2
     )
-    SELECT ROUND(s.s_acctbal, 2) AS s_acctbal, s.s_name, n.n_name,
+    SELECT {floor_round_sql("s.s_acctbal", 2)} AS s_acctbal, s.s_name, n.n_name,
            p.p_partkey, c.unit_cost
     FROM part p
     JOIN catalog c  ON c.l_partkey = p.p_partkey
@@ -1865,7 +1865,7 @@ def q2_min_cost_supplier(spark, sf_dir):
         .filter(F.col("unit_cost") == F.col("min_cost"))
         .join(p, F.col("l_partkey") == p.p_partkey)
         .select(
-            F.round("s_acctbal", 2).alias("s_acctbal"),
+            floor_round(F.col("s_acctbal"), 2).alias("s_acctbal"),
             "s_name",
             "n_name",
             "p_partkey",
@@ -2085,8 +2085,8 @@ def q16_supplier_count(spark, sf_dir):
 
 @query(
     "q20_excess_shipments",
-    oracle="""
-    SELECT s.s_name, ROUND(s.s_acctbal, 2) AS s_acctbal
+    oracle=f"""
+    SELECT s.s_name, {floor_round_sql("s.s_acctbal", 2)} AS s_acctbal
     FROM supplier s
     JOIN nation n ON n.n_nationkey = s.s_nationkey
     WHERE n.n_name = 'NATION_2'
@@ -2140,7 +2140,7 @@ def q20_excess_shipments(spark, sf_dir):
             s.s_suppkey == F.col("l_suppkey"),
             "left_semi",
         )
-        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .select("s_name", floor_round(F.col("s_acctbal"), 2).alias("s_acctbal"))
         .orderBy("s_name")
     )
 

@@ -24,6 +24,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
+from ._util import floor_round, floor_round_sql
 from .registry import query
 
 SESSION_GAP_MIN = 30  # minutes of inactivity that closes a session
@@ -344,7 +345,7 @@ def x52_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x94_retention_cohorts",
-    oracle="""
+    oracle=f"""
     WITH firsts AS (
       SELECT user_id,
              CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
@@ -365,7 +366,7 @@ def x52_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT m.cohort_week, m.week_offset, m.n_active,
            CAST(sz.cohort_size AS BIGINT) AS cohort_size,
-           ROUND(CAST(m.n_active AS DOUBLE) / sz.cohort_size, 6)
+           {floor_round_sql("CAST(m.n_active AS DOUBLE) / sz.cohort_size", 6)}
              AS retention
     FROM m JOIN sz USING (cohort_week)
     ORDER BY 1, 2
@@ -419,7 +420,7 @@ def x94_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "week_offset",
             "n_active",
             "cohort_size",
-            F.round(
+            floor_round(
                 F.col("n_active").cast("double") / F.col("cohort_size"), 6
             ).alias("retention"),
         )
@@ -722,8 +723,8 @@ MAD_K = 1.4826  # consistency factor: MAD*K estimates sigma under normality
     )
     SELECT dev.event_type,
            CAST(count(*) AS BIGINT) AS n,
-           ROUND(dev.med, 6) AS med,
-           ROUND(mad.mad, 6) AS mad,
+           {floor_round_sql("dev.med", 6)} AS med,
+           {floor_round_sql("mad.mad", 6)} AS mad,
            CAST(sum(CASE WHEN dev.ad > 3 * {MAD_K} * mad.mad
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM dev JOIN mad USING (event_type)
@@ -762,8 +763,8 @@ def x104_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         dev.join(F.broadcast(mad), "event_type")
         .groupBy(
             "event_type",
-            F.round("med", 6).alias("med"),
-            F.round("mad", 6).alias("mad"),
+            floor_round(F.col("med"), 6).alias("med"),
+            floor_round(F.col("mad"), 6).alias("mad"),
         )
         .agg(
             F.count("*").cast("bigint").alias("n"),
@@ -803,9 +804,10 @@ EWMA_ALPHA = 0.3
     )
     SELECT user_id,
            CAST(len(vs) AS BIGINT) AS n_events,
-           ROUND(vs[len(vs)], 6) AS last_value,
-           ROUND(list_reduce(vs, (s, v) -> {EWMA_ALPHA} * v
-                                  + {1 - EWMA_ALPHA} * s), 6) AS ewma
+           {floor_round_sql("vs[len(vs)]", 6)} AS last_value,
+           {floor_round_sql(
+               f"list_reduce(vs, (s, v) -> {EWMA_ALPHA} * v"
+               f" + {1 - EWMA_ALPHA} * s)", 6)} AS ewma
     FROM seq ORDER BY user_id
     """,
 )
@@ -839,8 +841,8 @@ def x107_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.select(
         "user_id",
         F.size("vs").cast("bigint").alias("n_events"),
-        F.round(F.element_at("vs", -1), 6).alias("last_value"),
-        F.round(fold, 6).alias("ewma"),
+        floor_round(F.element_at("vs", -1), 6).alias("last_value"),
+        floor_round(fold, 6).alias("ewma"),
     ).orderBy("user_id")
 
 

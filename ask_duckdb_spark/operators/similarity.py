@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity
 from ..sources.catalog import load_table
-from ._util import unpersist_with
+from ._util import floor_round, floor_round_sql, unpersist_with
 from .registry import query
 
 # Banded sign-random-projection tuning. For neighbors at angle θ a band
@@ -795,7 +795,8 @@ QUANT_LEVELS = 127
 @query(
     "x43_quantize_error",
     # folds are double left-folds on both engines (see _DUCK_COS note);
-    # round() is half-away-from-zero on both for doubles
+    # the quantizer tie rule is floor(v + 0.5) — half-up, the portable
+    # nearest-int (engine round() tie semantics differ on boundaries)
     oracle=f"""
     WITH m AS (
       SELECT vec_id, embedding,
@@ -804,12 +805,13 @@ QUANT_LEVELS = 127
       FROM embeddings
     )
     SELECT vec_id,
-           ROUND(list_reduce(
-             list_transform(embedding,
-               x -> abs(x::DOUBLE
-                        - round(x::DOUBLE * {QUANT_LEVELS} / maxabs)
-                          * maxabs / {QUANT_LEVELS})),
-             (a, b) -> greatest(a, b)), 8) AS max_err
+           {floor_round_sql(
+               f"list_reduce("
+               f"list_transform(embedding,"
+               f" x -> abs(x::DOUBLE"
+               f" - floor(x::DOUBLE * {QUANT_LEVELS} / maxabs + 0.5)"
+               f" * maxabs / {QUANT_LEVELS})),"
+               f" (a, b) -> greatest(a, b))", 8)} AS max_err
     FROM m
     WHERE maxabs > 0
     ORDER BY vec_id
@@ -819,7 +821,7 @@ def x43_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector int8 scalar-quantization reconstruction error.
 
     Symmetric absmax quantization (the standard int8 embedding
-    compression: q = round(v * 127 / absmax)) evaluated WITHOUT
+    compression: q = floor(v * 127 / absmax + 0.5)) evaluated WITHOUT
     materializing the quantized corpus: one narrow map computes the
     worst-case per-vector reconstruction error, the acceptance metric
     for deploying a quantized ANN index. All JVM array folds; at 100 TB
@@ -838,7 +840,10 @@ def x43_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding"),
             lambda x: F.abs(
                 x.cast("double")
-                - F.round(x.cast("double") * QUANT_LEVELS / F.col("maxabs"))
+                - F.floor(
+                    x.cast("double") * QUANT_LEVELS / F.col("maxabs")
+                    + F.lit(0.5)
+                )
                 * F.col("maxabs")
                 / QUANT_LEVELS
             ),
@@ -847,7 +852,7 @@ def x43_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, b: F.greatest(a, b),
     )
     return (
-        with_m.select("vec_id", F.round(err, 8).alias("max_err"))
+        with_m.select("vec_id", floor_round(err, 8).alias("max_err"))
         .orderBy("vec_id")
     )
 
@@ -1313,7 +1318,7 @@ def _x65_oracle() -> str:
       )
       GROUP BY qid, vec_id
     )
-    SELECT qid, vec_id, rnk, ROUND(dist, 6) AS adc_dist
+    SELECT qid, vec_id, rnk, {floor_round_sql("dist", 6)} AS adc_dist
     FROM (
       SELECT qid, vec_id, dist,
              CAST(row_number() OVER (
@@ -1413,7 +1418,7 @@ def x65_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         adc.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= PQ_TOPK)
         .select(
-            "qid", "vec_id", "rnk", F.round("dist", 6).alias("adc_dist")
+            "qid", "vec_id", "rnk", floor_round(F.col("dist"), 6).alias("adc_dist")
         )
         .orderBy("qid", "rnk")
     )
@@ -1471,7 +1476,7 @@ def _x69_oracle() -> str:
     )""")
     return f"""
     WITH {_band_keys_sql()},{knn},{",".join(iters)}
-    SELECT v AS vec_id, ROUND(r, 6) AS pagerank
+    SELECT v AS vec_id, {floor_round_sql("r", 6)} AS pagerank
     FROM r{PR_ITERS}
     ORDER BY pagerank DESC, vec_id
     LIMIT 10
@@ -1538,7 +1543,7 @@ def x69_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return (
-        ranks.select("v", F.round("r", 6).alias("pagerank"))
+        ranks.select("v", floor_round(F.col("r"), 6).alias("pagerank"))
         .select(F.col("v").alias("vec_id"), "pagerank")
         .orderBy(F.col("pagerank").desc(), "vec_id")
         .limit(10)
@@ -1791,9 +1796,10 @@ def _x75_oracle() -> str:
                                 ORDER BY sim DESC, cid) AS rn
       FROM s WHERE cl <> al
     )
-    SELECT p.anchor_id, p.cid AS pos_id, ROUND(p.sim, 6) AS pos_sim,
-           n.cid AS neg_id, ROUND(n.sim, 6) AS neg_sim,
-           ROUND(p.sim - n.sim, 6) AS margin
+    SELECT p.anchor_id, p.cid AS pos_id,
+           {floor_round_sql("p.sim", 6)} AS pos_sim,
+           n.cid AS neg_id, {floor_round_sql("n.sim", 6)} AS neg_sim,
+           {floor_round_sql("p.sim - n.sim", 6)} AS margin
     FROM pos p JOIN neg n USING (anchor_id)
     WHERE p.rn = 1 AND n.rn = 1
     ORDER BY p.anchor_id
@@ -1871,10 +1877,10 @@ def x75_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "anchor_id",
         F.col("p.id").alias("pos_id"),
-        F.round(F.col("p.sim"), 6).alias("pos_sim"),
+        floor_round(F.col("p.sim"), 6).alias("pos_sim"),
         F.col("n.id").alias("neg_id"),
-        F.round(F.col("n.sim"), 6).alias("neg_sim"),
-        F.round(F.col("p.sim") - F.col("n.sim"), 6).alias("margin"),
+        floor_round(F.col("n.sim"), 6).alias("neg_sim"),
+        floor_round(F.col("p.sim") - F.col("n.sim"), 6).alias("margin"),
     ).orderBy("anchor_id")
 
 
@@ -2299,8 +2305,9 @@ def _x106_oracle() -> str:
     picks = "\nUNION ALL\n".join(
         f"""SELECT {bb} AS band_bits,
            (SELECT CAST(count(*) AS BIGINT) FROM cand{bb}) AS n_candidates,
-           ROUND((SELECT count(*) FROM ann{bb} JOIN exact USING (vec_id))
-                 / 10.0, 6) AS recall10"""
+           {floor_round_sql(
+               f"CAST((SELECT count(*) FROM ann{bb} JOIN exact"
+               f" USING (vec_id)) AS DOUBLE) / 1e1", 6)} AS recall10"""
         for bb in BB_SWEEP
     )
     return f"""
@@ -2387,7 +2394,9 @@ def x106_ann_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_candidates")
         )
         hits = ann.join(exact, "vec_id").agg(
-            F.round(F.count("*") / 10.0, 6).alias("recall10")
+            floor_round(
+                F.count("*").cast("double") / F.lit(10.0), 6
+            ).alias("recall10")
         )
         rows.append(
             n_cand.crossJoin(F.broadcast(hits)).select(

@@ -23,6 +23,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
+from ._util import floor_round, floor_round_sql
 from .registry import query
 
 #: Tiny per-language stopword lists for the n-gram/stopword language-ID
@@ -107,12 +108,12 @@ def x9_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x10_quality_score",
-    oracle=r"""
+    oracle=rf"""
     SELECT doc_id,
            CAST(n_tokens AS BIGINT)                     AS n_tokens,
-           ROUND(avg_tok_len, 6)                        AS avg_tok_len,
-           ROUND(stopword_ratio, 6)                     AS stopword_ratio,
-           ROUND(unique_ratio, 6)                       AS unique_ratio,
+           {floor_round_sql("avg_tok_len", 6)}          AS avg_tok_len,
+           {floor_round_sql("stopword_ratio", 6)}       AS stopword_ratio,
+           {floor_round_sql("unique_ratio", 6)}         AS unique_ratio,
            CASE WHEN n_tokens >= 20
                  AND stopword_ratio BETWEEN 0.01 AND 0.5
                  AND unique_ratio >= 0.2
@@ -143,8 +144,9 @@ def x10_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document-quality gate (length / stopword / diversity).
 
     The three ratios are the standard cheap pre-filters of an LLM data
-    pipeline. Ratios are ROUNDed to 6 dp on both sides so the value hash
-    is float-stable. Narrow map — no shuffle.
+    pipeline. Ratios are floor-rounded to 6 dp on both sides (the
+    portable ROUND replacement — identical IEEE sequence on both
+    engines) so the value hash is float-stable. Narrow map — no shuffle.
     """
     d = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
@@ -159,9 +161,9 @@ def x10_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         n.cast("bigint").alias("n_tokens"),
-        F.round(avg_tok_len, 6).alias("avg_tok_len"),
-        F.round(stopword_ratio, 6).alias("stopword_ratio"),
-        F.round(unique_ratio, 6).alias("unique_ratio"),
+        floor_round(avg_tok_len, 6).alias("avg_tok_len"),
+        floor_round(stopword_ratio, 6).alias("stopword_ratio"),
+        floor_round(unique_ratio, 6).alias("unique_ratio"),
         F.when(
             (n >= 20)
             & stopword_ratio.between(0.01, 0.5)
@@ -275,7 +277,7 @@ def x21_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x22_tfidf_top_term",
-    oracle=r"""
+    oracle=rf"""
     WITH toks AS (
       SELECT doc_id,
              unnest(list_filter(string_split_regex(lower(text), '\s+'),
@@ -288,7 +290,8 @@ def x21_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), n AS (SELECT count(*) AS n_docs FROM documents),
     scored AS (
       SELECT tf.doc_id, tf.tok,
-             ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+             {floor_round_sql(
+                 "tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df)", 6)} AS tfidf
       FROM tf JOIN df USING (tok) CROSS JOIN n
     )
     SELECT doc_id, tok AS top_term, tfidf FROM (
@@ -311,8 +314,8 @@ def x22_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     countDistinct exchange). n_docs rides in as a lazy broadcast scalar
     aggregate (no eager count at build time), and the per-doc top term
     is a partial-aggregable min(struct) — map-side combinable — instead
-    of a row_number sort window. ROUND(…, 6) keeps the ln() values
-    hash-stable across engines.
+    of a row_number sort window. floor-round(…, 6) keeps the ln()
+    values hash-stable across engines.
 
     The tf↔df join is deliberately NOT broadcast (VERDICT r3 §wrong-3):
     on a web-scale corpus the distinct-token frame (typos, URLs, IDs)
@@ -332,7 +335,7 @@ def x22_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = tf.join(df, "tok").join(F.broadcast(n)).select(
         "doc_id",
         "tok",
-        F.round(
+        floor_round(
             F.col("tf")
             * F.log(F.col("n_docs").cast("double") / F.col("df")),
             6,
@@ -935,10 +938,11 @@ def x12_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x39_repetition_ratio",
-    oracle=r"""
+    oracle=rf"""
     SELECT doc_id,
-           ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
-                       / len(toks), 6) AS rep_ratio,
+           {floor_round_sql(
+               "1e0 - CAST(len(list_distinct(toks)) AS DOUBLE)"
+               " / len(toks)", 6)} AS rep_ratio,
            CAST(len(toks) - len(list_distinct(toks)) AS BIGINT)
                AS n_repeated
     FROM (
@@ -969,7 +973,7 @@ def x39_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") > 0)
         .select(
             "doc_id",
-            F.round(
+            floor_round(
                 F.lit(1.0) - F.col("u").cast("double") / F.col("n"), 6
             ).alias("rep_ratio"),
             (F.col("n") - F.col("u")).cast("bigint").alias("n_repeated"),
@@ -2295,8 +2299,9 @@ BUDGET_FRACTION = 0.5
     oracle=rf"""
     WITH scored AS (
       SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-             ROUND(CAST(len(list_distinct(toks)) AS DOUBLE)
-                   / greatest(len(toks), 1), 6) AS score
+             {floor_round_sql(
+                 "CAST(len(list_distinct(toks)) AS DOUBLE)"
+                 " / greatest(len(toks), 1)", 6)} AS score
       FROM (SELECT doc_id, {_TOKENS_ORACLE} AS toks FROM documents)
     ), budget AS (
       SELECT CAST(floor(sum(n_tokens) * {BUDGET_FRACTION}) AS BIGINT) AS b
@@ -2339,7 +2344,7 @@ def x81_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = d.select(
         "doc_id",
         F.size(toks).cast("bigint").alias("n_tokens"),
-        F.round(
+        floor_round(
             F.size(F.array_distinct(toks)).cast("double")
             / F.greatest(F.size(toks), F.lit(1)),
             6,
@@ -2502,8 +2507,9 @@ def x82_source_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=rf"""
     WITH scored AS (
       SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-             ROUND(CAST(len(list_distinct(toks)) AS DOUBLE)
-                   / greatest(len(toks), 1), 6) AS score
+             {floor_round_sql(
+                 "CAST(len(list_distinct(toks)) AS DOUBLE)"
+                 " / greatest(len(toks), 1)", 6)} AS score
       FROM (SELECT doc_id, {_TOKENS_ORACLE} AS toks FROM documents)
     ), budget AS (
       SELECT CAST(floor(sum(n_tokens) * {BUDGET_FRACTION}) AS BIGINT) AS b
@@ -2553,7 +2559,7 @@ def x83_budget_select_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = d.select(
         "doc_id",
         F.size(toks).cast("bigint").alias("n_tokens"),
-        F.round(
+        floor_round(
             F.size(F.array_distinct(toks)).cast("double")
             / F.greatest(F.size(toks), F.lit(1)),
             6,
@@ -2809,8 +2815,9 @@ STRATUM_FRACTION = 0.5  # keep the best half of each source's tokens
     oracle=rf"""
     WITH scored AS (
       SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
-             ROUND(CAST(len(list_distinct(toks)) AS DOUBLE)
-                   / greatest(len(toks), 1), 6) AS score
+             {floor_round_sql(
+                 "CAST(len(list_distinct(toks)) AS DOUBLE)"
+                 " / greatest(len(toks), 1)", 6)} AS score
       FROM (SELECT doc_id, source, {_TOKENS_ORACLE} AS toks FROM documents)
     ), budget AS (
       SELECT source,
@@ -2852,7 +2859,7 @@ def x90_stratified_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.size(toks).cast("bigint").alias("n_tokens"),
-        F.round(
+        floor_round(
             F.size(F.array_distinct(toks)).cast("double")
             / F.greatest(F.size(toks), F.lit(1)),
             6,
@@ -2901,13 +2908,15 @@ CALIBRATED_KEEP = 0.5  # keep the top half of each source by rank
     oracle=rf"""
     WITH scored AS (
       SELECT doc_id, source,
-             ROUND(CAST(len(list_distinct(toks)) AS DOUBLE)
-                   / greatest(len(toks), 1), 6) AS score
+             {floor_round_sql(
+                 "CAST(len(list_distinct(toks)) AS DOUBLE)"
+                 " / greatest(len(toks), 1)", 6)} AS score
       FROM (SELECT doc_id, source, {_TOKENS_ORACLE} AS toks FROM documents)
     )
     SELECT doc_id, source, score,
-           ROUND(percent_rank() OVER (PARTITION BY source
-                                      ORDER BY score, doc_id), 6) AS pr,
+           {floor_round_sql(
+               "percent_rank() OVER (PARTITION BY source "
+               "ORDER BY score, doc_id)", 6)} AS pr,
            CASE WHEN percent_rank() OVER (PARTITION BY source
                                           ORDER BY score, doc_id)
                      >= {CALIBRATED_KEEP}
@@ -2921,8 +2930,8 @@ def x92_source_calibrated_quality(
     """Percent-rank quality within source; keep the top half per source.
 
     ``percent_rank`` over (score, doc_id) — the doc_id tiebreak makes
-    ranks total and both engines agree exactly; the score is ROUNDed
-    before ranking. ``kept`` compares the rank, not the raw score, so
+    ranks total and both engines agree exactly; the score is
+    floor-rounded before ranking. ``kept`` compares the rank, not the raw score, so
     every source contributes its own best half regardless of how its
     score distribution sits against the corpus — the calibration step
     a naive global threshold (x10's flat rule) lacks.
@@ -2937,7 +2946,7 @@ def x92_source_calibrated_quality(
     scored = d.select(
         "doc_id",
         "source",
-        F.round(
+        floor_round(
             F.size(F.array_distinct(toks)).cast("double")
             / F.greatest(F.size(toks), F.lit(1)),
             6,
@@ -2949,7 +2958,7 @@ def x92_source_calibrated_quality(
         "doc_id",
         "source",
         "score",
-        F.round(pr, 6).alias("pr"),
+        floor_round(pr, 6).alias("pr"),
         F.when(pr >= CALIBRATED_KEEP, 1).otherwise(0).alias("kept"),
     ).orderBy("doc_id")
 
@@ -3279,10 +3288,11 @@ def x98_mixture_deficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_sent AS BIGINT) AS n_sent,
            CAST(n_words AS BIGINT) AS n_words,
            CAST(n_syll AS BIGINT) AS n_syll,
-           ROUND(206.835
-                 - 1.015 * (CAST(n_words AS DOUBLE) / n_sent)
-                 - 84.6 * (CAST(n_syll AS DOUBLE)
-                           / greatest(n_words, 1)), 6) AS flesch
+           {floor_round_sql(
+               "206.835"
+               " - 1.015 * (CAST(n_words AS DOUBLE) / n_sent)"
+               " - 84.6 * (CAST(n_syll AS DOUBLE)"
+               " / greatest(n_words, 1))", 6)} AS flesch
     FROM c ORDER BY doc_id
     """,
 )
@@ -3322,7 +3332,7 @@ def x101_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sent",
         "n_words",
         "n_syll",
-        F.round(
+        floor_round(
             F.lit(206.835)
             - F.lit(1.015)
             * (F.col("n_words").cast("double") / F.col("n_sent"))
@@ -3348,7 +3358,7 @@ def x101_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x113_char_entropy",
-    oracle="""
+    oracle=f"""
     WITH ch AS (
       SELECT doc_id, unnest(string_split(text, '')) AS c
       FROM documents WHERE length(text) > 0
@@ -3363,9 +3373,10 @@ def x101_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(n AS BIGINT) AS n_chars,
            CAST(len(ks) AS BIGINT) AS n_distinct,
-           ROUND(list_reduce(
-             list_transform(ks, k -> -(k / n) * log2(k / n)),
-             (a, x) -> a + x), 6) AS entropy_bits
+           {floor_round_sql(
+               "list_reduce("
+               "list_transform(ks, k -> -(k / n) * log2(k / n)),"
+               " (a, x) -> a + x)", 6)} AS entropy_bits
     FROM lst ORDER BY doc_id
     """,
 )
@@ -3408,5 +3419,5 @@ def x113_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("n").cast("bigint").alias("n_chars"),
         F.size("ks").cast("bigint").alias("n_distinct"),
-        F.round(ent, 6).alias("entropy_bits"),
+        floor_round(ent, 6).alias("entropy_bits"),
     ).orderBy("doc_id")

@@ -76,6 +76,49 @@ def test_no_round_over_float_aggregate_in_oracles():
     )
 
 
+def test_no_round_at_all_in_oracles():
+    """Class-2 total ban (VERDICT r6 item 4): EVERY hashed ROUND over a
+    float expression is a latent engine split — Spark rounds the
+    shortest-decimal repr HALF_UP, DuckDB rounds the binary value —
+    that bites data-dependently on representation-boundary inputs. All
+    former ROUND sites now use the portable floor-round
+    ``floor(x*10^d + 0.5)/10^d`` (_util.floor_round/_sql), so the
+    oracle corpus must contain NO round() call of any arity. The
+    allowlist is shared with the aggregate gate and must stay empty."""
+    pat = re.compile(r"\bround\s*\(", re.I)
+    offenders = {
+        name: [
+            " ".join(sql[m.start() : m.start() + 60].split())
+            for m in pat.finditer(sql)
+        ]
+        for name, sql in ORACLES.items()
+        if name not in ALLOWLIST and pat.search(sql)
+    }
+    assert not offenders, (
+        "round() in oracle SQL — use _util.floor_round_sql (portable "
+        f"half-up, identical IEEE sequence on both engines): {offenders}"
+    )
+
+
+def test_no_spark_round_in_operator_sources():
+    """Spark-side twin of the total ban: no F.round anywhere in the
+    operator/function/streaming modules (the hashed-output surface).
+    Display-edge code (introspect/CLI) may round for humans."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "ask_duckdb_spark"
+    offenders = []
+    for sub in ("operators", "functions", "streaming"):
+        for py in sorted((root / sub).rglob("*.py")):
+            text = py.read_text()
+            for m in re.finditer(r"F\.round\s*\(", text):
+                ln = text.count("\n", 0, m.start()) + 1
+                offenders.append(f"{sub}/{py.name}:{ln}")
+    assert not offenders, (
+        f"F.round in hashed-output source — use _util.floor_round: {offenders}"
+    )
+
+
 def test_no_spark_round_over_aggregate_in_sources():
     """Source-side twin: F.round(F.sum/avg/...) in operator modules is
     the same class on the Spark side. String-level scan (the oracles
