@@ -33,79 +33,80 @@ from . import stats_audit  # noqa: F401,E402
 # x28b (r3's one red row, fixed this round) and q1 (flagship,
 # regression canary).
 #
-# ROUND-6 WINDOW (active): CORRECTNESS_r05 landed 49/50 green; the one
-# red (x28b, hash-only, three rounds running) is rebuilt this round on
-# exact integer sufficient statistics (operators/multimodal.py
-# TREND_ORACLE) and leads the window — the judge's done-criterion is
-# x28b green in a DRIVER run. The rest of the window is exactly the
-# never-driver-checked tail (VERDICT r5 item 3): the 46 oracle-backed
-# r5 additions x69-x114 (+ the x74-x99 eval/clustering block), then
-# the rows-only fast-path twins. Every entry passes the committed
-# full-registry BIT-EXACT diffcheck (DIFFCHECK_r06.md — floats compared
-# as uint64, stricter than r5's tolerance compare). The remaining
-# rows-only entries (x54/x67; x37 became oracle-paired late in r6 via
-# the g10 discipline) rotate into round 7.
+# ROUND-7 WINDOW (active): CORRECTNESS_r06 landed 47/50 green with the
+# red trio x81/x83/x90 being a pure oracle-typing bug (DuckDB HUGEINT
+# -> pandas float64 vs Spark int64 — VERDICT r6 item 1), fixed this
+# round with CAST(... AS BIGINT) and leading the window; the judge's
+# done-criterion is all three green in a DRIVER run. Next come the
+# entries with ZERO driver evidence (VERDICT r6 item 3): the r6
+# layout/incremental family x115-x124, the retrieval/audit family
+# x125-x132, x37 (oracle-paired late in r6), g10 (stale r02
+# `no_oracle`, oracle added r6), and the four by-design rows-only fast
+# paths. The remainder re-verifies every operator whose hashed output
+# CHANGED this round when the ROUND -> floor-round migration landed
+# (VERDICT r6 item 4): their prior driver rows predate the rewrite.
+# Every oracle-paired entry passes the committed full-registry
+# BIT-EXACT diffcheck, which now also fails on int-vs-float dtype
+# splits (the r6 comparator blind spot).
 _VERIFY_FIRST = [
-    # r3-r5 red row, rebuilt on integer-exact arithmetic — must land green
-    "x28b_user_value_trend_sql",
-    "q1_pricing_summary",  # flagship, regression canary
-    # never-driver-checked, oracle-backed (x69-x114 + eval/cluster block)
-    "x69_knn_pagerank",
-    "x70_kmeans_lloyd",
-    "x71_mixture_sample",
-    "x72_cell_exemplars",
-    "x73_source_divergence",
-    "x74_neardup_eval",
-    "x75_hard_negatives",
-    "x76_bm25_topk",
-    "x77_zipf_slope",
-    "x78_curriculum_bins",
-    "x79_vocab_growth",
-    "x80_cc_star",
+    # r6 red trio — oracle HUGEINT typing fixed, must land green
     "x81_token_budget_select",
-    "x82_source_card",
     "x83_budget_select_cutoff",
-    "x84_truncation_recall",
-    "x85_cluster_keep_best",
-    "x86_novelty_ratio",
-    "x87_ann_recall_eval",
-    "x88_source_novelty",
-    "x89_hybrid_rrf",
     "x90_stratified_budget_select",
-    "x91_containment_pairs",
+    "q1_pricing_summary",  # flagship, regression canary
+    # never driver-checked: stale g10 + late-oracled x37
+    "g10_approx_count_distinct",
+    "x37_quantile_sketch",
+    # never driver-checked: r6 layout/incremental family
+    "x115_snapshot_cdc_diff",
+    "x116_merge_upsert",
+    "x117_bloom_semijoin",
+    "x118_zorder_clustering",
+    "x119_zone_map_pruning",
+    "x120_partial_agg_merge",
+    "x121_scd2_history",
+    "x122_compaction_plan",
+    "x123_weighted_sample",
+    "x124_affected_partitions",
+    # never driver-checked: r6 retrieval/stats-audit family
+    "x125_phrase_match",
+    "x126_fd_audit",
+    "x127_corr_matrix",
+    "x128_winsorized_stats",
+    "x129_phrase_postings",
+    "x130_benford_audit",
+    "x131_collocations",
+    "x132_ks_drift",
+    # never driver-checked: by-design rows-only fast paths (each
+    # pytest-gated against its exact twin; driver records rows-only)
+    "x2f_minhash_neardup_fast",
+    "x4f_simhash_fast",
+    "x54_pack_bins_ffd",
+    "x67_bpe_learn",
+    # hashed output changed this round (ROUND -> floor-round, r7):
+    # prior driver rows predate the rewrite, so re-verify
+    "f14_math",
+    "w7_percent_rank_cume",
+    "q2_min_cost_supplier",
+    "q20_excess_shipments",
+    "x10_quality_score",
+    "x22_tfidf_top_term",
+    "x39_repetition_ratio",
+    "x43_quantize_error",
+    "x64_paragraph_dedup",
+    "x65_pq_adc_topk",
+    "x68_repeated_window_spans",
+    "x69_knn_pagerank",
+    "x75_hard_negatives",
+    "x79_vocab_growth",
+    "x85_cluster_keep_best",
     "x92_source_calibrated_quality",
-    "x93_mean_surprisal",
     "x94_retention_cohorts",
-    "x95_vocab_coverage",
-    "x96_leakage_safe_split",
-    "x97_late_event_audit",
-    "x98_mixture_deficiency",
-    "x99_dup_source_attribution",
-    "x100_event_transitions",
     "x101_readability",
-    "x102_journey_surprisal",
-    "x103_column_profile",
     "x104_value_mad",
-    "x105_embedding_drift",
     "x106_ann_tuning_curve",
     "x107_user_ewma",
-    "x108_reshard_audit",
-    "x109_session_transitions",
-    "x110_interarrival_percentiles",
-    "x111_conversion_time",
-    "x112_norm_audit",
     "x113_char_entropy",
-    "x114_fk_audit",
-    # structurally rewritten this round (float-agg -> exact integer
-    # sufficient statistics); their r2-r5 driver rows predate the
-    # rewrite, so re-verify. (The remaining never-checked entries —
-    # x2f/x4f/x54/x67, all rows-only by design, plus the r6
-    # layout/incremental family x115-x124 and the retrieval/audit
-    # family x125-x132, both added after this window was frozen —
-    # rotate into r7; every r6 window slot stays full-value-hash
-    # oracle-paired.)
-    "w5_range_frame",
-    "g12_stats_agg",
 ]
 
 

@@ -1631,13 +1631,16 @@ def x67_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the corpus is touched ONCE (word-count shuffle into a
     frequency-weighted vocabulary — the classic BPE trick: all
     iteration happens on the vocab, whose size is distinct WORDS, not
-    corpus tokens). Each round is one map-side-combinable pair-count
-    shuffle over the vocab plus a single-ROW collect (the argmax —
-    inherently sequential, O(K) driver round-trips of one row each;
-    the rewrite itself is a distributed narrow fold). The vocab frame
-    is re-persisted per round and the predecessor released; at 100 TB
-    you would checkpoint every ~10 rounds to truncate lineage —
-    nothing else changes.
+    corpus tokens). Each round costs exactly ONE job: the argmax
+    collect's pair-count shuffle pulls the (persisted but lazy) merged
+    vocab through, fusing the previous round's rewrite with this
+    round's count — there is no separate materialization action. The
+    predecessor's cache is released one round late (after the job that
+    consumed it). O(K) single-row driver round-trips are inherent to
+    the sequential argmax; at 100 TB you would checkpoint every ~10
+    rounds to truncate lineage — nothing else changes. Measured in
+    SCALE.md: near-flat wall at 10x corpus (vocab-bound, not
+    corpus-bound).
     """
     d = load_table(spark, sf_dir, "documents")
     wf = (
@@ -1648,6 +1651,7 @@ def x67_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = wf.selectExpr(
         "wf", "filter(split(w, ''), c -> c != '') AS syms"
     ).persist()
+    prev = None
     merges: list[tuple[int, str, str, int]] = []
     try:
         for rank in range(1, BPE_MERGES + 1):
@@ -1665,9 +1669,15 @@ def x67_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("p.l", "p.r")
                 .agg(F.sum("wf").alias("freq"))
             )
+            # The ONE job per round: TakeOrdered over the pair counts.
+            # Running it fills vocab's cache (the lazy rewrite from last
+            # round), after which the predecessor's blocks are dead.
             top = pairs.orderBy(
                 F.col("freq").desc(), "l", "r"
             ).limit(1).collect()
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not top:
                 break
             l, r, freq = top[0]["l"], top[0]["r"], int(top[0]["freq"])
@@ -1675,11 +1685,11 @@ def x67_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
             nxt = vocab.select(
                 "wf", _bpe_merge_expr(l, r).alias("syms")
             ).persist()
-            nxt.count()  # materialize before releasing the parent
-            vocab.unpersist()
-            vocab = nxt
+            prev, vocab = vocab, nxt
     finally:
         vocab.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return spark.createDataFrame(
         merges, "merge_rank INT, lhs STRING, rhs STRING, freq BIGINT"
     )
