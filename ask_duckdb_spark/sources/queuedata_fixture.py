@@ -130,12 +130,18 @@ def queuedata_dictionary() -> dict[str, Any]:
                 "aliases": [],
                 "importance": 6,
                 "allowed_values": {"examples": list(_COUNTRIES)},
+                # The FULL published map (queuedata.schema.json:390-399)
+                # so the README-example-3 golden proves the global
+                # rewrite on the exact shipped vocabulary.
                 "canonicalization": {
                     "case": "none",
                     "map_values": {
+                        "us": "United States",
+                        "usa": "United States",
                         "america": "United States",
                         "american": "United States",
-                        "usa": "United States",
+                        "united states of america": "United States",
+                        "united state": "United States",
                     },
                 },
             },

@@ -48,6 +48,21 @@ HEADLINE = [
     "x26_salted_user_totals",
 ]
 
+#: Second, VERSIONED headline set (round 7). The 22-query set above is
+#: FROZEN for cross-round comparability (it predates the r5/r6 operator
+#: families); this set covers what r6 built — layout/incremental (MERGE
+#: upsert, bloom semi-join) and retrieval/stats-audit (phrase match,
+#: one-scan correlation matrix) — and is reported under separate JSON
+#: keys (``v2_*``) so the frozen set's totals/ratios stay directly
+#: comparable to BENCH_r01-r06 while new families still get a measured
+#: per-round number.
+HEADLINE_V2 = [
+    "x116_merge_upsert",
+    "x117_bloom_semijoin",
+    "x125_phrase_match",
+    "x127_corr_matrix",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -93,7 +108,7 @@ def main() -> int:
     warm_dir = "/root/testdata/sf0.01"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
         for _ in range(2):
-            for name in HEADLINE:
+            for name in HEADLINE + HEADLINE_V2:
                 QUERIES[name](spark, warm_dir).count()
             spark.catalog.clearCache()  # drop sf0.01 persisted frames
 
@@ -114,15 +129,19 @@ def main() -> int:
     # is what the sec/query comparison is about (DuckDB's equivalent
     # client cost — SQL string parse — is ~0.1 ms and stays inside its
     # timed region). Physical planning/AQE still runs per count().
-    plans = {name: QUERIES[name](spark, sf_dir) for name in HEADLINE}
+    plans = {
+        name: QUERIES[name](spark, sf_dir) for name in HEADLINE + HEADLINE_V2
+    }
     timings: dict[str, float] = {}
+    v2_timings: dict[str, float] = {}
     for rep in range(REPS):
-        for name in HEADLINE:
+        for name in HEADLINE + HEADLINE_V2:
+            tgt = timings if name in HEADLINE else v2_timings
             t0 = time.time()
             plans[name].count()
             wall = round(time.time() - t0, 3)
-            if rep == 0 or wall < timings[name]:
-                timings[name] = wall
+            if rep == 0 or wall < tgt[name]:
+                tgt[name] = wall
             # Outside the timing: release frames the operator persist()ed
             # for intra-plan reuse (caches never carry between headline
             # queries — each builds a distinct plan — but they would
@@ -166,6 +185,7 @@ def main() -> int:
     # fair 32-core vs 32-core comparison of a distributed engine's
     # local mode against a purpose-built single-node engine.
     duck_timings: dict[str, float] = {}
+    v2_duck: dict[str, float] = {}
     try:
         import duckdb
 
@@ -178,8 +198,9 @@ def main() -> int:
             if os.path.exists(p):
                 con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
         for rep in range(REPS):
-            for name in HEADLINE:
+            for name in HEADLINE + HEADLINE_V2:
                 if name in ORACLES:
+                    tgt = duck_timings if name in HEADLINE else v2_duck
                     t0 = time.time()
                     # count-wrapped, mirroring the Spark side's
                     # df.count(): both engines may then prune unused
@@ -189,16 +210,19 @@ def main() -> int:
                         f"SELECT count(*) FROM ({ORACLES[name]})"
                     ).fetchall()
                     wall = round(time.time() - t0, 3)
-                    if rep == 0 or wall < duck_timings[name]:
-                        duck_timings[name] = wall
+                    if rep == 0 or wall < tgt[name]:
+                        tgt[name] = wall
     except Exception:
         duck_timings = {}
+        v2_duck = {}
 
     total = round(sum(timings.values()), 3)
     duck_total = round(sum(duck_timings.values()), 3)
     spark_on_oracle = round(
         sum(v for k, v in timings.items() if k in duck_timings), 3
     )
+    v2_total = round(sum(v2_timings.values()), 3)
+    v2_duck_total = round(sum(v2_duck.values()), 3)
     print(
         json.dumps(
             {
@@ -229,6 +253,18 @@ def main() -> int:
                         2,
                     )
                     if floor is not None and duck_total > 0
+                    else None
+                ),
+                # Versioned second set (r7+): r6 layout + retrieval
+                # representatives, reported separately so the frozen
+                # 22-query set stays comparable across rounds.
+                "v2_queries": v2_timings,
+                "v2_total": v2_total,
+                "v2_duckdb_queries": v2_duck,
+                "v2_duckdb_total": v2_duck_total,
+                "v2_ratio": (
+                    round(v2_total / v2_duck_total, 2)
+                    if v2_duck_total > 0
                     else None
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -88,6 +88,40 @@ def test_readme_example_3_american_queues(spark, queuedata):
     assert got == want and got
 
 
+@pytest.mark.parametrize(
+    "variant",
+    ["us", "usa", "america", "american", "united states of america",
+     "united state"],
+)
+def test_readme_example_3_full_published_map(spark, queuedata, variant):
+    """R6 global literal rewrite on the EXACT published vocabulary
+    (reference queuedata.schema.json:390-399): every shipped map_values
+    key canonicalizes to 'United States' and the executed result equals
+    the ground-truth filter — the end-to-end form of README example 3
+    (reference README.md:65)."""
+    df, meta = queuedata
+    stub = StubLLM(
+        {
+            "american queues": (
+                f"SELECT name FROM queuedata WHERE country = '{variant}'"
+            )
+        }
+    )
+    res = answer_question(
+        spark, "queuedata", "list all american queues", stub, meta=meta
+    )
+    assert "'United States'" in res.sql
+    assert f"'{variant}'" not in res.sql
+    got = {r.queue for r in res.df.collect()}
+    want = {
+        r.queue
+        for r in df.filter(F.col("country") == "United States")
+        .select("queue")
+        .collect()
+    }
+    assert got == want and got
+
+
 def test_prompt_carries_schema_and_context(spark, queuedata):
     _, meta = queuedata
     stub = _provider()
