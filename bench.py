@@ -267,6 +267,18 @@ def main() -> int:
                     if v2_duck_total > 0
                     else None
                 ),
+                # The v2 queries are all sub-second on the oracle side,
+                # so the fixed per-query floor dominates their ratio at
+                # sf0.1 (4 queries x ~0.12 s floor vs a ~0.3 s DuckDB
+                # total); the floor-adjusted number is the volume-
+                # proportional part that survives scale-up.
+                "v2_ratio_minus_floor": (
+                    round(
+                        (v2_total - floor * len(v2_duck)) / v2_duck_total, 2
+                    )
+                    if floor is not None and v2_duck_total > 0
+                    else None
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 # Diagnostics for run-to-run comparison: BENCH numbers
                 # are only comparable when the host was otherwise idle
