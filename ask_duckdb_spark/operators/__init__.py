@@ -21,6 +21,7 @@ from . import nl_queries  # noqa: F401,E402
 from . import profile  # noqa: F401,E402
 from . import layout  # noqa: F401,E402
 from . import stats_audit  # noqa: F401,E402
+from . import hygiene  # noqa: F401,E402
 
 # The driver's per-round correctness harness verifies the FIRST 50
 # registry entries in iteration order. Rounds 1-2 officially verified
@@ -84,7 +85,10 @@ _VERIFY_FIRST = [
     "x54_pack_bins_ffd",
     "x67_bpe_learn",
     # hashed output changed this round (ROUND -> floor-round, r7):
-    # prior driver rows predate the rewrite, so re-verify
+    # prior driver rows predate the rewrite, so re-verify. (The r7
+    # hygiene family x133-x135, added after this window was filled,
+    # rotates into r8 with local bit-exact diffcheck evidence in
+    # DIFFCHECK_r07.md meanwhile.)
     "f14_math",
     "w7_percent_rank_cume",
     "q2_min_cost_supplier",

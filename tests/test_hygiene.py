@@ -1,0 +1,74 @@
+"""Semantic pins for the hygiene family (x133-x135) beyond the oracle.
+
+The DuckDB oracles prove Spark/DuckDB agreement; these tests pin that
+the agreed-on answer means what the docstrings claim: contaminated docs
+really share a verbatim token window with an eval doc, fertility is
+bounded the way sub-word tokenization forces, and the charclass ppm
+columns decompose the total exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ask_duckdb_spark.operators import QUERIES
+from ask_duckdb_spark.operators.dedup import W_SPAN
+from ask_duckdb_spark.operators.hygiene import EVAL_MOD
+from ask_duckdb_spark.sources.catalog import load_table
+from tests.conftest import SF_DIR_001
+
+
+def test_x133_contaminated_docs_share_a_verbatim_window(spark):
+    out = QUERIES["x133_eval_decontam"](spark, SF_DIR_001).collect()
+    assert out, "fixture must plant at least one contamination"
+    assert all(r.doc_id % EVAL_MOD != 0 for r in out), "eval docs excluded"
+    assert all(r.n_gram_hits >= r.n_shared_grams >= 1 for r in out)
+
+    # Ground-truth re-derivation at the STRING level (no hashes): the
+    # top contaminated doc must share a verbatim W_SPAN-token window
+    # with some eval doc.
+    docs = load_table(spark, SF_DIR_001, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    wins = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(toks) >= W_SPAN,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (W_SPAN - 1)),
+                    lambda i: F.array_join(F.slice(toks, i, W_SPAN), " "),
+                ),
+            ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+        ).alias("w"),
+    )
+    top = out[0].doc_id
+    ev_wins = wins.filter(F.col("doc_id") % EVAL_MOD == 0).select("w").distinct()
+    shared = (
+        wins.filter(F.col("doc_id") == top).join(ev_wins, "w").count()
+    )
+    assert shared >= 1
+
+
+def test_x134_fertility_bounds(spark):
+    rows = QUERIES["x134_tokenizer_fertility"](spark, SF_DIR_001).collect()
+    assert len(rows) > 1
+    for r in rows:
+        # BPE pre-tokenization only ever SPLITS whitespace words, so
+        # tokens >= words and fertility >= 1.0 (1e6 ppm); chars per
+        # token is at least 1 for letter-bearing text.
+        assert r.n_bpe_tokens >= r.n_words
+        assert r.fertility_ppm >= 1_000_000
+        assert r.chars_per_token_ppm >= 1_000_000
+
+
+def test_x135_ppm_decomposition(spark):
+    rows = QUERIES["x135_charclass_audit"](spark, SF_DIR_001).collect()
+    assert len(rows) > 1
+    for r in rows:
+        total_ppm = (
+            r.letter_ppm + r.digit_ppm + r.space_ppm + r.punct_ppm + r.other_ppm
+        )
+        # integer floor division loses < 1 ppm per term
+        assert 1_000_000 - 5 <= total_ppm <= 1_000_000
+        assert r.n_control == 0  # fixture is clean text
+        assert r.letter_ppm > r.space_ppm > 0
