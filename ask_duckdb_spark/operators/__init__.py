@@ -86,7 +86,7 @@ _VERIFY_FIRST = [
     "x67_bpe_learn",
     # hashed output changed this round (ROUND -> floor-round, r7):
     # prior driver rows predate the rewrite, so re-verify. (The r7
-    # hygiene family x133-x135, added after this window was filled,
+    # hygiene family x133-x136, added after this window was filled,
     # rotates into r8 with local bit-exact diffcheck evidence in
     # DIFFCHECK_r07.md meanwhile.)
     "f14_math",

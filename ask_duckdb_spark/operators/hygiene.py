@@ -1,7 +1,7 @@
-"""Corpus hygiene & decontamination operators (x133-x135).
+"""Corpus hygiene & decontamination operators (x133-x136).
 
 Round-7 additions to the training-data-pipeline surface (SURVEY.md
-§2.9), closing three checks every large corpus build runs before
+§2.9), closing checks every large corpus build runs before
 training and the registry did not yet express:
 
 * x133 — eval-set n-gram DECONTAMINATION: which training documents
@@ -21,6 +21,9 @@ training and the registry did not yet express:
   mojibake floods, and markup-heavy sources before they hit the
   tokenizer (x113's per-document entropy is the information-theoretic
   sibling; this is the per-source composition ledger).
+* x136 — the eval-side LEAK REPORT: x133's inverse view (which
+  benchmark items are compromised, and how broadly), off the same
+  gram frame.
 
 Float discipline: everything here is exact integer counting closed by
 integer ppm division (``(a * 1000000) // b``) — no float appears in
@@ -331,4 +334,83 @@ def x135_charclass_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).alias("other_ppm")
     return s.select("source", "total_chars", *ppm, other, "n_control").orderBy(
         "source"
+    )
+
+
+# ---------------------------------------------------------------------------
+# x136 — eval-side leak report (x133's inverse view)
+# ---------------------------------------------------------------------------
+
+_X136_ORACLE = f"""
+WITH th AS (
+  SELECT doc_id,
+         list_transform({_TOKENS_SQL},
+                        t -> {token_hash60_sql('t')} % {PH_P}) AS th
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, len(th) - {W_SPAN - 2}),
+           i -> list_reduce(list_slice(th, i, i + {W_SPAN - 1}),
+                            (a, b) -> (a * {PH_B} + b) % {PH_P}))) AS h
+  FROM th WHERE len(th) >= {W_SPAN}
+), ev AS (
+  SELECT doc_id AS eval_id, h FROM grams WHERE doc_id % {EVAL_MOD} = 0
+), tr AS (
+  SELECT DISTINCT doc_id AS train_id, h FROM grams
+  WHERE doc_id % {EVAL_MOD} <> 0
+)
+SELECT ev.eval_id,
+       CAST(count(DISTINCT tr.train_id) AS BIGINT) AS n_train_docs,
+       CAST(count(DISTINCT ev.h) AS BIGINT) AS n_leaked_grams
+FROM ev JOIN tr USING (h)
+GROUP BY ev.eval_id
+ORDER BY n_train_docs DESC, ev.eval_id
+"""
+
+
+@query("x136_eval_leak_report", oracle=_X136_ORACLE)
+def x136_eval_leak_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which EVAL documents are leaked into the training partition.
+
+    x133's inverse view, for the benchmark owner: per compromised eval
+    document, how many training documents carry at least one of its
+    grams and how many of its distinct grams appear in training. The
+    two remediations differ by which side you read — x133 says "drop
+    these training docs", this says "these benchmark items are
+    compromised; exclude them from scoring (or re-draw them)". Both
+    run off the SAME gram frame, so at scale they are one pass with
+    two rollups.
+
+    Scale (100 TB): identical shape to x133 — the join is gram-keyed
+    with the eval side benchmark-sized; count(DISTINCT train_id) per
+    eval doc is bounded by that gram's posting length, and the hot-gram
+    pathology (a boilerplate gram shared by millions of training docs)
+    is exactly what x51's domain-cap / x2's MAX_BUCKET guard pattern
+    bounds if it appears — at fixture scale the raw join is the honest
+    oracle-checkable form.
+    """
+    wins_sql, th_sql = _gram_hashes_spark()
+    d = load_table(spark, sf_dir, "documents")
+    grams = (
+        d.selectExpr("doc_id", f"{th_sql} AS _th")
+        .filter(F.size("_th") >= W_SPAN)
+        .selectExpr("doc_id", f"explode({wins_sql}) AS h")
+    )
+    ev = grams.filter(F.col("doc_id") % EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_id"), "h"
+    )
+    tr = (
+        grams.filter(F.col("doc_id") % EVAL_MOD != 0)
+        .select(F.col("doc_id").alias("train_id"), "h")
+        .distinct()
+    )
+    return (
+        ev.join(tr, "h")
+        .groupBy("eval_id")
+        .agg(
+            F.countDistinct("train_id").cast("bigint").alias("n_train_docs"),
+            F.countDistinct("h").cast("bigint").alias("n_leaked_grams"),
+        )
+        .orderBy(F.desc("n_train_docs"), "eval_id")
     )

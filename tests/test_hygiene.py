@@ -49,6 +49,18 @@ def test_x133_contaminated_docs_share_a_verbatim_window(spark):
     assert shared >= 1
 
 
+def test_x136_leak_report_is_x133s_inverse(spark):
+    leaks = QUERIES["x136_eval_leak_report"](spark, SF_DIR_001).collect()
+    assert leaks, "planted contamination must surface on the eval side too"
+    assert all(r.eval_id % EVAL_MOD == 0 for r in leaks)
+    assert all(r.n_train_docs >= 1 and r.n_leaked_grams >= 1 for r in leaks)
+    # Cross-consistency: the eval side can never report more affected
+    # training docs per item than the total contaminated-doc count x133
+    # reports, and both views must agree that contamination exists.
+    n_contaminated = QUERIES["x133_eval_decontam"](spark, SF_DIR_001).count()
+    assert max(r.n_train_docs for r in leaks) <= n_contaminated
+
+
 def test_x134_fertility_bounds(spark):
     rows = QUERIES["x134_tokenizer_fertility"](spark, SF_DIR_001).collect()
     assert len(rows) > 1
