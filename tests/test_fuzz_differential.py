@@ -182,6 +182,29 @@ def test_fuzz_x77_zipf_slope(spark, texts):
     _fuzz_one(spark, "x77_zipf_slope", texts)
 
 
+# r7 hygiene family: doc 0 is always in the eval slice (0 % EVAL_MOD
+# == 0), so the planted-duplicate branch of corpus() regularly creates
+# REAL contamination when the duplicate is >= W_SPAN tokens; short,
+# empty and unicode docs probe the strict-window and regex-class
+# edges on both engines.
+@_FUZZ_SETTINGS
+@given(texts=corpus())
+def test_fuzz_x133_eval_decontam(spark, texts):
+    _fuzz_one(spark, "x133_eval_decontam", texts)
+
+
+@_FUZZ_SETTINGS
+@given(texts=corpus())
+def test_fuzz_x134_tokenizer_fertility(spark, texts):
+    _fuzz_one(spark, "x134_tokenizer_fertility", texts)
+
+
+@_FUZZ_SETTINGS
+@given(texts=corpus())
+def test_fuzz_x135_charclass_audit(spark, texts):
+    _fuzz_one(spark, "x135_charclass_audit", texts)
+
+
 # ---------------------------------------------------------------------------
 # Embedding-op fuzz: degenerate vectors (zeros, duplicates, one-class
 # label distributions) against the cosine-ranking oracles.
