@@ -2475,3 +2475,126 @@ def x112_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         fr6(F.expr("percentile(nrm, 0.9)")).alias("p90_norm"),
         fr6(F.max("nrm")).alias("max_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x137 — k-NN graph triangle census / global clustering coefficient
+# ---------------------------------------------------------------------------
+
+
+def _x137_oracle() -> str:
+    return f"""
+    WITH {_band_keys_sql()},
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+             a.embedding AS ea, b.embedding AS eb
+      FROM bk a JOIN bk b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id <> b.vec_id
+    ), knn AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (
+                 PARTITION BY src
+                 ORDER BY {_cos_sql("ea", "eb")} DESC, dst
+               ) AS rnk
+        FROM pairs
+      ) WHERE rnk <= {KNN_K}
+    ), und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM knn
+    ), deg AS (
+      SELECT v, count(*) AS d
+      FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+      GROUP BY v
+    ), tri AS (
+      SELECT count(*) AS n_tri
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
+           CAST(n_tri AS BIGINT) AS n_triangles,
+           CAST((SELECT sum(d * (d - 1) // 2) FROM deg) AS BIGINT)
+             AS n_triads,
+           CAST((3 * n_tri * 1000000)
+                // greatest((SELECT sum(d * (d - 1) // 2) FROM deg), 1)
+                AS BIGINT) AS global_cc_ppm
+    FROM tri
+    """
+
+
+@query("x137_knn_clustering_coeff", oracle=_x137_oracle())
+def x137_knn_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census + global clustering coefficient of the k-NN graph.
+
+    The manifold-quality diagnostic downstream of x44: real embedding
+    neighborhoods are transitive (my neighbor's neighbor is often my
+    neighbor), so a healthy corpus shows a high clustering coefficient,
+    while a near-random or collapsed embedding space shows almost no
+    triangles relative to open triads. global_cc = 3·triangles / open
+    triads, reported in exact integer ppm. Inputs are x44's banded-LSH
+    kNN edges made undirected ((least, greatest) DISTINCT), so the
+    census is over the graph the dedup/diversity pipeline actually
+    consumes.
+
+    Triangle counting is the canonical edge-edge join (a<b<c node
+    ordering counts each triangle exactly once): e1=(a,b) ⋈ e2=(b,c)
+    ⋈ edge-exists(a,c). Every count is an exact integer, so the oracle
+    is hash-exact (the HUGEINT triad sum is cast per the dtype gate).
+
+    Scale (100 TB): the kNN graph has out-degree K, so |edges| ≈ K·n
+    and the first join's fan-out is bounded by per-node degree. The
+    production guard for hub nodes (a vector that appears in MANY
+    others' top-K keeps unbounded IN-degree) is degree ordering —
+    iterate each triangle from its lowest-degree vertex, the standard
+    node-iterator++ bound of O(m^{3/2}) — plus x51's cap discipline if
+    a degenerate hub appears; at fixture scale the raw join is the
+    honest oracle-mirrorable form. Shuffles: two keyed joins on node
+    ids + one global count — all combinable.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = x44_knn_graph(spark, sf_dir).select("src", "dst")
+    und = (
+        knn.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .persist()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    triads = deg.agg(
+        F.sum(F.expr("d * (d - 1) DIV 2")).cast("bigint").alias("n_triads")
+    )
+    out = (
+        tri.crossJoin(F.broadcast(nodes))
+        .crossJoin(F.broadcast(edges))
+        .crossJoin(F.broadcast(triads))
+        .select(
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.col("n_tri").cast("bigint").alias("n_triangles"),
+            F.col("n_triads").cast("bigint").alias("n_triads"),
+            F.expr(
+                "CAST((3 * n_tri * 1000000) DIV greatest(n_triads, 1)"
+                " AS BIGINT)"
+            ).alias("global_cc_ppm"),
+        )
+    )
+    return unpersist_with(out, und)

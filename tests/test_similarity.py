@@ -334,3 +334,38 @@ def test_band_bits_is_a_real_scale_knob(spark, tmp_path_factory):
     assert n_narrow * 4 <= n_wide, (n_wide, n_narrow)
     got = {(r.id_a, r.id_b) for r in narrow.collect()}
     assert (0, 398) in got and (7, 399) in got
+
+
+def test_x137_triangle_census_matches_python_recount(spark):
+    """x137's triangle/triad counts re-derived in pure Python from the
+    same x44 edge list (set intersections over the collected undirected
+    edges — fine at sf0.001's ~100 vectors), plus the cc bounds."""
+    from ask_duckdb_spark.operators import QUERIES
+    from tests.conftest import SF_DIR_001
+
+    edges = {
+        (min(r.src, r.dst), max(r.src, r.dst))
+        for r in QUERIES["x44_knn_graph"](spark, SF_DIR_001).collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(
+        1
+        for a, b in edges
+        for c in adj[a] & adj[b]
+        if c > b
+    )
+    triads = sum(len(ns) * (len(ns) - 1) // 2 for ns in adj.values())
+
+    row = QUERIES["x137_knn_clustering_coeff"](spark, SF_DIR_001).first()
+    assert row.n_nodes == len(adj)
+    assert row.n_edges == len(edges)
+    assert row.n_triangles == tri
+    assert row.n_triads == triads
+    assert 0 <= row.global_cc_ppm <= 1_000_000
+    assert row.global_cc_ppm == (3 * tri * 1_000_000) // max(triads, 1)
+    # a healthy (non-random) embedding manifold is transitive: the
+    # fixture's clustered embeddings must show SOME closure
+    assert row.n_triangles > 0
