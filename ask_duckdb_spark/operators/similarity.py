@@ -882,7 +882,12 @@ def _x44_oracle() -> str:
 
 
 @query("x44_knn_graph", oracle=_x44_oracle())
-def x44_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x44_knn_graph(
+    spark: SparkSession,
+    sf_dir: str,
+    band_bits: int = None,
+    n_bands: int = None,
+) -> DataFrame:
     """Approximate k-NN graph: top-3 neighbors for EVERY vector.
 
     The corpus-wide generalization of x6 (one query) and x25 (a query
@@ -896,7 +901,9 @@ def x44_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force graph at sf0.01.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    cands = _banded_candidate_pairs(emb, keep_self=True).select(
+    cands = _banded_candidate_pairs(
+        emb, keep_self=True, n_bands=n_bands, band_bits=band_bits
+    ).select(
         F.col("id_a").alias("src"),
         F.col("id_b").alias("dst"),
         cosine_similarity(F.col("ea"), F.col("eb")).alias("sim"),
@@ -2525,7 +2532,12 @@ def _x137_oracle() -> str:
 
 
 @query("x137_knn_clustering_coeff", oracle=_x137_oracle())
-def x137_knn_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x137_knn_clustering_coeff(
+    spark: SparkSession,
+    sf_dir: str,
+    band_bits: int = None,
+    n_bands: int = None,
+) -> DataFrame:
     """Triangle census + global clustering coefficient of the k-NN graph.
 
     The manifold-quality diagnostic downstream of x44: real embedding
@@ -2554,7 +2566,9 @@ def x137_knn_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids + one global count — all combinable.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    knn = x44_knn_graph(spark, sf_dir).select("src", "dst")
+    knn = x44_knn_graph(
+        spark, sf_dir, band_bits=band_bits, n_bands=n_bands
+    ).select("src", "dst")
     und = (
         knn.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
