@@ -77,6 +77,16 @@ def _gram_hashes_spark() -> str:
     ), th
 
 
+def _doc_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, h) strict-window gram hashes of a document frame."""
+    wins_sql, th_sql = _gram_hashes_spark()
+    return (
+        docs.selectExpr("doc_id", f"{th_sql} AS _th")
+        .filter(F.size("_th") >= W_SPAN)
+        .selectExpr("doc_id", f"explode({wins_sql}) AS h")
+    )
+
+
 _X133_ORACLE = f"""
 WITH th AS (
   SELECT doc_id,
@@ -129,16 +139,15 @@ def x133_eval_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     majority). The per-doc rollup is map-side combinable. Nothing in
     the plan holds corpus-sized state.
     """
-    wins_sql, th_sql = _gram_hashes_spark()
     d = load_table(spark, sf_dir, "documents")
-    grams = (
-        d.selectExpr("doc_id", f"{th_sql} AS _th")
-        .filter(F.size("_th") >= W_SPAN)
-        .selectExpr("doc_id", f"explode({wins_sql}) AS h")
-    )
-    ev = grams.filter(F.col("doc_id") % EVAL_MOD == 0).select("h").distinct()
+    # Filter each slice BEFORE gram construction so the cheap modulo
+    # predicate sits ahead of the expensive tokenize+hash conjunct in
+    # the fused scan Filter (Catalyst keeps conjunct order; the
+    # single-grams-frame formulation tokenized 90% of docs on the eval
+    # side only to drop them — plan-audited r7).
+    ev = _doc_grams(d.filter(F.col("doc_id") % EVAL_MOD == 0)).select("h").distinct()
     return (
-        grams.filter(F.col("doc_id") % EVAL_MOD != 0)
+        _doc_grams(d.filter(F.col("doc_id") % EVAL_MOD != 0))
         .join(ev, "h")
         .groupBy("doc_id")
         .agg(
@@ -390,18 +399,13 @@ def x136_eval_leak_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds if it appears — at fixture scale the raw join is the honest
     oracle-checkable form.
     """
-    wins_sql, th_sql = _gram_hashes_spark()
     d = load_table(spark, sf_dir, "documents")
-    grams = (
-        d.selectExpr("doc_id", f"{th_sql} AS _th")
-        .filter(F.size("_th") >= W_SPAN)
-        .selectExpr("doc_id", f"explode({wins_sql}) AS h")
-    )
-    ev = grams.filter(F.col("doc_id") % EVAL_MOD == 0).select(
+    # modulo-before-grams, as in x133 (plan-audited r7)
+    ev = _doc_grams(d.filter(F.col("doc_id") % EVAL_MOD == 0)).select(
         F.col("doc_id").alias("eval_id"), "h"
     )
     tr = (
-        grams.filter(F.col("doc_id") % EVAL_MOD != 0)
+        _doc_grams(d.filter(F.col("doc_id") % EVAL_MOD != 0))
         .select(F.col("doc_id").alias("train_id"), "h")
         .distinct()
     )

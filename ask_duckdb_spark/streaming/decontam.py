@@ -37,8 +37,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.hygiene import EVAL_MOD, _gram_hashes_spark
-from ..operators.dedup import W_SPAN
+from ..operators.hygiene import EVAL_MOD, _doc_grams
+from ..operators.dedup import W_SPAN  # noqa: F401  (re-export for tests)
 
 __all__ = [
     "eval_grams",
@@ -50,13 +50,9 @@ __all__ = [
 
 
 def doc_grams(docs: DataFrame) -> DataFrame:
-    """(doc_id, h) gram-hash pairs of ``docs`` — x133's exact fragments."""
-    wins_sql, th_sql = _gram_hashes_spark()
-    return (
-        docs.selectExpr("doc_id", f"{th_sql} AS _th")
-        .filter(F.size("_th") >= W_SPAN)
-        .selectExpr("doc_id", f"explode({wins_sql}) AS h")
-    )
+    """(doc_id, h) gram-hash pairs of ``docs`` — x133's exact helper
+    (single source of truth: the filter and the report cannot drift)."""
+    return _doc_grams(docs)
 
 
 def eval_grams(documents: DataFrame) -> DataFrame:
