@@ -60,11 +60,13 @@ from .textstats import BPE_PATTERN, _TOKENS_ORACLE
 EVAL_MOD = 10
 
 
-def _gram_hashes_spark() -> str:
-    """Spark-SQL fragment: strict W_SPAN-token-window polynomial gram
-    hashes of ``text`` (x68's shingle construction, but STRICT — a doc
-    shorter than the window emits no grams, since a partial gram
-    cannot equal a full one)."""
+def _gram_hashes_spark() -> tuple[str, str]:
+    """Spark-SQL fragments ``(wins_sql, th_sql)``: strict
+    W_SPAN-token-window polynomial gram hashes of ``text`` (x68's
+    shingle construction, but STRICT — a doc shorter than the window
+    emits no grams, since a partial gram cannot equal a full one).
+    ``th_sql`` builds the per-token hash array ``_th``; ``wins_sql``
+    folds it into the window hashes."""
     token_h = f"{token_hash60_sparksql('t')} % {PH_P}L"
     th = (
         "transform(filter(split(lower(text), '\\\\s+'), t -> t != ''), "
@@ -162,12 +164,19 @@ def x133_eval_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x134 — tokenizer fertility per source
 # ---------------------------------------------------------------------------
 
+#: Explicit whitespace class for the nonspace strip (ADVICE r7): ``\\s``
+#: is engine-dialect — Java/Spark's includes \\x0B (vertical tab) while
+#: DuckDB's RE2 ``\\s`` does not — so a document containing \\x0B would
+#: split n_chars between the engines. Both regex dialects parse these
+#: escapes identically; x135 already uses explicit classes throughout.
+_WS_CLASS = "[ \\t\\n\\r\\x0B\\f]"
+
 _X134_ORACLE = f"""
 WITH per_doc AS (
   SELECT source,
          len({_TOKENS_ORACLE}) AS words,
          len(regexp_extract_all(text, '{BPE_PATTERN}')) AS bpe,
-         length(regexp_replace(text, '\\s+', '', 'g')) AS nonspace
+         length(regexp_replace(text, '{_WS_CLASS}+', '', 'g')) AS nonspace
   FROM documents
 ), s AS (
   SELECT source,
@@ -209,7 +218,7 @@ def x134_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     words = F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != ""))
     bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0))
-    nonspace = F.length(F.regexp_replace("text", r"\s+", ""))
+    nonspace = F.length(F.regexp_replace("text", f"{_WS_CLASS}+", ""))
     s = (
         d.select(
             "source",

@@ -219,15 +219,15 @@ def _fd_oracle() -> str:
         # NULL semantics: rows with NULL lhs are outside the audit (a
         # NULL key determines nothing — matching count(DISTINCT lhs),
         # which also drops NULLs), while a NULL rhs is a real value the
-        # lhs maps to, coalesced to a chr(1) sentinel so the pair image
-        # stays non-NULL. Without this, concat(a, b) returns NULL on a
-        # NULL rhs, the pair drops out of n_pairs while lhs still counts
-        # in n_lhs, and n_extra can go negative / fd_holds false for a
-        # dependency that holds on non-null rows.
+        # lhs maps to. The pair domain is counted STRUCTURALLY —
+        # count(DISTINCT (a, b)) over the row value — so no string
+        # image exists to collide: a '#' inside a value or a literal
+        # '\\x01' rhs (the old sentinel encoding's two ambiguities,
+        # ADVICE r7) cannot conflate distinct pairs, and a NULL rhs is
+        # a distinct field value inside a non-NULL struct.
         aggs.append(
-            f"count(DISTINCT CASE WHEN {a} IS NOT NULL THEN "
-            f"CAST({a} AS VARCHAR) || '#' || "
-            f"coalesce(CAST({b} AS VARCHAR), chr(1)) END) AS np_{i}"
+            f"count(DISTINCT ({a}, {b})) "
+            f"FILTER (WHERE {a} IS NOT NULL) AS np_{i}"
         )
         picks.append(
             f"SELECT '{a}' AS lhs, '{b}' AS rhs, "
@@ -259,9 +259,11 @@ def x126_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (100 TB): ONE scan — all 2|pairs| exact distincts evaluate in
     a single Expand-based aggregate (the same single-pass shape as
     x103's profiler), so the audit costs one pass regardless of how
-    many candidate FDs are tested. The pair domain is counted over a
-    '#'-joined string image (injective on these columns; both engines
-    count the same domain). At petabyte row counts you'd swap exact
+    many candidate FDs are tested. The pair domain is counted
+    structurally — count(DISTINCT (a, b)) on both engines — so it is
+    injective on ANY data, including values containing the retired
+    string image's '#' delimiter or a literal '\\x01' rhs (ADVICE r7).
+    At petabyte row counts you'd swap exact
     distincts for HLL sketches (g10 / x120 show the pattern) — the FD
     verdict then carries the sketch's error bound.
     """
@@ -269,18 +271,13 @@ def x126_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs = []
     for i, (a, b) in enumerate(FD_PAIRS):
         aggs.append(F.countDistinct(F.col(a)).alias(f"nl_{i}"))
-        # Mirror the oracle's NULL semantics: NULL lhs rows are outside
-        # the audit; NULL rhs coalesces to a chr(1) sentinel.
+        # Mirror the oracle's NULL semantics structurally: NULL lhs
+        # rows are outside the audit (count(DISTINCT) drops the NULL
+        # struct the when() yields); a NULL rhs is a distinct field
+        # value inside a non-NULL struct — no sentinel encoding.
         aggs.append(
             F.countDistinct(
-                F.when(
-                    F.col(a).isNotNull(),
-                    F.concat(
-                        F.col(a).cast("string"),
-                        F.lit("#"),
-                        F.coalesce(F.col(b).cast("string"), F.lit("\x01")),
-                    ),
-                )
+                F.when(F.col(a).isNotNull(), F.struct(F.col(a), F.col(b)))
             ).alias(f"np_{i}")
         )
     row = o.agg(*aggs)

@@ -84,3 +84,35 @@ def test_x135_ppm_decomposition(spark):
         assert 1_000_000 - 5 <= total_ppm <= 1_000_000
         assert r.n_control == 0  # fixture is clean text
         assert r.letter_ppm > r.space_ppm > 0
+
+
+def test_x134_nonspace_strip_is_engine_portable_on_vertical_tab(spark, tmp_path):
+    """ADVICE r7: Java/Spark ``\\s`` includes \\x0B (vertical tab);
+    DuckDB's RE2 ``\\s`` does not, so the old nonspace strip split
+    n_chars between the engines on any document containing \\x0B. The
+    explicit ``_WS_CLASS`` must strip it on BOTH — pin cross-engine
+    n_chars equality on exactly such a document.
+
+    (n_words/n_bpe_tokens still ride the shared ``\\s`` tokenizer, whose
+    dialect split on \\x0B is a known, documented residual — this test
+    deliberately asserts only the column ADVICE r7 fixed.)"""
+    import duckdb
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(0, "abc\x0bdef ghi", "en", "s1", 12)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    got = QUERIES["x134_tokenizer_fertility"](spark, sf).collect()[0]
+    assert got["n_chars"] == 9  # \x0B and the space both stripped
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    from ask_duckdb_spark.operators import ORACLES
+
+    orow = con.sql(ORACLES["x134_tokenizer_fertility"]).df().iloc[0]
+    con.close()
+    assert int(orow.n_chars) == 9 == got["n_chars"]

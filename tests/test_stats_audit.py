@@ -211,3 +211,52 @@ def test_x132_ks_matches_numpy(spark):
         # the float KS statistic agrees to the ppm floor
         d_float = np.max(np.abs(fa / len(a) - fb / len(b)))
         assert abs(r["d_ppm"] / 1e6 - d_float) < 1e-6
+
+
+def test_x126_structural_pairs_survive_adversarial_values(spark, tmp_path):
+    """ADVICE r7: the retired '#'-concat pair image conflated (a) a NULL
+    rhs with a literal '\x01' rhs and (b) lhs 'x#y'/rhs 'z' with lhs
+    'x'/rhs 'y#z'. The structural count(DISTINCT (a, b)) must keep all
+    four pairs distinct — on BOTH engines (the oracle changed too)."""
+    import datetime as dt
+
+    import duckdb
+
+    d1, d2 = dt.datetime(1995, 1, 1), dt.datetime(1996, 1, 1)
+    rows = [
+        (1, 10, "F", d1, None),     # NULL rhs ...
+        (2, 10, "F", d1, "\x01"),   # ... vs literal sentinel rhs
+        (3, 11, "x#y", d2, "z"),    # concat-image collision pair ...
+        (4, 11, "x", d2, "y#z"),    # ... same '#'-joined string
+        (5, 12, None, d1, "p"),     # NULL lhs: outside the audit
+        (6, 12, "x", d2, "y#z"),    # true duplicate pair: counted once
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(f"{sf}/orders.parquet")
+
+    got = {
+        (r["lhs"], r["rhs"]): r
+        for r in QUERIES["x126_fd_audit"](spark, sf).collect()
+    }
+    r = got[("o_orderstatus", "o_orderpriority")]
+    # 3 distinct non-NULL lhs, 4 distinct structural pairs (the old
+    # encoding reported n_pairs=2 here -> n_extra=-1, fd_holds garbage)
+    assert r["n_lhs"] == 3 and r["n_pairs"] == 4
+    assert r["n_extra"] == 1 and not r["fd_holds"]
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet/*.parquet'"
+    )
+    from ask_duckdb_spark.operators import ORACLES
+
+    oracle = con.sql(ORACLES["x126_fd_audit"]).df()
+    orow = oracle[
+        (oracle.lhs == "o_orderstatus") & (oracle.rhs == "o_orderpriority")
+    ].iloc[0]
+    assert int(orow.n_pairs) == 4 and int(orow.n_extra) == 1
+    con.close()
