@@ -164,29 +164,6 @@ def _band_keys(vec_col, n_bands: int = None, band_bits: int = None):
     )
 
 
-def _warn_if_oracle_voided(op: str, **knobs) -> None:
-    """Hard, observable signal that a non-default knob voids the
-    registered oracle pairing (VERDICT r5 §next-5).
-
-    x62/x63 accept codebook-size knobs for scale trials; their
-    registry oracles are generated from the DEFAULTS, so a
-    parameterized call compared against the registry oracle would
-    diverge silently. Any non-None knob now emits a loud warning
-    naming the op and the voided pairing (pytest-covered).
-    """
-    passed = {k: v for k, v in knobs.items() if v is not None}
-    if passed:
-        import warnings
-
-        warnings.warn(
-            f"{op} called with non-default knobs {passed}: the registered "
-            "DuckDB oracle is generated from the defaults and is VOID for "
-            "this invocation — regenerate the oracle from the same knobs "
-            "before comparing.",
-            stacklevel=3,
-        )
-
-
 def _cos_sql(a: str, b: str) -> str:
     """Portable cosine fragment over two list exprs (left folds — the
     bit-identical discipline of _DUCK_COS, parameterized)."""
@@ -1040,7 +1017,6 @@ def x62_semdedup(
     cells); tests/test_similarity.py additionally re-derives the keep
     set brute-force per cell and gates equality.
     """
-    _warn_if_oracle_voided("x62_semdedup", n_cells=n_cells)
     emb = load_table(spark, sf_dir, "embeddings")
     # Persist the codebook (as x27 does): its lineage is a multi-shuffle
     # k-means step with float avgs, and `assigned` feeds three plan
@@ -1213,7 +1189,6 @@ def x63_semdedup_hier(
     sides, exactly like x62's single-key variant. Fully oracle-checked
     end to end — seeds, tie-breaks and cosines are engine-portable.
     """
-    _warn_if_oracle_voided("x63_semdedup_hier", n_coarse=n_coarse, n_fine=n_fine)
     emb = load_table(spark, sf_dir, "embeddings")
     assigned = _hier_assign(emb, n_coarse, n_fine)
     a = assigned.select(
