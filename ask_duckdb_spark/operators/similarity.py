@@ -2506,6 +2506,27 @@ def _x137_oracle() -> str:
     """
 
 
+#: Auto-sizing calibration for x137's banded candidate generation: the
+#: corpus size at which the DEFAULT BAND_BITS is known-good (the sf0.1
+#: fixture's 2,000 vectors — every registered-oracle scale is <= this).
+#: Above it, bits grow as ceil(log2(n / N0)) so per-bucket candidate
+#: volume stays ~constant: the stats-driven sizing that r7's 10x trial
+#: had to apply OUT OF THE LOOP (scripts/scale_trial.py special case,
+#: after the default-knob run died disk-full) now lives in the
+#: operator — a default invocation self-sizes instead of disk-dying
+#: (VERDICT r7 item 2).
+AUTO_BAND_N0 = 2000
+
+
+def _auto_band_bits(n_vecs: int) -> int:
+    """BAND_BITS grown with corpus size: ceil(log2(n/N0)) extra bits
+    keeps 2^bits buckets ~proportional to n, bounding the banded
+    self-join's candidate pairs at O(n²/2^bits) ~ O(n · N0)."""
+    import math
+
+    return BAND_BITS + max(0, math.ceil(math.log2(max(n_vecs, 1) / AUTO_BAND_N0)))
+
+
 @query("x137_knn_clustering_coeff", oracle=_x137_oracle())
 def x137_knn_clustering_coeff(
     spark: SparkSession,
@@ -2535,13 +2556,41 @@ def x137_knn_clustering_coeff(
     production guard for hub nodes (a vector that appears in MANY
     others' top-K keeps unbounded IN-degree) is degree ordering —
     iterate each triangle from its lowest-degree vertex, the standard
-    node-iterator++ bound of O(m^{3/2}) — plus x51's cap discipline if
-    a degenerate hub appears; at fixture scale the raw join is the
-    honest oracle-mirrorable form. Shuffles: two keyed joins on node
-    ids + one global count — all combinable.
+    node-iterator++ bound of O(m^{3/2}) — x137b runs exactly that
+    oriented form over a materialized edge list; at fixture scale this
+    entry keeps the raw join as the honest oracle-mirrorable form.
+    Shuffles: two keyed joins on node ids + one global count — all
+    combinable.
+
+    Band sizing is STATS-DRIVEN by default (VERDICT r7 item 2): with
+    ``band_bits=None`` the operator counts the corpus and applies
+    ``_auto_band_bits`` — bits grow ceil(log2(n / {AUTO_BAND_N0})) above
+    the calibration size, so the banded self-join's candidate volume
+    stays ~O(n · N0) instead of O(n²/2^const); r7's default-knob 10x
+    trial died DISK-FULL before this sizing existed. At every fixture
+    scale (<= {AUTO_BAND_N0} vectors) the auto size IS the default, so
+    the registered oracle pairing holds; when auto-sizing grows bits it
+    warns that the oracle is void for that invocation, same contract as
+    an explicit knob.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    knn = x44_knn_graph(
+    if band_bits is None:
+        band_bits = _auto_band_bits(emb.count())
+        if band_bits != BAND_BITS:
+            import warnings
+
+            warnings.warn(
+                "x137_knn_clustering_coeff auto-sized band_bits to "
+                f"{band_bits} (corpus > {AUTO_BAND_N0} vectors): the "
+                "registered DuckDB oracle is generated from the defaults "
+                "and is VOID for this invocation — regenerate it from the "
+                "same knobs before comparing.",
+                stacklevel=2,
+            )
+    # __wrapped__: x137 owns the sizing policy here — the registry knob
+    # guard already spoke (or auto-sizing just did); a second warning
+    # naming x44's (unused) oracle would mislead.
+    knn = x44_knn_graph.__wrapped__(
         spark, sf_dir, band_bits=band_bits, n_bands=n_bands
     ).select("src", "dst")
     und = (
@@ -2587,3 +2636,98 @@ def x137_knn_clustering_coeff(
         )
     )
     return unpersist_with(out, und)
+
+
+@query("x137b_triangle_census_graph", oracle=_x137_oracle())
+def x137b_triangle_census_graph(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """x137's census in its PRODUCTION posture: materialized edge list
+    + degree-ordered (node-iterator++ / "forward") triangle counting.
+
+    Same contract and oracle as x137 (pytest pins row equality); two
+    physical differences, both the shapes SCALE.md r7 prescribed:
+
+    1. The undirected edge list is MATERIALIZED once
+       (``localCheckpoint``) before the census — the three self-join
+       branches read the stored edges instead of re-running x44's
+       banded candidate generation + rank window per branch. At real
+       scale this frame is the persisted kNN graph the pipeline
+       already owns (built once by x44 with IVF/bucket-capped
+       candidate generation); the census then costs only the joins
+       below, never the ANN work.
+    2. Edges are ORIENTED from the lower-(degree, id) endpoint to the
+       higher before the edge-edge join: every triangle has exactly
+       one source vertex under that total order, and each oriented
+       out-neighborhood is bounded by O(sqrt(m)) on any graph — the
+       standard O(m^(3/2)) triangle bound — so a degenerate hub (a
+       vector in millions of top-K lists) caps the join fan-out at its
+       LOW-degree neighbors instead of exploding quadratically in its
+       own degree. x137's unoriented form pays deg² on such a hub.
+
+    n_nodes/n_edges/n_triads read the same undirected frame, so every
+    output value is bit-identical to x137's.
+    """
+    knn = x44_knn_graph.__wrapped__(spark, sf_dir).select("src", "dst")
+    und = (
+        knn.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # Orient each edge from the lower (degree, id) endpoint to the
+    # higher: join degrees onto both endpoints once, then flip.
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    ori = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+    ).persist()
+    e1, e2, e3 = ori.alias("e1"), ori.alias("e2"), ori.alias("e3")
+    # forward counting: src->mid, mid->top, src->top all oriented —
+    # each triangle appears exactly once (from its minimum vertex
+    # under the (degree, id) order).
+    tri = (
+        e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    triads = deg.agg(
+        F.sum(F.expr("d * (d - 1) DIV 2")).cast("bigint").alias("n_triads")
+    )
+    out = (
+        tri.crossJoin(F.broadcast(nodes))
+        .crossJoin(F.broadcast(edges))
+        .crossJoin(F.broadcast(triads))
+        .select(
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.col("n_tri").cast("bigint").alias("n_triangles"),
+            F.col("n_triads").cast("bigint").alias("n_triads"),
+            F.expr(
+                "CAST((3 * n_tri * 1000000) DIV greatest(n_triads, 1)"
+                " AS BIGINT)"
+            ).alias("global_cc_ppm"),
+        )
+    )
+    return unpersist_with(out, ori)

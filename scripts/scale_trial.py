@@ -202,23 +202,9 @@ def time_stage(spark, name: str, sf_dir: str, factor: int = 1) -> tuple[float, i
         n = x63_semdedup_hier(
             spark, sf_dir, n_coarse=side, n_fine=side
         ).count()
-    elif name == "x137_knn_clustering_coeff" and factor > 1:
-        # The sign-random-projection banding's bucket count is a
-        # compile-time knob (the documented x44-family honest wall:
-        # fixed 2^BAND_BITS buckets make candidate pairs O(n²/2^bits)).
-        # Scale bits with the corpus so per-bucket size stays ~constant
-        # — the same stats-driven sizing as x62's n_cells and x117's
-        # m_bits. An unscaled first attempt at 10x spilled to
-        # disk-full: the knob is load-bearing.
-        import math
-
-        from ask_duckdb_spark.operators.similarity import (
-            BAND_BITS,
-            x137_knn_clustering_coeff,
-        )
-
-        bb = BAND_BITS + max(1, math.ceil(math.log2(factor)))
-        n = x137_knn_clustering_coeff(spark, sf_dir, band_bits=bb).count()
+    # (x137 needs no special case since r8: its stats-driven BAND_BITS
+    # sizing lives in the operator — _auto_band_bits counts the corpus
+    # and grows bits with it, so the DEFAULT invocation self-sizes.)
     elif name == "x117_bloom_semijoin" and factor > 1:
         # size the filter to the grown build side (see the docstring's
         # fp formula): m_bits scales with build-key cardinality

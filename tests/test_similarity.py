@@ -369,3 +369,39 @@ def test_x137_triangle_census_matches_python_recount(spark):
     # a healthy (non-random) embedding manifold is transitive: the
     # fixture's clustered embeddings must show SOME closure
     assert row.n_triangles > 0
+
+
+def test_x137b_graph_form_row_equal_and_auto_band_sizing(spark):
+    """(a) x137b (materialized edge list + degree-ordered forward
+    counting) returns row-identical output to x137's raw-join form —
+    the x125<->x129 twin discipline. (b) x137's stats-driven band
+    sizing (VERDICT r7 item 2): at or below the calibration size the
+    auto bits ARE the default (registered oracle holds); above it they
+    grow ceil(log2(n/N0)), reproducing exactly the +4 bits r7's 10x
+    trial had to apply out of the loop; and the auto-upsized invocation
+    warns that the oracle is void."""
+    import warnings
+
+    from ask_duckdb_spark.operators import QUERIES
+    from ask_duckdb_spark.operators.similarity import (
+        AUTO_BAND_N0,
+        BAND_BITS,
+        _auto_band_bits,
+    )
+    from tests.conftest import SF_DIR_001
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        a = QUERIES["x137_knn_clustering_coeff"](spark, SF_DIR_001).collect()
+    assert not [x for x in w if "VOID" in str(x.message)], (
+        "fixture-scale default invocation must keep the oracle pairing"
+    )
+    b = QUERIES["x137b_triangle_census_graph"](spark, SF_DIR_001).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    # sizing curve: default up to N0, +ceil(log2(n/N0)) above
+    for n in (1, 500, 2000):
+        assert _auto_band_bits(n) == BAND_BITS, n
+    assert _auto_band_bits(AUTO_BAND_N0 * 10) == BAND_BITS + 4  # r7 trial
+    assert _auto_band_bits(AUTO_BAND_N0 * 2) == BAND_BITS + 1
+    assert _auto_band_bits(AUTO_BAND_N0 * 100) == BAND_BITS + 7
