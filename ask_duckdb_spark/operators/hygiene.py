@@ -160,6 +160,37 @@ def x133_eval_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x133b_eval_decontam_bcast", oracle=_X133_ORACLE)
+def x133b_eval_decontam_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x133's contamination join in its SCALE form: eval grams BROADCAST.
+
+    Same contract and oracle as x133 (pytest pins row equality and
+    plan-asserts the BroadcastHashJoin). The registered x133 keeps the
+    gram-keyed shuffle join so the oracle mirrors the plan shape; this
+    twin is the plan you actually run at 100 TB — the eval gram set is
+    benchmark-sized (millions of 8-byte hashes, bounded by the
+    benchmark suite, NOT by the corpus), so it ships to every executor
+    once and the corpus's gram stream is filtered WHERE IT IS PRODUCED:
+    zero shuffle of training grams, no exchange that grows with the
+    corpus. The per-doc rollup that follows is map-side combinable on
+    the (already doc_id-clustered) surviving grams. x117's bloom filter
+    composes in FRONT of this broadcast probe when even hashing the
+    clean majority's grams is worth skipping.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ev = _doc_grams(d.filter(F.col("doc_id") % EVAL_MOD == 0)).select("h").distinct()
+    return (
+        _doc_grams(d.filter(F.col("doc_id") % EVAL_MOD != 0))
+        .join(F.broadcast(ev), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("h").cast("bigint").alias("n_shared_grams"),
+            F.count(F.lit(1)).cast("bigint").alias("n_gram_hits"),
+        )
+        .orderBy(F.desc("n_shared_grams"), "doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # x134 — tokenizer fertility per source
 # ---------------------------------------------------------------------------

@@ -116,3 +116,17 @@ def test_x134_nonspace_strip_is_engine_portable_on_vertical_tab(spark, tmp_path)
     orow = con.sql(ORACLES["x134_tokenizer_fertility"]).df().iloc[0]
     con.close()
     assert int(orow.n_chars) == 9 == got["n_chars"]
+
+
+def test_x133b_broadcast_twin_row_equal_with_broadcast_plan(spark):
+    """VERDICT r7 item 8: the scale form of x133's contamination join —
+    eval grams broadcast (benchmark-sized side ships to executors; the
+    corpus gram stream is filtered where produced, zero training-gram
+    shuffle). Must be row-identical to the shuffle form AND actually
+    broadcast in the physical plan."""
+    from ask_duckdb_spark.plans.checks import formatted_plan
+
+    a = QUERIES["x133_eval_decontam"](spark, SF_DIR_001)
+    b = QUERIES["x133b_eval_decontam_bcast"](spark, SF_DIR_001)
+    assert "BroadcastHashJoin" in formatted_plan(b)
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
