@@ -61,6 +61,11 @@ HEADLINE_V2 = [
     "x117_bloom_semijoin",
     "x125_phrase_match",
     "x127_corr_matrix",
+    # r8 (VERDICT r7 item 4): the heaviest r7 hygiene op — 8-gram
+    # eval-set decontamination (two tokenize+hash scans + gram-keyed
+    # contamination join) — so the hygiene family gets round-over-round
+    # regression coverage like the r6 families above.
+    "x133_eval_decontam",
 ]
 
 
