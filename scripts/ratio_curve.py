@@ -95,28 +95,38 @@ def build_scaled(spark, factor: int, workdir: str) -> None:
         df.repartition(32).write.mode("overwrite").parquet(dst)
 
 
-def spark_pass(spark, sf_dir: str) -> dict[str, float]:
+def spark_pass(
+    spark, sf_dir: str, reps: int = 2
+) -> tuple[dict[str, float], list[float]]:
     # Prepared-plan discipline (same as bench.py): build once, time
     # re-execution — Py4J tree construction is client latency, not
-    # engine work.
+    # engine work. Returns (min-of-reps per query, per-rep totals) so
+    # the caller can report the SPREAD, not just the min (VERDICT r7
+    # item 5: single-shot points read noisier than they are).
     plans = {
         name: QUERIES[name](spark, sf_dir)
         for name in HEADLINE
         if name in ORACLES
     }
     out: dict[str, float] = {}
-    for rep in range(2):
+    totals: list[float] = []
+    for rep in range(reps):
+        tot = 0.0
         for name, df in plans.items():
             t0 = time.time()
             df.count()
             w = round(time.time() - t0, 3)
+            tot += w
             if rep == 0 or w < out[name]:
                 out[name] = w
             spark.catalog.clearCache()
-    return out
+        totals.append(round(tot, 3))
+    return out, totals
 
 
-def duck_pass(sf_dir: str) -> dict[str, float]:
+def duck_pass(
+    sf_dir: str, reps: int = 2
+) -> tuple[dict[str, float], list[float]]:
     import duckdb
 
     con = duckdb.connect()
@@ -127,17 +137,21 @@ def duck_pass(sf_dir: str) -> dict[str, float]:
                     if os.path.isdir(p)
                     else f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     out: dict[str, float] = {}
-    for rep in range(2):
+    totals: list[float] = []
+    for rep in range(reps):
+        tot = 0.0
         for name in HEADLINE:
             if name not in ORACLES:
                 continue
             t0 = time.time()
             con.sql(f"SELECT count(*) FROM ({ORACLES[name]})").fetchall()
             w = round(time.time() - t0, 3)
+            tot += w
             if rep == 0 or w < out[name]:
                 out[name] = w
+        totals.append(round(tot, 3))
     con.close()
-    return out
+    return out, totals
 
 
 def main() -> int:
@@ -145,6 +159,12 @@ def main() -> int:
     ap.add_argument("--factor", type=int, default=8)
     ap.add_argument("--keep", action="store_true")
     ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument("--reps", type=int, default=2, help="min-of-N timing reps")
+    ap.add_argument(
+        "--points",
+        default="",
+        help="comma-separated scale labels to run (default: all four)",
+    )
     args = ap.parse_args()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -155,6 +175,9 @@ def main() -> int:
         ("0.1", BASE),
         (f"0.1x{args.factor}", workdir),
     ]
+    if args.points:
+        wanted = set(args.points.split(","))
+        points = [p for p in points if p[0] in wanted]
 
     if not args.skip_build:
         spark = get_spark("ratio_curve_build")
@@ -170,14 +193,14 @@ def main() -> int:
             if name in ORACLES:
                 QUERIES[name](spark, "/root/testdata/sf0.01").count()
         spark.catalog.clearCache()
-    spark_results: dict[str, dict[str, float]] = {}
+    spark_results: dict[str, tuple[dict[str, float], list[float]]] = {}
     for label, d in points:
-        spark_results[label] = spark_pass(spark, d)
+        spark_results[label] = spark_pass(spark, d, args.reps)
     spark.stop()
-    duck_results = {label: duck_pass(d) for label, d in points}
+    duck_results = {label: duck_pass(d, args.reps) for label, d in points}
 
     for label, _ in points:
-        s, k = spark_results[label], duck_results[label]
+        (s, s_tot), (k, k_tot) = spark_results[label], duck_results[label]
         st, kt = round(sum(s.values()), 3), round(sum(k.values()), 3)
         print(
             json.dumps(
@@ -186,6 +209,8 @@ def main() -> int:
                     "spark_total": st,
                     "duck_total": kt,
                     "ratio": round(st / kt, 2) if kt else None,
+                    "spark_rep_totals": s_tot,
+                    "duck_rep_totals": k_tot,
                     "spark_queries": s,
                     "duck_queries": k,
                 }
