@@ -217,7 +217,7 @@ def _shingle_sets_impl(
     exact set whose Jaccard the minhash signatures estimate. Shared by
     the signature pipeline and x74's exact-truth evaluation."""
     th_sql = (
-        f"transform(filter(split(lower({text_col}), '\\\\s+'), t -> t != ''), "
+        f"transform(filter(split(lower({text_col}), '[ \\\\t\\\\n\\\\r\\\\x0B\\\\f]+'), t -> t != ''), "
         f"t -> {token_hash_sql})"
     )
     docs = docs.selectExpr(id_col, f"{th_sql} AS _th")
@@ -319,7 +319,7 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
 
 #: DuckDB twin of functions/text.tokens() — whitespace tokens of the
 #: lowercased text, empties dropped (same fragment as x22's oracle).
-_TOKENS_SQL = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+_TOKENS_SQL = r"list_filter(string_split_regex(lower(text), '[ \t\n\r\x0B\f]+'), t -> t <> '')"
 
 
 def _minhash_oracle() -> str:
@@ -771,7 +771,7 @@ def _simhash_impl(d: DataFrame, token_hash_sql: str) -> DataFrame:
     bench SF, dwarfing the actual hashing. Identical parsed plan.
     """
     th_sql = (
-        "transform(filter(split(lower(text), '\\\\s+'), t -> t != ''), "
+        "transform(filter(split(lower(text), '[ \\\\t\\\\n\\\\r\\\\x0B\\\\f]+'), t -> t != ''), "
         f"t -> {token_hash_sql})"
     )
     # project _h first so the split+hash runs once; _n derives from it
@@ -1014,7 +1014,7 @@ PARA_W = 10
     oracle=f"""
     WITH toks AS (
       SELECT doc_id,
-             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+             list_filter(string_split_regex(text, '[ \\t\\n\\r\\x0B\\f]+'), t -> t <> '') AS tk
       FROM documents
     ), blocks AS (
       -- range() here is the LIST function (x2's oracle uses the same
@@ -1073,7 +1073,7 @@ def x64_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = widen(d).select(
         "doc_id",
-        F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "").alias("tk"),
+        F.filter(F.split(F.col("text"), r"[ \t\n\r\x0B\f]+"), lambda t: t != "").alias("tk"),
     )
     blocks = toks.select(
         "doc_id",
@@ -1203,7 +1203,7 @@ def x68_repeated_window_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = widen(load_table(spark, sf_dir, "documents"))
     token_h = f"{token_hash60_sparksql('t')} % {PH_P}L"
     th_sql = (
-        "transform(filter(split(lower(text), '\\\\s+'), t -> t != ''), "
+        "transform(filter(split(lower(text), '[ \\\\t\\\\n\\\\r\\\\x0B\\\\f]+'), t -> t != ''), "
         f"t -> {token_h})"
     )
     wins_sql = (
@@ -1535,7 +1535,7 @@ _X85_SCORE_SQL = f"""
                  " / greatest(len(toks), 1)", 6)} AS score
       FROM (
         SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '\\s+'),
+               list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\x0B\\f]+'),
                            t -> t <> '') AS toks
         FROM documents
       )
@@ -1668,7 +1668,7 @@ def distinct_window_hashes(
     novelty ingest (streaming/novelty.py)."""
     token_h = f"{token_hash60_sparksql('t')} % {PH_P}L"
     th_sql = (
-        f"transform(filter(split(lower({text_col}), '\\\\s+'), t -> t != ''), "
+        f"transform(filter(split(lower({text_col}), '[ \\\\t\\\\n\\\\r\\\\x0B\\\\f]+'), t -> t != ''), "
         f"t -> {token_h})"
     )
     wins_sql = (

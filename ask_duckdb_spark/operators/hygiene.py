@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.porthash import PH_B, PH_P, token_hash60_sql, token_hash60_sparksql
+from ..functions.text import WS_CLASS
 from ..sources.catalog import load_table
 from .dedup import W_SPAN, _TOKENS_SQL
 from .registry import query
@@ -69,7 +70,7 @@ def _gram_hashes_spark() -> tuple[str, str]:
     folds it into the window hashes."""
     token_h = f"{token_hash60_sparksql('t')} % {PH_P}L"
     th = (
-        "transform(filter(split(lower(text), '\\\\s+'), t -> t != ''), "
+        "transform(filter(split(lower(text), '[ \\\\t\\\\n\\\\r\\\\x0B\\\\f]+'), t -> t != ''), "
         f"t -> {token_h})"
     )
     return (
@@ -195,12 +196,13 @@ def x133b_eval_decontam_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x134 — tokenizer fertility per source
 # ---------------------------------------------------------------------------
 
-#: Explicit whitespace class for the nonspace strip (ADVICE r7): ``\\s``
-#: is engine-dialect — Java/Spark's includes \\x0B (vertical tab) while
-#: DuckDB's RE2 ``\\s`` does not — so a document containing \\x0B would
-#: split n_chars between the engines. Both regex dialects parse these
-#: escapes identically; x135 already uses explicit classes throughout.
-_WS_CLASS = "[ \\t\\n\\r\\x0B\\f]"
+#: Explicit whitespace class for the nonspace strip (ADVICE r7,
+#: generalized to every tokenizer site in r8 — functions/text.py):
+#: Java's whitespace escape includes vertical tab \\x0B while DuckDB's
+#: RE2 one does not, so a \\x0B-bearing document would split n_chars
+#: between the engines. Both dialects parse these explicit escapes
+#: identically; x135 already uses explicit classes throughout.
+_WS_CLASS = WS_CLASS
 
 _X134_ORACLE = f"""
 WITH per_doc AS (
@@ -247,7 +249,7 @@ def x134_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     the parquet read inside WholeStageCodegen.
     """
     d = load_table(spark, sf_dir, "documents")
-    words = F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != ""))
+    words = F.size(F.filter(F.split(F.lower("text"), r"[ \t\n\r\x0B\f]+"), lambda t: t != ""))
     bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0))
     nonspace = F.length(F.regexp_replace("text", f"{_WS_CLASS}+", ""))
     s = (

@@ -193,7 +193,7 @@ STRIDE = 50  # 50% overlap
     oracle=rf"""
     WITH tok AS (
       SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\s+'),
+             list_filter(string_split_regex(lower(text), '[ \t\n\r\x0B\f]+'),
                          t -> t <> '') AS w
       FROM documents
     )

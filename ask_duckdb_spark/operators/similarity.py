@@ -2527,6 +2527,24 @@ def _auto_band_bits(n_vecs: int) -> int:
     return BAND_BITS + max(0, math.ceil(math.log2(max(n_vecs, 1) / AUTO_BAND_N0)))
 
 
+def _sized_band_bits(spark: SparkSession, sf_dir: str, op: str) -> int:
+    """Count the corpus, auto-size the band width, and warn (oracle
+    void) when the size departs the default — shared by x137/x137b so
+    the twins cannot drift apart on sizing policy."""
+    bits = _auto_band_bits(load_table(spark, sf_dir, "embeddings").count())
+    if bits != BAND_BITS:
+        import warnings
+
+        warnings.warn(
+            f"{op} auto-sized band_bits to {bits} (corpus > "
+            f"{AUTO_BAND_N0} vectors): the registered DuckDB oracle is "
+            "generated from the defaults and is VOID for this invocation "
+            "— regenerate it from the same knobs before comparing.",
+            stacklevel=3,
+        )
+    return bits
+
+
 @query("x137_knn_clustering_coeff", oracle=_x137_oracle())
 def x137_knn_clustering_coeff(
     spark: SparkSession,
@@ -2573,20 +2591,8 @@ def x137_knn_clustering_coeff(
     warns that the oracle is void for that invocation, same contract as
     an explicit knob.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
     if band_bits is None:
-        band_bits = _auto_band_bits(emb.count())
-        if band_bits != BAND_BITS:
-            import warnings
-
-            warnings.warn(
-                "x137_knn_clustering_coeff auto-sized band_bits to "
-                f"{band_bits} (corpus > {AUTO_BAND_N0} vectors): the "
-                "registered DuckDB oracle is generated from the defaults "
-                "and is VOID for this invocation — regenerate it from the "
-                "same knobs before comparing.",
-                stacklevel=2,
-            )
+        band_bits = _sized_band_bits(spark, sf_dir, "x137_knn_clustering_coeff")
     # __wrapped__: x137 owns the sizing policy here — the registry knob
     # guard already spoke (or auto-sizing just did); a second warning
     # naming x44's (unused) oracle would mislead.
@@ -2666,9 +2672,16 @@ def x137b_triangle_census_graph(
        own degree. x137's unoriented form pays deg² on such a hub.
 
     n_nodes/n_edges/n_triads read the same undirected frame, so every
-    output value is bit-identical to x137's.
+    output value is bit-identical to x137's — including above the
+    calibration size, where both twins share the SAME stats-driven
+    band sizing (``_sized_band_bits``): a default x137b invocation at
+    10x data self-sizes exactly as x137 does, instead of re-running
+    x44 at the disk-dying fixed default.
     """
-    knn = x44_knn_graph.__wrapped__(spark, sf_dir).select("src", "dst")
+    bits = _sized_band_bits(spark, sf_dir, "x137b_triangle_census_graph")
+    knn = x44_knn_graph.__wrapped__(spark, sf_dir, band_bits=bits).select(
+        "src", "dst"
+    )
     und = (
         knn.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")

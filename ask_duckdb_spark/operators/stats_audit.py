@@ -141,7 +141,7 @@ def x125_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Measured at sf0.1: 3.16 s -> the regexp scan dominates instead
     # (~0.3 s), a 10x cut; at 100 TB this is the difference between a
     # full tokenize of the corpus and a byte-scan with early-out.
-    pre = r"\s+".join(_re.escape(w) for w in PHRASE)
+    pre = r"[ \t\n\r\x0B\f]+".join(_re.escape(w) for w in PHRASE)
     cand = d.filter(F.lower(F.col("text")).rlike(pre))
     t = cand.select("doc_id", tokens(F.col("text")).alias("t"))
     hits = t.select(

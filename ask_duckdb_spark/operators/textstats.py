@@ -58,7 +58,7 @@ from ..functions.text import char_ngrams, tokens  # noqa: E402
            CAST(length(text) AS BIGINT)                     AS n_chars
     FROM (
       SELECT doc_id, text,
-             list_filter(string_split_regex(lower(text), '\s+'),
+             list_filter(string_split_regex(lower(text), '[ \t\n\r\x0B\f]+'),
                          t -> t <> '') AS toks
       FROM documents
     )
@@ -81,7 +81,7 @@ def x8_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     SELECT tok, CAST(count(*) AS BIGINT) AS freq
     FROM (
-      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      SELECT unnest(list_filter(string_split_regex(lower(text), '[ \t\n\r\x0B\f]+'),
                                 t -> t <> '')) AS tok
       FROM documents
     )
@@ -133,7 +133,7 @@ def x9_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS DOUBLE) / greatest(len(toks), 1)   AS avg_tok_len
       FROM (
         SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '\s+'),
+               list_filter(string_split_regex(lower(text), '[ \t\n\r\x0B\f]+'),
                            t -> t <> '') AS toks
         FROM documents
       )
@@ -199,7 +199,7 @@ def _lang_score_sql(lang: str) -> str:
                {_lang_score_sql('es')} AS s_es
         FROM (
           SELECT lang,
-                 list_filter(string_split_regex(lower(text), '\s+'),
+                 list_filter(string_split_regex(lower(text), '[ \t\n\r\x0B\f]+'),
                              t -> t <> '') AS toks
           FROM documents
         )
@@ -242,7 +242,7 @@ def x11_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: BPE-ish pre-tokenizer: letter runs, single digits, punctuation marks.
 #: Simplified from the GPT-2 pattern to the RE2/Java-common subset so
 #: Spark and DuckDB segment identically.
-BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r\x0B\f]"
 
 
 @query(
@@ -266,7 +266,7 @@ def x21_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     # pattern passed as a Column literal — routing it through a SQL
-    # string literal would eat the backslash in \s (Spark SQL escaping)
+    # string literal would eat the class escapes (Spark SQL escaping)
     toks = F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)
     return d.select(
         "doc_id",
@@ -280,7 +280,7 @@ def x21_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=rf"""
     WITH toks AS (
       SELECT doc_id,
-             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             unnest(list_filter(string_split_regex(lower(text), '[ \t\n\r\x0B\f]+'),
                                 t -> t <> '')) AS tok
       FROM documents
     ), tf AS (
@@ -395,7 +395,7 @@ SHARD_TOKEN_BUDGET = 4096
     oracle=rf"""
     WITH sized AS (
       SELECT doc_id, lang,
-             len(list_filter(string_split_regex(lower(text), '\s+'),
+             len(list_filter(string_split_regex(lower(text), '[ \t\n\r\x0B\f]+'),
                              t -> t <> '')) AS n_tokens
       FROM documents
     )
@@ -440,7 +440,7 @@ def x30_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: definition, imported into both oracles).
 QUALITY_CTE_SQL = r"""toks AS (
       SELECT doc_id, lang, text,
-             list_filter(string_split_regex(lower(text), '\s+'),
+             list_filter(string_split_regex(lower(text), '[ \t\n\r\x0B\f]+'),
                          t -> t <> '') AS tk
       FROM documents
     ), quality AS (
@@ -839,7 +839,7 @@ def _x38_oracle() -> str:
     )
     return f"""
     WITH toks AS (
-      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+      SELECT unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\x0B\\f]+'),
                                 t -> t <> '')) AS tok
       FROM documents
     ), tf AS (
@@ -947,7 +947,7 @@ def x12_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS n_repeated
     FROM (
       SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\s+'),
+             list_filter(string_split_regex(lower(text), '[ \t\n\r\x0B\f]+'),
                          t -> t <> '') AS toks
       FROM documents
     )
@@ -1042,7 +1042,7 @@ def x54_pack_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=rf"""
     WITH toks AS (
       SELECT doc_id, lang, text,
-             list_filter(string_split_regex(lower(text), '\s+'),
+             list_filter(string_split_regex(lower(text), '[ \t\n\r\x0B\f]+'),
                          t -> t <> '') AS tk
       FROM documents
     ), quality AS (
@@ -1125,7 +1125,7 @@ def x55_full_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH toks AS (
       SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\s+'),
+             list_filter(string_split_regex(lower(text), '[ \t\n\r\x0B\f]+'),
                          t -> t <> '') AS ts
       FROM documents
     ), bi AS (
@@ -1198,7 +1198,7 @@ def x57_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH toks AS (
       SELECT source,
-             list_filter(string_split_regex(lower(text), '\s+'),
+             list_filter(string_split_regex(lower(text), '[ \t\n\r\x0B\f]+'),
                          t -> t <> '') AS ts
       FROM documents
     ), g AS (
@@ -1334,7 +1334,7 @@ def x60_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH t AS (
       SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\s+'),
+             list_filter(string_split_regex(lower(text), '[ \t\n\r\x0B\f]+'),
                          t -> t <> '') AS toks
       FROM documents
     ), base AS (
@@ -1471,7 +1471,7 @@ def _x66_oracle() -> str:
     return f"""
     WITH tk AS (
       SELECT doc_id, source,
-             list_filter(string_split_regex(lower(text), '\\s+'),
+             list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\x0B\\f]+'),
                          t -> t <> '') AS toks
       FROM documents
     ), feats AS (
@@ -1539,7 +1539,7 @@ def x66_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = d.selectExpr(
         "doc_id",
         "source",
-        "filter(split(lower(text), '\\\\s+'), t -> t != '') AS _tk",
+        "filter(split(lower(text), '[ \\\\t\\\\n\\\\r\\\\x0B\\\\f]+'), t -> t != '') AS _tk",
     ).selectExpr("doc_id", "source", f"explode({bg_sql}) AS b")
     is_tgt = F.col("source") == "src0"
     counts = feats.groupBy("b").agg(
@@ -1807,7 +1807,7 @@ def _x73_oracle() -> str:
     return f"""
     WITH toks AS (
       SELECT source,
-             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+             unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\x0B\\f]+'),
                                 t -> t <> '')) AS t
       FROM documents
     ), cnt AS (
@@ -1916,7 +1916,7 @@ def x73_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: lowercased text, empties dropped (same fragment the x8/x22 oracles
 #: inline; named here for the r5 additions).
 _TOKENS_ORACLE = (
-    r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+    r"list_filter(string_split_regex(lower(text), '[ \t\n\r\x0B\f]+'), t -> t <> '')"
 )
 
 #: Fixed query-term set for the registered entry (present in the synthetic

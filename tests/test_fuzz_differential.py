@@ -50,6 +50,14 @@ _DOC_TEXT = st.one_of(
     st.just(""),
     st.just("   "),
     st.just("\tone\ttab\t"),
+    # \x0B (vertical tab) is THE whitespace char the engines' \s
+    # dialects disagree on (Java includes it, RE2 does not). ADVICE r7
+    # flagged that the fuzz alphabet never generated it; since the r8
+    # explicit-class sweep (functions/text.WS_CLASS) both tokenizers
+    # split on it identically — these fixtures exercise that closure.
+    st.just("alpha\x0bbeta gamma"),
+    st.just("\x0b\x0b"),
+    st.just("mixed \x0b\ttab\x0band vt"),
 )
 
 

@@ -91,3 +91,41 @@ def test_non_default_knobs_warn_registry_wide(spark):
         "x117_bloom_semijoin" in str(x.message) and "VOID" in str(x.message)
         for x in w
     )
+
+
+def test_tokenizer_whitespace_class_is_engine_portable(spark):
+    """r8 sweep gate: the shared tokenizer must split on \\x0B (vertical
+    tab) IDENTICALLY on both engines. Before the explicit WS_CLASS
+    sweep, Java's \\s split it and DuckDB's RE2 \\s did not — a latent
+    data-dependent hash split across every text-operator oracle pair."""
+    import duckdb
+
+    from ask_duckdb_spark.functions.text import WS_CLASS, WS_RX_SPARKSQL, tokens
+    from ask_duckdb_spark.operators.dedup import _TOKENS_SQL
+
+    text = "Alpha\x0bbeta\tGAMMA \x0b delta"
+    got_spark = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(tokens("text").alias("t"))
+        .first()
+        .t
+    )
+    got_duck = duckdb.sql(
+        f"SELECT {_TOKENS_SQL} AS t FROM (SELECT ? AS text)",
+        params=[text],
+    ).fetchone()[0]
+    assert got_spark == got_duck == ["alpha", "beta", "gamma", "delta"]
+    # the Spark-SQL-embedded flavor (selectExpr fragments) agrees too
+    got_sqlfrag = (
+        spark.createDataFrame([(text,)], "text string")
+        .selectExpr(
+            f"filter(split(lower(text), '{WS_RX_SPARKSQL}'), t -> t != '') AS t"
+        )
+        .first()
+        .t
+    )
+    assert got_sqlfrag == got_spark
+    # and WS_CLASS is exactly Java's \s, so Spark-side swaps are no-ops
+    assert sorted(WS_CLASS[1:-1].replace("\\t", "\t").replace("\\n", "\n")
+                  .replace("\\r", "\r").replace("\\x0B", "\x0b")
+                  .replace("\\f", "\f")) == sorted(" \t\n\x0b\f\r")
