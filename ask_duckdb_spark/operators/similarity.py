@@ -2527,11 +2527,33 @@ def _auto_band_bits(n_vecs: int) -> int:
     return BAND_BITS + max(0, math.ceil(math.log2(max(n_vecs, 1) / AUTO_BAND_N0)))
 
 
+def _parquet_rows(sf_dir: str, table: str) -> int:
+    """Exact row count from parquet FOOTERS — a driver-side metadata
+    read (no Spark job), i.e. the table statistic a warehouse catalog
+    hands the planner. Registered callables must never materialize a
+    DataFrame at plan-build time (tests/test_plans.py's lazy-build
+    gate), and footer/schema reads are the sanctioned exception.
+    Handles both single-file and directory-of-parts layouts."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(p):
+        return sum(
+            pq.ParquetFile(os.path.join(p, f)).metadata.num_rows
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(p).metadata.num_rows
+
+
 def _sized_band_bits(spark: SparkSession, sf_dir: str, op: str) -> int:
-    """Count the corpus, auto-size the band width, and warn (oracle
-    void) when the size departs the default — shared by x137/x137b so
-    the twins cannot drift apart on sizing policy."""
-    bits = _auto_band_bits(load_table(spark, sf_dir, "embeddings").count())
+    """Read the corpus size (footer metadata), auto-size the band
+    width, and warn (oracle void) when the size departs the default —
+    shared by x137/x137b so the twins cannot drift apart on sizing
+    policy."""
+    bits = _auto_band_bits(_parquet_rows(sf_dir, "embeddings"))
     if bits != BAND_BITS:
         import warnings
 

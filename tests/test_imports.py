@@ -22,78 +22,48 @@ def test_driver_contract_wired():
 
 def test_verification_window_priority():
     """The driver's correctness harness checks the FIRST 50 registry
-    entries in iteration order. The ROUND-7 window leads with the r6
-    hash-red trio (x81/x83/x90 — oracle HUGEINT typing, fixed), then
-    every entry with ZERO driver evidence (g10's stale no_oracle, x37,
-    the r6 layout family x115-x124, the retrieval/audit family
-    x125-x132, and the four by-design rows-only fast paths), then the
-    22 operators whose hashed output changed in the r7 ROUND ->
-    floor-round migration (their pre-r7 driver rows are stale)."""
-    from ask_duckdb_spark.operators import ORACLES, QUERIES
-
-    window = list(QUERIES)[:50]
-    must_be_in_window = {
-        # r6 red trio — fixed this round, must land green in a DRIVER run
-        "x81_token_budget_select",
-        "x83_budget_select_cutoff",
-        "x90_stratified_budget_select",
-        "q1_pricing_summary",  # flagship stays official
-        "g10_approx_count_distinct",  # stale r02 no_oracle, oracled r6
-        "x37_quantile_sketch",  # never-checked (spot checks; the full
-        "x115_snapshot_cdc_diff",  # list is _VERIFY_FIRST itself)
-        "x124_affected_partitions",
-        "x125_phrase_match",
-        "x132_ks_drift",
-        "x2f_minhash_neardup_fast",  # rows-only, never driver-recorded
-        "x67_bpe_learn",
-        "f14_math",  # floor-round migration re-checks
-        "q2_min_cost_supplier",
-        "x22_tfidf_top_term",
-        "x113_char_entropy",
-    }
-    assert must_be_in_window <= set(window)
-    # Window slots must be spent on (a) never-checked/stale rows, or
-    # (b) re-checks that are JUSTIFIED: the flagship canary, the fixed
-    # red trio, g10's stale row, and the operators whose hashed output
-    # the r7 floor-round migration changed.
+    entries in iteration order. The ROUND-8 window leads with the ONLY
+    entries that have zero driver evidence — the r7 post-sweep hygiene
+    family and census (x133-x137) plus their r8 same-oracle twins
+    (x133b/x137b) — then the q1 canary and x126 (pair-domain count
+    rewritten structurally in r8), then 41 slots re-verifying the
+    OLDEST driver evidence (r02 relational-core rows, unchecked since
+    round 2)."""
     import json
     import os
 
-    floor_round_rechecks = {
-        "f14_math", "w7_percent_rank_cume", "q2_min_cost_supplier",
-        "q20_excess_shipments", "x10_quality_score", "x22_tfidf_top_term",
-        "x39_repetition_ratio", "x43_quantize_error", "x64_paragraph_dedup",
-        "x65_pq_adc_topk", "x68_repeated_window_spans", "x69_knn_pagerank",
-        "x75_hard_negatives", "x79_vocab_growth", "x85_cluster_keep_best",
-        "x92_source_calibrated_quality", "x94_retention_cohorts",
-        "x101_readability", "x104_value_mad", "x106_ann_tuning_curve",
-        "x107_user_ewma", "x113_char_entropy",
+    from ask_duckdb_spark.operators import ORACLES, QUERIES
+
+    window = list(QUERIES)[:50]
+    never_checked = {
+        "x133_eval_decontam",
+        "x133b_eval_decontam_bcast",
+        "x134_tokenizer_fertility",
+        "x135_charclass_audit",
+        "x136_eval_leak_report",
+        "x137_knn_clustering_coeff",
+        "x137b_triangle_census_graph",
     }
-    justified = floor_round_rechecks | {
-        "q1_pricing_summary",
-        "x81_token_budget_select",
-        "x83_budget_select_cutoff",
-        "x90_stratified_budget_select",
-        "g10_approx_count_distinct",
-    }
-    checked: set[str] = set()
+    assert never_checked == set(window[:7])
+    justified_rechecks = {"q1_pricing_summary", "x126_fd_audit"}
+    assert justified_rechecks <= set(window)
+    # Every remaining slot must be spent on the OLDEST driver evidence:
+    # its latest CORRECTNESS row must be round 2 (nothing fresher
+    # deserves a slot while r02 rows exist).
+    latest: dict[str, int] = {}
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for r in range(1, 7):
+    for r in range(1, 8):
         p = os.path.join(root, f"CORRECTNESS_r{r:02d}.json")
         if os.path.exists(p):
-            checked |= set(json.load(open(p)))
-    rechecks = [n for n in window if n in checked]
-    unjustified = [n for n in rechecks if n not in justified]
-    assert not unjustified, unjustified
-    # Every window entry carries a full value-hash oracle EXCEPT the
-    # four by-design rows-only twins, which have never had any driver
-    # record at all and each carry a pytest exact-twin gate.
-    rows_only_by_design = {
-        "x2f_minhash_neardup_fast", "x4f_simhash_fast",
-        "x54_pack_bins_ffd", "x67_bpe_learn",
-    }
+            for q in json.load(open(p)):
+                latest[q] = r
+    others = [n for n in window if n not in never_checked | justified_rechecks]
+    stale_violations = [n for n in others if latest.get(n) != 2]
+    assert not stale_violations, stale_violations
+    # Every window entry carries a full value-hash oracle this round
+    # (the rows-only fast paths all have r7 driver rows already).
     no_oracle = {n for n in window if n not in ORACLES}
-    assert no_oracle == rows_only_by_design, no_oracle
+    assert not no_oracle, no_oracle
 
 
 def test_nl_and_cli_import():
