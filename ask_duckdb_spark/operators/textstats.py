@@ -3431,3 +3431,129 @@ def x113_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("ks").cast("bigint").alias("n_distinct"),
         floor_round(ent, 6).alias("entropy_bits"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# x138 — batch padding-waste audit (length-bucketing economics)
+# ---------------------------------------------------------------------------
+
+#: Training-batch geometry for the audit: sequences truncated to
+#: PAD_MAX_LEN tokens, batched PAD_BATCH at a time, every sequence in a
+#: batch padded to the batch's longest member (the standard dense-batch
+#: collate). Fixture-sized; the plan is identical for any (L, B).
+PAD_MAX_LEN = 128
+PAD_BATCH = 8
+
+
+def _x138_oracle() -> str:
+    return f"""
+    WITH n AS (
+      SELECT source, doc_id,
+             least(len({_TOKENS_ORACLE}), {PAD_MAX_LEN}) AS n
+      FROM documents
+    ), a AS (
+      SELECT source, n,
+             (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)
+               // {PAD_BATCH} AS b
+      FROM n
+    ), s AS (
+      SELECT source, n,
+             (row_number() OVER (PARTITION BY source ORDER BY n DESC, doc_id)
+              - 1) // {PAD_BATCH} AS b
+      FROM n
+    ), pa AS (
+      SELECT source, CAST(sum(mx * cnt) AS BIGINT) AS padded
+      FROM (SELECT source, b, max(n) AS mx, count(*) AS cnt
+            FROM a GROUP BY source, b) GROUP BY source
+    ), ps AS (
+      SELECT source, CAST(sum(mx * cnt) AS BIGINT) AS padded
+      FROM (SELECT source, b, max(n) AS mx, count(*) AS cnt
+            FROM s GROUP BY source, b) GROUP BY source
+    ), tot AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS real_tokens
+      FROM n GROUP BY source
+    )
+    SELECT tot.source, n_docs, real_tokens,
+           pa.padded AS padded_arrival, ps.padded AS padded_sorted,
+           CAST((pa.padded - real_tokens) * 1000000
+                // greatest(pa.padded, 1) AS BIGINT) AS waste_arrival_ppm,
+           CAST((ps.padded - real_tokens) * 1000000
+                // greatest(ps.padded, 1) AS BIGINT) AS waste_sorted_ppm
+    FROM tot JOIN pa USING (source) JOIN ps USING (source)
+    ORDER BY source
+    """
+
+
+@query("x138_padding_waste", oracle=_x138_oracle())
+def x138_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding waste per source under arrival-order vs length-sorted
+    batching — the sequence-collation economics audit.
+
+    Dense training batches pad every sequence to the batch max, so
+    batch composition decides how many FLOPs are spent on pad tokens:
+    arrival-order batching mixes lengths (waste ~ E[max-of-B] − E[n]),
+    while length-sorted bucketing groups like lengths and approaches
+    zero waste. This op measures BOTH on the real corpus — per source,
+    exact integer ppm — quantifying what length bucketing would save
+    before anyone re-shards 100 TB. Complements x30 (token-budget shard
+    packing) and x54 (FFD bin packing): those build layouts, this
+    prices the collate policy.
+
+    Semantics: token counts from the shared tokenizer truncated to
+    PAD_MAX_LEN; batches of PAD_BATCH formed WITHIN each source (the
+    unit a shard inherits), final partial batch padded to its own max;
+    ties in the sorted order broken by doc_id so both engines form
+    identical batches.
+
+    Scale (100 TB): batching is per-source windows — bounded
+    partitions, the x90 discipline, never a global single-partition
+    sort (a real pipeline batches within shards; a global order would
+    be the x81-style anchor smell). One tokenize scan feeds both
+    strategies; two per-(source, batch) combinable aggregates + one
+    |sources|-row join. All integer, hash-exact.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n = d.select(
+        "source",
+        "doc_id",
+        F.least(F.size(tokens(F.col("text"))), F.lit(PAD_MAX_LEN)).alias("n"),
+    )
+    w_arr = W.partitionBy("source").orderBy("doc_id")
+    w_srt = W.partitionBy("source").orderBy(F.desc("n"), "doc_id")
+
+    def padded(win) -> DataFrame:
+        b = F.floor((F.row_number().over(win) - 1) / PAD_BATCH).alias("b")
+        return (
+            n.select("source", "n", b)
+            .groupBy("source", "b")
+            .agg(F.max("n").alias("mx"), F.count(F.lit(1)).alias("cnt"))
+            .groupBy("source")
+            .agg(F.sum(F.col("mx") * F.col("cnt")).cast("bigint").alias("padded"))
+        )
+    pa = padded(w_arr).withColumnRenamed("padded", "padded_arrival")
+    ps = padded(w_srt).withColumnRenamed("padded", "padded_sorted")
+    tot = n.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("real_tokens"),
+    )
+    return (
+        tot.join(pa, "source")
+        .join(ps, "source")
+        .select(
+            "source",
+            "n_docs",
+            "real_tokens",
+            "padded_arrival",
+            "padded_sorted",
+            F.expr(
+                "CAST((padded_arrival - real_tokens) * 1000000"
+                " DIV greatest(padded_arrival, 1) AS BIGINT)"
+            ).alias("waste_arrival_ppm"),
+            F.expr(
+                "CAST((padded_sorted - real_tokens) * 1000000"
+                " DIV greatest(padded_sorted, 1) AS BIGINT)"
+            ).alias("waste_sorted_ppm"),
+        )
+        .orderBy("source")
+    )

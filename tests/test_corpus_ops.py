@@ -156,3 +156,44 @@ def test_x61_zero_shuffle_plan(spark):
         )
         == 0
     )
+
+
+def test_x138_padding_waste_matches_python_and_sorted_dominates(spark):
+    """x138 semantic pin beyond the oracle: (a) per-source padded totals
+    re-derived in pure Python from the same tokenizer (truncate, chunk,
+    pad-to-batch-max); (b) sorted batching NEVER wastes more than
+    arrival order — sorted chunking achieves the rank lower bound on
+    every batch max, so its padded total is minimal for fixed B."""
+    import pandas as pd
+
+    from ask_duckdb_spark.operators import QUERIES
+    from ask_duckdb_spark.operators.textstats import PAD_BATCH, PAD_MAX_LEN
+    from tests.conftest import SF_DIR_001
+
+    out = {r["source"]: r for r in QUERIES["x138_padding_waste"](spark, SF_DIR_001).collect()}
+    assert out, "fixture must have sources"
+
+    tbl = pd.read_parquet(
+        f"{SF_DIR_001}/documents.parquet", columns=["doc_id", "source", "text"]
+    ).sort_values("doc_id")
+
+    def padded_total(lens):
+        return sum(
+            max(chunk) * len(chunk)
+            for chunk in (
+                lens[i : i + PAD_BATCH] for i in range(0, len(lens), PAD_BATCH)
+            )
+        )
+
+    for src, grp in tbl.groupby("source"):
+        lens = [
+            min(len(t.lower().split()), PAD_MAX_LEN) for t in grp["text"]
+        ]
+        r = out[src]
+        assert r["real_tokens"] == sum(lens)
+        assert r["padded_arrival"] == padded_total(lens)
+        assert r["padded_sorted"] == padded_total(
+            sorted(lens, reverse=True)
+        )
+        assert r["waste_sorted_ppm"] <= r["waste_arrival_ppm"]
+        assert 0 <= r["waste_sorted_ppm"] <= 1_000_000
