@@ -2024,3 +2024,93 @@ def x99_dup_source_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_pairs"))
         .orderBy("src_lo", "src_hi")
     )
+
+
+# ---------------------------------------------------------------------------
+# x139 — dedup ROI report (cluster-size histogram + savings estimate)
+# ---------------------------------------------------------------------------
+
+_X139_ORACLE = f"""
+    WITH tk AS (
+      SELECT doc_id, CAST(len({_TOKENS_SQL}) AS BIGINT) AS t FROM documents
+    ), per AS (
+      SELECT cc.cluster,
+             CAST(count(*) AS BIGINT) AS sz,
+             CAST(sum(tk.t) AS BIGINT) AS tok_total,
+             CAST(sum(CASE WHEN cc.doc_id = cc.cluster THEN tk.t
+                           ELSE 0 END) AS BIGINT) AS tok_kept
+      FROM ({_CC_ORACLE}) cc JOIN tk USING (doc_id)
+      GROUP BY cc.cluster
+    )
+    SELECT sz AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sz * count(*) AS BIGINT) AS n_docs,
+           CAST((sz - 1) * count(*) AS BIGINT) AS docs_removed,
+           CAST(sum(tok_total) AS BIGINT) AS tokens_total,
+           CAST(sum(tok_total - tok_kept) AS BIGINT) AS tokens_saved
+    FROM per GROUP BY sz ORDER BY sz
+    """
+
+
+@query("x139_dedup_savings", oracle=_X139_ORACLE)
+def x139_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ROI report: near-dup cluster-size histogram + what
+    keep-one-per-cluster saves, in docs and tokens.
+
+    THE headline table of a dedup run — before anyone re-shards 100 TB
+    the pipeline owner asks "how much does dedup actually buy, and is
+    the duplication a few giant boilerplate clusters or a long tail of
+    pairs?" Per x29 connected component (the x2 near-dup graph;
+    singletons are outside the graph and save nothing): size, total
+    tokens, tokens retained by the keep-lowest-id policy (the
+    component's label member — x85's keep-best variant changes WHICH
+    member survives, not how many tokens leave). Rolled up per cluster
+    size so the histogram's shape is the answer: mass at size 2-3 =
+    organic near-dups; mass at large sizes = boilerplate floods worth
+    a domain-cap (x51) instead.
+
+    Scale (100 TB): x29/x80 bear the heavy lifting (banded LSH + O(log
+    V) star-contraction, both driver-green at scale posture); this
+    rollup adds one token-count scan, a cluster-keyed combinable
+    aggregate bounded by |non-singleton docs|, and a |distinct sizes|-
+    row histogram. All exact integers, hash-exact.
+    """
+    cc = x29_dedup_clusters(spark, sf_dir).select("doc_id", "cluster")
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("t"))
+    per = (
+        cc.join(tk, "doc_id")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("sz"),
+            F.sum("t").cast("bigint").alias("tok_total"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("cluster"), F.col("t")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("tok_kept"),
+        )
+    )
+    return (
+        per.groupBy("sz")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("tok_total").cast("bigint").alias("tokens_total"),
+            F.sum(F.col("tok_total") - F.col("tok_kept"))
+            .cast("bigint")
+            .alias("tokens_saved"),
+        )
+        .select(
+            F.col("sz").alias("cluster_size"),
+            "n_clusters",
+            (F.col("sz") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
+            ((F.col("sz") - 1) * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("docs_removed"),
+            "tokens_total",
+            "tokens_saved",
+        )
+        .orderBy("cluster_size")
+    )

@@ -197,3 +197,27 @@ def test_x138_padding_waste_matches_python_and_sorted_dominates(spark):
         )
         assert r["waste_sorted_ppm"] <= r["waste_arrival_ppm"]
         assert 0 <= r["waste_sorted_ppm"] <= 1_000_000
+
+
+def test_x139_dedup_savings_consistent_with_clusters(spark):
+    """x139 semantic pin: the histogram must re-derive exactly from the
+    x29 cluster assignment + token counts (docs_removed = size-1 per
+    cluster; tokens_saved = total minus the label member's tokens;
+    keeping the label member means savings < total)."""
+    from collections import Counter
+
+    from ask_duckdb_spark.operators import QUERIES
+    from tests.conftest import SF_DIR_001
+
+    cc = {
+        r["doc_id"]: r["cluster"]
+        for r in QUERIES["x29_dedup_clusters"](spark, SF_DIR_001).collect()
+    }
+    assert cc, "fixture plants near-dups"
+    sizes = Counter(Counter(cc.values()).values())  # size -> n_clusters
+    out = {r["cluster_size"]: r for r in QUERIES["x139_dedup_savings"](spark, SF_DIR_001).collect()}
+    assert {s: r["n_clusters"] for s, r in out.items()} == dict(sizes)
+    for s, r in out.items():
+        assert r["n_docs"] == s * r["n_clusters"]
+        assert r["docs_removed"] == (s - 1) * r["n_clusters"]
+        assert 0 <= r["tokens_saved"] < r["tokens_total"]
