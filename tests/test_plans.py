@@ -143,6 +143,7 @@ def test_operators_build_without_materializing(spark, monkeypatch):
             "x80_cc_star",
             "x85_cluster_keep_best",
             "x96_leakage_safe_split",  # composes x29's fixpoint loop
+            "x139_dedup_savings",  # composes x29's fixpoint loop
         ):
             continue
         fn(spark, SF_DIR)  # raises if any operator materializes
