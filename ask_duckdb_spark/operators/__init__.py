@@ -45,8 +45,9 @@ from . import hygiene  # noqa: F401,E402
 # remaining 41 slots rotate the OLDEST driver evidence: r02 rows from
 # the relational core, unchecked since round 2. Rotating into r9: the
 # 7 r02 leftovers (p1-p6, p8) and the r8 post-window additions
-# x138_padding_waste / x139_dedup_savings (local bit-exact diffcheck
-# evidence in DIFFCHECK_r08.md meanwhile, the x133-x137 pattern).
+# x138_padding_waste / x139_dedup_savings / x140_incremental_components
+# (local bit-exact diffcheck evidence in DIFFCHECK_r08.md meanwhile,
+# the x133-x137 pattern).
 _VERIFY_FIRST = [
     # zero driver evidence (VERDICT r7 item 1) + same-oracle twins
     "x133_eval_decontam",

@@ -613,21 +613,13 @@ _CC_ORACLE = f"""
     """
 
 
-@query("x29_dedup_clusters", oracle=_CC_ORACLE)
-def x29_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTERS: connected components over x2's pair graph.
-
-    Iterative min-label propagation (each vertex takes the minimum
-    label in its neighborhood) run to fixpoint — the distributed
-    connected-components algorithm that turns pairwise near-dup edges
-    into transitive clusters, so chains a→b→c dedup to ONE canonical
-    doc where pair-based filtering (x24) would keep two. Each round is
-    one join + one aggregate on (vertex, label) pairs; convergence is
-    checked with a cheap count, and an unconverged exit RAISES instead
-    of silently returning split components (the cap only bounds
-    pathological chains — the fixture converges in ≤3 rounds).
-    """
-    pairs = x2_minhash_neardup(spark, sf_dir).select("id_a", "id_b")
+def _min_label_components(pairs: DataFrame, who: str = "x29") -> DataFrame:
+    """Min-label propagation to fixpoint over an undirected pair list
+    ``(id_a, id_b)`` → ``(v, label)`` per vertex. Pure code motion from
+    x29 (r02, driver-green) so x140's incremental path runs the EXACT
+    same kernel; each round is one join + one aggregate, convergence is
+    a cheap count, and an unconverged exit RAISES instead of silently
+    returning split components."""
     # symmetric edge list (+ self-loops keep isolated pair-members)
     edges = pairs.union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
@@ -677,10 +669,29 @@ def x29_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not converged:
         labels.unpersist()  # don't leak the last round's cache on error
         raise RuntimeError(
-            "x29 label propagation did not converge in 25 rounds —"
+            f"{who} label propagation did not converge in 25 rounds —"
             " a component with diameter > 25 (pathological chain);"
             " raise the cap or pre-contract the graph"
         )
+    return labels
+
+
+@query("x29_dedup_clusters", oracle=_CC_ORACLE)
+def x29_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over x2's pair graph.
+
+    Iterative min-label propagation (each vertex takes the minimum
+    label in its neighborhood) run to fixpoint — the distributed
+    connected-components algorithm that turns pairwise near-dup edges
+    into transitive clusters, so chains a→b→c dedup to ONE canonical
+    doc where pair-based filtering (x24) would keep two. Each round is
+    one join + one aggregate on (vertex, label) pairs; convergence is
+    checked with a cheap count, and an unconverged exit RAISES instead
+    of silently returning split components (the cap only bounds
+    pathological chains — the fixture converges in ≤3 rounds).
+    """
+    pairs = x2_minhash_neardup(spark, sf_dir).select("id_a", "id_b")
+    labels = _min_label_components(pairs, who="x29")
     return labels.select(
         F.col("v").alias("doc_id"), F.col("label").alias("cluster")
     ).orderBy("doc_id")
@@ -2114,3 +2125,68 @@ def x139_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# x140 — incremental connected-component maintenance (manifest + batch)
+# ---------------------------------------------------------------------------
+
+
+@query("x140_incremental_components", oracle=_CC_ORACLE)
+def x140_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x29's clusters maintained INCREMENTALLY from a manifest + a new
+    batch — the graph-state member of the incremental family
+    (x49 flags batch near-dups; x115-x124 maintain tables; this
+    maintains the dedup GRAPH).
+
+    Split by x49's arrival convention (top 20% of doc_ids = the newly
+    ingested batch): pairs between established docs are the OLD graph,
+    whose components form the persisted keep-manifest a production
+    pipeline already owns; pairs touching the batch are the NEW edges.
+    The update contracts every old component to STAR EDGES
+    (member → component label, |V_old| edges regardless of old edge
+    count) and runs the same min-label kernel over star edges ∪ new
+    edges only. Union-find algebra makes this exact: contracting a
+    subgraph preserves the component partition, and because star edges
+    keep original vertex ids, the min label of every merged component
+    is the global min — so the output is row-identical to x29's full
+    recompute and the SAME oracle pins both (x125↔x129 discipline, on
+    an algorithm rather than a plan).
+
+    Scale (100 TB): a full x29/x80 recompute touches every pair ever
+    found; this touches O(|manifest| + |new edges|) — the manifest is
+    one row per clustered doc (read from storage in production;
+    rebuilt here only because registry entries own no persisted
+    state), new edges are batch-sized, and the propagation diameter
+    collapses to ~2 because every old component is already a star.
+    The batch cadence never re-shuffles the established corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cut = d.agg(
+        F.expr("CAST((max(doc_id) * 4) DIV 5 AS BIGINT)").alias("c")
+    )
+    pairs = (
+        x2_minhash_neardup(spark, sf_dir)
+        .select("id_a", "id_b")
+        .crossJoin(F.broadcast(cut))
+        .persist()
+    )
+    old = pairs.filter(
+        (F.col("id_a") < F.col("c")) & (F.col("id_b") < F.col("c"))
+    ).select("id_a", "id_b")
+    new = pairs.filter(
+        (F.col("id_a") >= F.col("c")) | (F.col("id_b") >= F.col("c"))
+    ).select("id_a", "id_b")
+    # The persisted state a real pipeline reads back: (doc, cluster).
+    manifest = _min_label_components(old, who="x140 manifest")
+    # Star contraction of every old component: member -> label edges.
+    star = manifest.filter(F.col("v") != F.col("label")).select(
+        F.col("v").alias("id_a"), F.col("label").alias("id_b")
+    )
+    updated = _min_label_components(
+        new.unionAll(star), who="x140 incremental"
+    )
+    out = updated.select(
+        F.col("v").alias("doc_id"), F.col("label").alias("cluster")
+    ).orderBy("doc_id")
+    return unpersist_with(out, pairs)

@@ -221,3 +221,40 @@ def test_x139_dedup_savings_consistent_with_clusters(spark):
         assert r["n_docs"] == s * r["n_clusters"]
         assert r["docs_removed"] == (s - 1) * r["n_clusters"]
         assert 0 <= r["tokens_saved"] < r["tokens_total"]
+
+
+def test_x140_incremental_equals_full_recompute(spark):
+    """x140's manifest + star-contraction + batch-edges path must be
+    row-identical to x29's full recompute (same oracle pins both; this
+    pins them against each other directly), and the fixture must
+    actually exercise the incremental machinery: batch pairs exist and
+    some component mixes established and batch docs (a real merge)."""
+    from pyspark.sql import functions as F
+
+    from ask_duckdb_spark.operators import QUERIES
+    from ask_duckdb_spark.operators.dedup import x2_minhash_neardup
+    from tests.conftest import SF_DIR_001
+
+    full = [tuple(r) for r in QUERIES["x29_dedup_clusters"](spark, SF_DIR_001).collect()]
+    inc = [tuple(r) for r in QUERIES["x140_incremental_components"](spark, SF_DIR_001).collect()]
+    assert inc == full
+
+    d = spark.read.parquet(f"{SF_DIR_001}/documents.parquet")
+    cut = d.agg(
+        F.expr("CAST((max(doc_id)*4) DIV 5 AS BIGINT)").alias("c")
+    ).first().c
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in x2_minhash_neardup(spark, SF_DIR_001)
+        .select("id_a", "id_b")
+        .collect()
+    ]
+    assert any(a < cut and b < cut for a, b in pairs), "old graph non-empty"
+    assert any(a >= cut or b >= cut for a, b in pairs), "batch edges exist"
+    comp: dict[int, list[int]] = {}
+    for doc, c in inc:
+        comp.setdefault(c, []).append(doc)
+    assert any(
+        any(v >= cut for v in vs) and any(v < cut for v in vs)
+        for vs in comp.values()
+    ), "no component mixes manifest and batch docs — merge path unexercised"

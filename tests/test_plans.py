@@ -144,6 +144,7 @@ def test_operators_build_without_materializing(spark, monkeypatch):
             "x85_cluster_keep_best",
             "x96_leakage_safe_split",  # composes x29's fixpoint loop
             "x139_dedup_savings",  # composes x29's fixpoint loop
+            "x140_incremental_components",  # two fixpoint loops
         ):
             continue
         fn(spark, SF_DIR)  # raises if any operator materializes
