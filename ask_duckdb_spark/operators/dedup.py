@@ -2177,15 +2177,23 @@ def x140_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = pairs.filter(
         (F.col("id_a") >= F.col("c")) | (F.col("id_b") >= F.col("c"))
     ).select("id_a", "id_b")
-    # The persisted state a real pipeline reads back: (doc, cluster).
-    manifest = _min_label_components(old, who="x140 manifest")
-    # Star contraction of every old component: member -> label edges.
-    star = manifest.filter(F.col("v") != F.col("label")).select(
-        F.col("v").alias("id_a"), F.col("label").alias("id_b")
-    )
-    updated = _min_label_components(
-        new.unionAll(star), who="x140 incremental"
-    )
+    # Kernel failure (25-round non-convergence RuntimeError) must not
+    # leak `pairs`' cache blocks for the session's lifetime — the
+    # ADVICE-r5 pathology unpersist_with exists to prevent (ADVICE r8);
+    # the kernel already unpersists its own frames on that path.
+    try:
+        # The persisted state a real pipeline reads back: (doc, cluster).
+        manifest = _min_label_components(old, who="x140 manifest")
+        # Star contraction of every old component: member -> label edges.
+        star = manifest.filter(F.col("v") != F.col("label")).select(
+            F.col("v").alias("id_a"), F.col("label").alias("id_b")
+        )
+        updated = _min_label_components(
+            new.unionAll(star), who="x140 incremental"
+        )
+    except Exception:
+        pairs.unpersist()
+        raise
     out = updated.select(
         F.col("v").alias("doc_id"), F.col("label").alias("cluster")
     ).orderBy("doc_id")

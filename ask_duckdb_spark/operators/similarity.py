@@ -2552,8 +2552,26 @@ def _sized_band_bits(spark: SparkSession, sf_dir: str, op: str) -> int:
     """Read the corpus size (footer metadata), auto-size the band
     width, and warn (oracle void) when the size departs the default —
     shared by x137/x137b so the twins cannot drift apart on sizing
-    policy."""
-    bits = _auto_band_bits(_parquet_rows(sf_dir, "embeddings"))
+    policy.
+
+    The footer read is a LOCAL-filesystem fast path (ADVICE r8): a
+    remote sf_dir (hdfs://, s3://) or a layout this helper doesn't
+    recognize must not turn a previously-working default invocation
+    into a plan-build error — fall back to the calibrated default
+    width with a warning, the same posture as an explicit knob."""
+    try:
+        n = _parquet_rows(sf_dir, "embeddings")
+    except (OSError, ValueError) as e:  # FileNotFoundError is an OSError
+        import warnings
+
+        warnings.warn(
+            f"{op} could not read parquet footers under {sf_dir!r} "
+            f"({e}); falling back to the default BAND_BITS={BAND_BITS} "
+            "— pass band_bits explicitly for non-local storage.",
+            stacklevel=3,
+        )
+        return BAND_BITS
+    bits = _auto_band_bits(n)
     if bits != BAND_BITS:
         import warnings
 
@@ -2676,10 +2694,17 @@ def x137b_triangle_census_graph(
     Same contract and oracle as x137 (pytest pins row equality); two
     physical differences, both the shapes SCALE.md r7 prescribed:
 
-    1. The undirected edge list is MATERIALIZED once
-       (``localCheckpoint``) before the census — the three self-join
-       branches read the stored edges instead of re-running x44's
-       banded candidate generation + rank window per branch. At real
+    1. The undirected edge list is built ONCE and ``persist()``ed
+       before the census — the three self-join branches read the
+       cached edges instead of re-running x44's banded candidate
+       generation + rank window per branch. (An earlier formulation
+       ``localCheckpoint(eager=True)``'d here, which EXECUTED the full
+       x44 job at plan-build time — violating the registry's
+       lazy-build contract and evading tests/test_plans.py's gate,
+       which at the time only tripped on count/collect/toPandas;
+       ADVICE r8. Lineage depth here is fixed, not per-round, so
+       persist is sufficient — checkpointing is only needed for the
+       iterative kernels whose plans GROW per round.) At real
        scale this frame is the persisted kNN graph the pipeline
        already owns (built once by x44 with IVF/bucket-capped
        candidate generation); the census then costs only the joins
@@ -2709,7 +2734,7 @@ def x137b_triangle_census_graph(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .persist()
     )
     deg = (
         und.select(F.col("a").alias("v"))
@@ -2765,4 +2790,4 @@ def x137b_triangle_census_graph(
             ).alias("global_cc_ppm"),
         )
     )
-    return unpersist_with(out, ori)
+    return unpersist_with(unpersist_with(out, ori), und)

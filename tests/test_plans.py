@@ -128,7 +128,15 @@ def test_operators_build_without_materializing(spark, monkeypatch):
             raise AssertionError(f"eager DataFrame.{kind}() during operator build")
         return fail
 
-    for kind in ("count", "collect", "toPandas", "take", "head"):
+    # localCheckpoint/checkpoint also EXECUTE the plan (eagerly by
+    # default) — x137b slipped an eager localCheckpoint past this gate
+    # for a round because only the five methods below were patched
+    # (ADVICE r8); any eager-materialization API added here must also
+    # be added to the iterative-class exemption reasoning above.
+    for kind in (
+        "count", "collect", "toPandas", "take", "head",
+        "localCheckpoint", "checkpoint",
+    ):
         monkeypatch.setattr(DataFrame, kind, _trip(kind))
     # x7 additionally allowed: its ADVICE-r4 cap warning is a bounded
     # LIMIT-1 existence probe (stat-pruned), not a scan. x80 (and x85,

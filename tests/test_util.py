@@ -129,3 +129,49 @@ def test_tokenizer_whitespace_class_is_engine_portable(spark):
     assert sorted(WS_CLASS[1:-1].replace("\\t", "\t").replace("\\n", "\n")
                   .replace("\\r", "\r").replace("\\x0B", "\x0b")
                   .replace("\\f", "\f")) == sorted(" \t\n\x0b\f\r")
+
+
+def test_no_inlined_whitespace_class_diverges_from_ws_class():
+    """Repo-wide drift alarm (ADVICE r8): ~30 oracle/selectExpr sites
+    inline the explicit whitespace class as a literal rather than
+    interpolating WS_CLASS (most predate the constant). A future edit
+    to the canonical class in functions/text.py must not silently
+    diverge from those inlined copies — this scans every package
+    source file, normalizes escape depth (SQL-literal embedding
+    doubles backslashes), and asserts every character class that
+    mentions both \\t and \\x0B embeds the canonical member run of
+    WS_CLASS verbatim (order included). The x135 census classes and
+    the control-char scrub class mention at most one of the two
+    markers, so only true tokenizer-class copies are matched."""
+    import glob
+    import os
+    import re
+
+    from ask_duckdb_spark.functions.text import WS_CLASS
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    canonical = re.sub(r"\\+", r"\\", WS_CLASS)[1:-1]  # ' \t\n\r\x0B\f'
+    files = glob.glob(
+        os.path.join(root, "ask_duckdb_spark", "**", "*.py"), recursive=True
+    ) + glob.glob(os.path.join(root, "scripts", "*.py"))
+    assert files
+    checked = 0
+    for path in files:
+        with open(path) as fh:
+            # comment lines may legitimately QUOTE the engine-dialect
+            # classes (text.py documents Java's member order); only
+            # code/string copies are drift hazards.
+            src = "\n".join(
+                ln for ln in fh.read().splitlines()
+                if not ln.lstrip().startswith("#")
+            )
+        norm = re.sub(r"\\+", r"\\", src)
+        for m in re.finditer(r"\[\^?[^\]\n]*\]", norm):
+            cls = m.group(0)
+            if "\\t" in cls and "\\x0B" in cls:
+                checked += 1
+                assert canonical in cls, (
+                    f"{os.path.relpath(path, root)}: inlined whitespace "
+                    f"class {cls!r} diverges from WS_CLASS {canonical!r}"
+                )
+    assert checked >= 25  # the sweep's site count; shrinkage = sites lost
