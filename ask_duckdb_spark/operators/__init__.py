@@ -26,87 +26,83 @@ from . import hygiene  # noqa: F401,E402
 # The driver's per-round correctness harness verifies the FIRST 50
 # registry entries in iteration order. History: r2 verified the
 # relational core; r3 the NL pipeline + X families; r4 the dialect
-# surface; r5-r6 the scale extensions; r7 the r6 red trio (fixed),
-# the layout/retrieval families, the rows-only fast paths, and every
-# operator whose hash the floor-round migration changed — closing at
-# 46 pass / 4 by-design rows-only, ZERO red.
+# surface; r5-r6 the scale extensions; r7 the r6 red trio (fixed) +
+# the layout/retrieval families; r8 closed 50/50 full-pass (the
+# x133-x137 hygiene/census block + the r02-stale relational core).
 #
-# ROUND-8 WINDOW (active), per VERDICT r7 item 1: lead with the ONLY
-# entries that have zero driver evidence — the r7 post-sweep hygiene
-# family x133-x136 and census x137 (local bit-exact diffcheck in
-# DIFFCHECK_r07.md; r6 taught that local green does not imply driver
-# green) — plus their r8 twins x133b (broadcast contamination join,
-# plan-asserted) and x137b (degree-ordered census over a materialized
-# edge list), both registered against the SAME oracles. Then q1
-# (flagship canary) and x126, whose pair-domain count was rewritten
-# structurally this round (ADVICE r7: count(DISTINCT (a,b)) replaces
-# the '#'-concat sentinel image — output identical on the fixtures,
-# diffcheck-proven, but the driver hash is the hard signal). The
-# remaining 41 slots rotate the OLDEST driver evidence: r02 rows from
-# the relational core, unchecked since round 2. Rotating into r9: the
-# 7 r02 leftovers (p1-p6, p8) and the r8 post-window additions
-# x138_padding_waste / x139_dedup_savings / x140_incremental_components
-# (local bit-exact diffcheck evidence in DIFFCHECK_r08.md meanwhile,
-# the x133-x137 pattern).
+# ROUND-9 WINDOW (active), per VERDICT r8 items 1/7: lead with the
+# only entries that have zero driver evidence — the r8 post-sweep
+# additions x138/x139/x140 (local bit-exact diffcheck in
+# DIFFCHECK_r08.md; r6 taught local green != driver green) and the
+# r9-registered x117b plain-semi twin — then every operator whose
+# PHYSICAL PLAN changed this round: the x44 banded-candidate
+# restructure (narrow id-only shuffles + KNN_MAX_BUCKET skew cap,
+# VERDICT r8 item 3) feeds x44/x7b/x69/x137/x137b, all of whose
+# oracles were regenerated from the shared _capped_pairs_sql fragment
+# — outputs are diffcheck-identical but the driver hash is the hard
+# signal. Then q1 (flagship canary), the seven r02-only relational
+# rows (p1-p6, p8 — the oldest evidence anywhere), the nl1-nl5
+# pipeline (item 7: the reference's primary entry point, r03-stale),
+# and the front of the r03 tail (f5, j9, the q-suite, x1-x23). Still
+# r03/r04-stale after this window: x25-x36, the d/f/g dialect blocks
+# — keep walking in r10.
 _VERIFY_FIRST = [
-    # zero driver evidence (VERDICT r7 item 1) + same-oracle twins
-    "x133_eval_decontam",
-    "x133b_eval_decontam_bcast",
-    "x134_tokenizer_fertility",
-    "x135_charclass_audit",
-    "x136_eval_leak_report",
+    # zero driver evidence (VERDICT r8 item 1) + the r9 registration
+    "x138_padding_waste",
+    "x139_dedup_savings",
+    "x140_incremental_components",
+    "x117b_plain_semijoin",
+    # plan changed r9 (x44 candidate restructure + bucket cap)
+    "x44_knn_graph",
+    "x7b_embedding_neardup_lsh",
+    "x69_knn_pagerank",
     "x137_knn_clustering_coeff",
     "x137b_triangle_census_graph",
     "q1_pricing_summary",  # flagship, regression canary
-    "x126_fd_audit",  # structural pair count landed r8 (ADVICE r7)
-    # oldest driver evidence (r02) — scalar/JSON functions
-    "f1_lower_upper",
-    "f2_json_extract",
-    "f3_json_exists",
-    "f4_json_text_like",
-    "f6_struct_access",
-    "f7_map_access",
-    "f8_case_insensitive_eq",
-    "f9_string_funcs",
-    "f10_case_when",
-    "f11_coalesce_nullif",
-    # oldest driver evidence (r02) — aggregation
-    "g1_count_star",
-    "g2_sum_avg_min_max",
-    "g3_group_by",
-    "g4_having",
-    "g5_distinct",
-    "g6_count_distinct",
-    "g7_rollup",
-    "g8_cube",
-    "g9_median_percentile",
-    # oldest driver evidence (r02) — joins
-    "j1_inner_multihop",
-    "j2_left_outer",
-    "j3_right_outer",
-    "j4_full_outer",
-    "j5_left_semi",
-    "j6_left_anti",
-    "j7_cross",
-    # oldest driver evidence (r02) — ordering / limits
-    "o1_order_by",
-    "o2_top_k",
-    "o3_offset",
-    "o4_limit_deterministic",
-    # oldest driver evidence (r02) — predicates (complex forms; the
-    # trivial p1-p6/p8 rotate next round)
-    "p7_bool_connectives",
-    "p9_alias_expr",
-    "p10_empty_vs_null",
-    "p11_between",
-    # oldest driver evidence (r02) — set ops and windows
-    "so1_union_all",
-    "so2_intersect",
-    "so3_except",
-    "w1_row_number_topk_per_group",
-    "w2_running_sum",
-    "w3_lag_delta",
-    "w4_rank_dense_ntile",
+    # oldest driver evidence (r02): the trivial predicate forms
+    "p1_projection",
+    "p2_select_star",
+    "p3_filter_eq",
+    "p4_like",
+    "p5_ilike",
+    "p6_null_checks",
+    "p8_in_list",
+    # NL pipeline (VERDICT r8 item 7; r03-stale)
+    "nl1_fence_extraction",
+    "nl2_fuzzy_identifier_repair",
+    "nl3_alias_substitution",
+    "nl4_literal_canonicalization",
+    "nl5_full_ask_lifecycle",
+    # r03-stale tail: remaining JSON op, as-of join, the q-suite
+    "f5_json_array_membership",
+    "j9_asof_last_purchase",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q18_large_orders",
+    # r03-stale tail: the x1-x23 corpus core
+    "x1_dedup_exact",
+    "x1b_dedup_hash_key",
+    "x3_ngram_jaccard_pairs",
+    "x5_cosine_topk",
+    "x7_embedding_neardup",
+    "x8_token_stats",
+    "x9_top_terms",
+    "x11_lang_id",
+    "x12_fingerprint",
+    "x13_sessionize",
+    "x14_session_window",
+    "x15_tumbling_window",
+    "x16_sliding_window",
+    "x17_session_stats",
+    "x18_props_schema_on_read",
+    "x19_binary_metadata",
+    "x20_decode_features",
+    "x21_token_count_bpe",
+    "x23_hash_sample",
 ]
 
 

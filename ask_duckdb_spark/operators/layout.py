@@ -311,6 +311,50 @@ def x117_bloom_semijoin(
     )
 
 
+@query("x117b_plain_semijoin", oracle=_X117_ORACLE)
+def x117b_plain_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x117's semi-join WITHOUT the bloom pre-filter — the honest
+    fixture-scale winner, registered as a same-oracle twin (the
+    x133<->x133b discipline; VERDICT r8 item 4).
+
+    scripts/x117_crossover.py measured the real trade at r8: on
+    local[32] the plain left-semi runs 1.31 s at sf0.1 vs the bloom
+    form's 2.84 s, and the bloom's fixed build cost only amortizes
+    past ~x12-13 the fixture volume — AND the local testbed
+    structurally lacks the network shuffle the bloom exists to cut
+    (local "shuffle" is a page-cache copy, so plain-shuffle ~=
+    plain-broadcast there). This twin makes that a REGISTERED plan
+    choice: a deployment reads x117's docstring for the at-scale
+    insurance form and picks this one below the crossover, instead of
+    paying ~0.7 s of bloom build for nothing. Output is bit-identical
+    by construction (same oracle row pins both — tests/
+    test_layout_ops.py asserts row equality and the broadcast-semi
+    plan shape).
+
+    Scale (100 TB): the build side (urgent-order keys) broadcasts
+    while it fits (AQE decides); beyond that this becomes a shuffled
+    left-semi of the probe side — exactly the shuffle volume x117's
+    bloom filter cuts, which is the crossover at which a deployment
+    switches twins.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    build = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("bk"))
+        .distinct()
+    )
+    return (
+        li.join(build, li["l_orderkey"] == build["bk"], "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            money(F.sum(rev_units()), 10000).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ---------------------------------------------------------------------------
 # x118 — Z-order (Morton) clustering audit
 # ---------------------------------------------------------------------------

@@ -618,62 +618,118 @@ def x7_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-bucket skew cap for the banded self-join (x2's MAX_BUCKET
+#: posture, applied to the embedding LSH): a (band, bkey) bucket
+#: larger than this is DROPPED before any pair exists. With
+#: stats-driven band sizing the expected bucket is ~N0/2^BAND_BITS =
+#: 250 vectors, so 2048 is ~8x the mean — it never binds at any
+#: registered-oracle scale (measured max bucket: 91 at sf0.01, 350 at
+#: sf0.1) and only fires on a genuinely degenerate direction (a
+#: near-constant embedding dimension collapsing many vectors into one
+#: sign pattern), where the bucket's O(s^2) pairs would otherwise
+#: dominate the whole job. The SAME literal is generated into every
+#: consumer oracle (``_capped_pairs_sql``), so the cap is part of the
+#: registered semantics, not a Spark-only divergence.
+KNN_MAX_BUCKET = 2048
+
+
 def _banded_candidate_pairs(
     emb: DataFrame,
     keep_self: bool = False,
     n_bands: int = None,
     band_bits: int = None,
+    max_bucket: int = None,
 ) -> DataFrame:
     """Ordered candidate pairs sharing >=1 sign-random-projection band.
 
-    The shared scaffolding of x7b and x44: explode ``_band_keys``, self-
-    join on (band, bkey), deduplicate pairs that collide in several
-    bands. Columns: id_a, id_b, ea, eb. With ``keep_self=False`` the
-    pair order is id_a < id_b (near-dup pairs); with True, both
-    directions survive except the diagonal (k-NN graph, where each
-    vector needs its own neighbor list). A per-bucket skew cap (x2's
-    MAX_BUCKET shape) would slot in here, once, for both consumers.
+    The shared scaffolding of x7b and x44: explode ``_band_keys``,
+    self-join on (band, bkey), deduplicate pairs that collide in
+    several bands. Columns: id_a, id_b, ea, eb. With
+    ``keep_self=False`` the pair order is id_a < id_b (near-dup
+    pairs); with True, both directions survive except the diagonal
+    (k-NN graph, where each vector needs its own neighbor list).
+
+    Shuffle discipline (the r8 402 s lesson — SCALE.md x137 trials):
+    the band join and the cross-band ``dropDuplicates`` move ONLY
+    (vec_id, band, bkey) / (id_a, id_b) — never the 64-float vectors.
+    An earlier formulation carried both embeddings through the explode
+    (x N_BANDS), the self-join output AND the dedup exchange: at 10x
+    fixture scale that is ~50 GB of shuffle for ~50 M candidate pairs,
+    vs ~1 GB for the id-only stream. Embeddings are joined back by id
+    AFTER the pair set is final — two hash joins against the (tiny by
+    comparison) embeddings relation that AQE turns into broadcasts up
+    to multi-GB corpora, and that stay key-partitioned shuffles (of n
+    rows, not n_pairs x 2 vectors) beyond.
+
+    Skew guard: buckets larger than ``max_bucket`` (default
+    ``KNN_MAX_BUCKET``) are dropped wholesale before pairing — the
+    window count rides the same (band, bkey) partitioning the self-
+    join needs, so the guard adds no extra exchange of its own.
     """
+    if max_bucket is None:
+        max_bucket = KNN_MAX_BUCKET
     banded = emb.select(
         "vec_id",
-        "embedding",
         F.explode(
             _band_keys(F.col("embedding"), n_bands, band_bits)
         ).alias("bk"),
     ).select(
         "vec_id",
-        "embedding",
         F.col("bk.band").alias("band"),
         F.col("bk.bkey").alias("bkey"),
     )
-    a = banded.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "band", "bkey"
+    capped = (
+        banded.withColumn(
+            "bsz", F.count(F.lit(1)).over(W.partitionBy("band", "bkey"))
+        )
+        .filter(F.col("bsz") <= max_bucket)
+        .drop("bsz")
     )
-    b = banded.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "band", "bkey"
-    )
+    a = capped.select(F.col("vec_id").alias("id_a"), "band", "bkey")
+    b = capped.select(F.col("vec_id").alias("id_b"), "band", "bkey")
     keep = (
         F.col("id_a") != F.col("id_b")
         if keep_self
         else F.col("id_a") < F.col("id_b")
     )
-    return (
+    ids = (
         a.join(b, ["band", "bkey"])
         .filter(keep)
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", "ea", "eb")
     )
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return ids.join(ea, "id_a").join(eb, "id_b").select("id_a", "id_b", "ea", "eb")
+
+
+def _capped_pairs_sql(keep_self: bool, cte: str = "bk") -> str:
+    """DuckDB CTE fragment ``pairs`` — the oracle twin of
+    ``_banded_candidate_pairs``, INCLUDING the ``KNN_MAX_BUCKET`` skew
+    cap, generated once so the x7b/x44/x69 oracles cannot drift from
+    each other or from the Spark semantics. Column names follow the
+    consumer convention: (src, dst) for the keep_self k-NN form,
+    (id_a, id_b) for the ordered near-dup form."""
+    na, nb = ("src", "dst") if keep_self else ("id_a", "id_b")
+    cmp = "a.vec_id <> b.vec_id" if keep_self else "a.vec_id < b.vec_id"
+    return f"""{cte}c AS (
+      SELECT vec_id, embedding, band, bkey FROM (
+        SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz
+        FROM {cte}
+      ) WHERE bsz <= {KNN_MAX_BUCKET}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS {na}, b.vec_id AS {nb},
+             a.embedding AS ea, b.embedding AS eb
+      FROM {cte}c a JOIN {cte}c b
+        ON a.band = b.band AND a.bkey = b.bkey AND {cmp}
+    )"""
 
 
 def _x7b_oracle() -> str:
     return f"""
     WITH {_band_keys_sql()},
-    pairs AS (
-      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
-             a.embedding AS ea, b.embedding AS eb
-      FROM bk a JOIN bk b
-        ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
-    )
+    {_capped_pairs_sql(keep_self=False)}
     SELECT id_a, id_b FROM pairs
     WHERE {_cos_sql("ea", "eb")} > {NEARDUP_T}
     ORDER BY id_a, id_b
@@ -840,12 +896,7 @@ KNN_K = 3  # neighbors per vector in the graph
 def _x44_oracle() -> str:
     return f"""
     WITH {_band_keys_sql()},
-    pairs AS (
-      SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
-             a.embedding AS ea, b.embedding AS eb
-      FROM bk a JOIN bk b
-        ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id <> b.vec_id
-    )
+    {_capped_pairs_sql(keep_self=True)}
     SELECT src, dst, rnk FROM (
       SELECT src, dst,
              row_number() OVER (
@@ -1420,12 +1471,7 @@ def _x69_oracle() -> str:
     DOUBLE (DuckDB parses 1.0 as DECIMAL; Spark uses double) so the
     arithmetic is IEEE-identical on both engines."""
     knn = f"""
-    pairs AS (
-      SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
-             a.embedding AS ea, b.embedding AS eb
-      FROM bk a JOIN bk b
-        ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id <> b.vec_id
-    ), knn AS (
+    {_capped_pairs_sql(keep_self=True)}, knn AS (
       SELECT src, dst FROM (
         SELECT src, dst,
                row_number() OVER (
@@ -2467,12 +2513,7 @@ def x112_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _x137_oracle() -> str:
     return f"""
     WITH {_band_keys_sql()},
-    pairs AS (
-      SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
-             a.embedding AS ea, b.embedding AS eb
-      FROM bk a JOIN bk b
-        ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id <> b.vec_id
-    ), knn AS (
+    {_capped_pairs_sql(keep_self=True)}, knn AS (
       SELECT src, dst FROM (
         SELECT src, dst,
                row_number() OVER (

