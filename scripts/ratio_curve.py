@@ -37,7 +37,9 @@ import shutil
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+sys.path.insert(0, _HERE)
 
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -72,13 +74,16 @@ def build_scaled(spark, factor: int, workdir: str) -> None:
             continue
         df = src.crossJoin(spark.range(factor).select(F.col("id").alias("_r")))
         if t == "documents":
-            perturbed = F.array_join(
-                F.transform(
-                    F.split(F.col("text"), " "),
-                    lambda w: F.concat(w, F.lit("~"), rep.cast("string")),
-                ),
-                " ",
-            )
+            # SHARED recipe with scale_trial (VERDICT r8 item 5): the
+            # previous inline version suffixed EVERY word, which made
+            # x125's phrase unmatchable (empty-result scan) and
+            # re-shaped x2's bucket landscape — two measurement
+            # stories leaning on a builder quirk. perturb_text keeps
+            # the retrieval keep-set and preserves within-replica
+            # near-dup density.
+            from scale_trial import perturb_text
+
+            perturbed = perturb_text(rep)
             df = df.select(
                 (F.col("doc_id") + rep * KEY_OFF).alias("doc_id"),
                 perturbed.alias("text"),
@@ -96,7 +101,7 @@ def build_scaled(spark, factor: int, workdir: str) -> None:
 
 
 def spark_pass(
-    spark, sf_dir: str, reps: int = 2
+    spark, sf_dir: str, reps: int = 2, names=None
 ) -> tuple[dict[str, float], list[float]]:
     # Prepared-plan discipline (same as bench.py): build once, time
     # re-execution — Py4J tree construction is client latency, not
@@ -105,7 +110,7 @@ def spark_pass(
     # item 5: single-shot points read noisier than they are).
     plans = {
         name: QUERIES[name](spark, sf_dir)
-        for name in HEADLINE
+        for name in (names or HEADLINE)
         if name in ORACLES
     }
     out: dict[str, float] = {}
@@ -125,7 +130,7 @@ def spark_pass(
 
 
 def duck_pass(
-    sf_dir: str, reps: int = 2
+    sf_dir: str, reps: int = 2, names=None
 ) -> tuple[dict[str, float], list[float]]:
     import duckdb
 
@@ -140,7 +145,7 @@ def duck_pass(
     totals: list[float] = []
     for rep in range(reps):
         tot = 0.0
-        for name in HEADLINE:
+        for name in (names or HEADLINE):
             if name not in ORACLES:
                 continue
             t0 = time.time()
@@ -164,6 +169,15 @@ def main() -> int:
         "--points",
         default="",
         help="comma-separated scale labels to run (default: all four)",
+    )
+    ap.add_argument(
+        "--extra",
+        nargs="*",
+        default=[],
+        help="extra registry queries timed alongside HEADLINE on both "
+        "engines (e.g. x125_phrase_match — VERDICT r8 item 5: the x8 "
+        "corpus now preserves the phrase keep-set, so x125 is "
+        "measurable here)",
     )
     args = ap.parse_args()
 
@@ -193,11 +207,14 @@ def main() -> int:
             if name in ORACLES:
                 QUERIES[name](spark, "/root/testdata/sf0.01").count()
         spark.catalog.clearCache()
+    names = list(HEADLINE) + [q for q in args.extra if q not in HEADLINE]
     spark_results: dict[str, tuple[dict[str, float], list[float]]] = {}
     for label, d in points:
-        spark_results[label] = spark_pass(spark, d, args.reps)
+        spark_results[label] = spark_pass(spark, d, args.reps, names)
     spark.stop()
-    duck_results = {label: duck_pass(d, args.reps) for label, d in points}
+    duck_results = {
+        label: duck_pass(d, args.reps, names) for label, d in points
+    }
 
     for label, _ in points:
         (s, s_tot), (k, k_tot) = spark_results[label], duck_results[label]

@@ -52,37 +52,50 @@ STAGES = (
 ADAPTIVE_CELLS = {"x62_semdedup"}
 
 
+def perturb_text(rep) -> "F.Column":
+    """Per-replica word suffix on ``text``, preserving the retrieval
+    keep-set — THE shared corpus-growth recipe (scale_trial AND
+    ratio_curve, VERDICT r8 item 5: two builders had drifted, and the
+    drifted one made x125 non-measurable and x2's x8 reading a corpus
+    artifact).
+
+    Nearly every 8-gram crosses a word boundary, so replicas of one
+    document stop colliding at the gram level — the corpus grows Nx
+    while the true-duplicate rate stays the base corpus's, which is
+    what a real crawl looks like (within a replica the suffix map is
+    injective and consistent, so the base corpus's near-dup pairs
+    survive intact — density per doc is preserved, pairs scale Nx).
+    Exception (VERDICT r5 item 7): the fixed BM25 query terms AND the
+    x125/x129 phrase words are left unperturbed so retrieval trials
+    (x76/x89/x125/x129) measure real postings/matches — suffixing
+    them zeroes the match set and times an empty-result scan (the r5
+    x76 lesson; the first x125 10x trial repeated it). The preserved
+    words are isolated commons plus ONE adjacent pair ("table scan",
+    10 chars): a single shared char-8-gram family across replicas,
+    far below the shingle-overlap threshold of any dedup trial, and
+    hot-posting caps (MAX_POSTING) bound the x3 inverted index.
+    """
+    from ask_duckdb_spark.operators.stats_audit import PHRASE
+    from ask_duckdb_spark.operators.textstats import BM25_TERMS
+
+    keep = tuple(set(BM25_TERMS) | set(PHRASE))
+    return F.array_join(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda w: F.when(
+                w.isin(*keep), w
+            ).otherwise(F.concat(w, F.lit("~"), rep.cast("string"))),
+        ),
+        " ",
+    )
+
+
 def build_corpus(spark, factor: int, workdir: str) -> None:
     k = F.col("replica")
     docs = load_table(spark, BASE, "documents").crossJoin(
         spark.range(factor).select(F.col("id").alias("replica"))
     )
-    # Per-replica word suffix: nearly every 8-gram crosses a word
-    # boundary, so replicas of one document stop colliding at the gram
-    # level — corpus grows 100x while the true-duplicate rate stays at
-    # the base corpus's, which is what a real crawl looks like.
-    # Exception (VERDICT r5 item 7): the fixed BM25 query terms AND the
-    # x125/x129 phrase words are left unperturbed so retrieval trials
-    # (x76/x89/x125/x129) measure real postings/matches — suffixing
-    # them zeroes the match set and times an empty-result scan (the r5
-    # x76 lesson; the first x125 10x trial repeated it). The preserved
-    # words are isolated commons plus ONE adjacent pair ("table scan",
-    # 10 chars): a single shared char-8-gram family across replicas,
-    # far below the shingle-overlap threshold of any dedup trial, and
-    # hot-posting caps (MAX_POSTING) bound the x3 inverted index.
-    from ask_duckdb_spark.operators.stats_audit import PHRASE
-    from ask_duckdb_spark.operators.textstats import BM25_TERMS
-
-    keep = tuple(set(BM25_TERMS) | set(PHRASE))
-    perturbed = F.array_join(
-        F.transform(
-            F.split(F.col("text"), " "),
-            lambda w: F.when(
-                w.isin(*keep), w
-            ).otherwise(F.concat(w, F.lit("~"), k.cast("string"))),
-        ),
-        " ",
-    )
+    perturbed = perturb_text(k)
     docs.select(
         (F.col("doc_id") + k * 10_000_000).alias("doc_id"),
         perturbed.alias("text"),

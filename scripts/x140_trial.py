@@ -1,0 +1,175 @@
+"""x140 incremental-premise trial (VERDICT r8 item 2).
+
+Measures whether the star-contraction update path actually beats the
+full recompute at scale, with the manifest read from PERSISTED parquet
+(the state a production pipeline owns) rather than rebuilt in-op —
+x140's registry form rebuilds it only because registry entries own no
+persisted state.
+
+Setup (once, outside both timed paths): build the Nx corpus (or reuse
+``--workdir`` from a prior ``scale_trial.py --keep`` run), run x2's
+near-dup pair generation ONCE and persist the edge list to parquet,
+split it by x140's arrival convention (top 20% of doc_ids = the new
+batch), run the min-label kernel over the OLD edges and persist the
+resulting manifest to parquet. Pair generation is deliberately shared:
+both paths read the same stored edges, so the walls isolate the
+CLUSTERING cost — the claimed O(|manifest| + |batch|) vs
+O(|all edges| x diameter) asymmetry — not the LSH cost both pay
+identically.
+
+Timed paths (min over ``--runs``, cache cleared per run):
+  full        min-label kernel over ALL pairs (the x29 posture)
+  incremental read manifest parquet -> star edges (member -> label),
+              union with the batch edges, kernel over that
+
+Row identity of the two outputs is asserted (the same guarantee x140's
+shared oracle pins at sf0.01).
+
+Usage::
+
+    python scripts/x140_trial.py --factor 10 [--workdir .scale_trial]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+sys.path.insert(0, _HERE)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ask_duckdb_spark.operators.dedup import (  # noqa: E402
+    _min_label_components,
+    x2_minhash_neardup,
+)
+from ask_duckdb_spark.session import get_spark  # noqa: E402
+from scale_trial import build_corpus  # noqa: E402
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument(
+        "--workdir",
+        default=os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".scale_trial"),
+    )
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    spark = get_spark("x140-trial")
+    if not os.path.isdir(os.path.join(args.workdir, "documents.parquet")):
+        print(f"building {args.factor}x corpus under {args.workdir} ...")
+        t0 = time.time()
+        build_corpus(spark, args.factor, args.workdir)
+        print(f"  built in {time.time() - t0:.1f}s")
+    else:
+        print(f"reusing corpus under {args.workdir}")
+
+    state = os.path.join(args.workdir, "_x140_state")
+    pairs_pq = os.path.join(state, "pairs.parquet")
+    manifest_pq = os.path.join(state, "manifest.parquet")
+
+    # --- one-time setup: the state a production pipeline persists ----
+    t0 = time.time()
+    pairs = x2_minhash_neardup(spark, args.workdir).select("id_a", "id_b")
+    pairs.write.mode("overwrite").parquet(pairs_pq)
+    n_pairs = spark.read.parquet(pairs_pq).count()
+    print(f"pair generation + persist: {time.time() - t0:.1f}s "
+          f"({n_pairs:,} edges)  [shared by both paths, not timed below]")
+
+    cut = spark.read.parquet(
+        os.path.join(args.workdir, "documents.parquet")
+    ).agg(F.expr("CAST((max(doc_id) * 4) DIV 5 AS BIGINT)").alias("c"))
+
+    t0 = time.time()
+    all_pairs = spark.read.parquet(pairs_pq).crossJoin(F.broadcast(cut))
+    old = all_pairs.filter(
+        (F.col("id_a") < F.col("c")) & (F.col("id_b") < F.col("c"))
+    ).select("id_a", "id_b")
+    manifest = _min_label_components(old, who="x140-trial manifest")
+    manifest.write.mode("overwrite").parquet(manifest_pq)
+    n_manifest = spark.read.parquet(manifest_pq).count()
+    print(f"manifest build + persist: {time.time() - t0:.1f}s "
+          f"({n_manifest:,} clustered docs)  [owned state, not timed]")
+
+    def run_full() -> tuple[float, int]:
+        spark.catalog.clearCache()
+        t0 = time.time()
+        p = spark.read.parquet(pairs_pq)
+        out = _min_label_components(p, who="x140-trial full")
+        n = out.count()
+        out.unpersist()
+        return time.time() - t0, n
+
+    def run_incremental() -> tuple[float, int]:
+        spark.catalog.clearCache()
+        t0 = time.time()
+        p = spark.read.parquet(pairs_pq).crossJoin(F.broadcast(cut))
+        new = p.filter(
+            (F.col("id_a") >= F.col("c")) | (F.col("id_b") >= F.col("c"))
+        ).select("id_a", "id_b")
+        m = spark.read.parquet(manifest_pq)
+        star = m.filter(F.col("v") != F.col("label")).select(
+            F.col("v").alias("id_a"), F.col("label").alias("id_b")
+        )
+        out = _min_label_components(
+            new.unionAll(star), who="x140-trial incremental"
+        )
+        n = out.count()
+        out.unpersist()
+        return time.time() - t0, n
+
+    # row-identity gate BEFORE timing (and a warm-up for both paths)
+    full_out = _min_label_components(
+        spark.read.parquet(pairs_pq), who="x140-trial identity-full"
+    )
+    inc_pairs = spark.read.parquet(pairs_pq).crossJoin(F.broadcast(cut))
+    inc_new = inc_pairs.filter(
+        (F.col("id_a") >= F.col("c")) | (F.col("id_b") >= F.col("c"))
+    ).select("id_a", "id_b")
+    inc_star = spark.read.parquet(manifest_pq).filter(
+        F.col("v") != F.col("label")
+    ).select(F.col("v").alias("id_a"), F.col("label").alias("id_b"))
+    inc_out = _min_label_components(
+        inc_new.unionAll(inc_star), who="x140-trial identity-inc"
+    )
+    n_diff = (
+        full_out.withColumnRenamed("label", "fl")
+        .join(inc_out.withColumnRenamed("label", "il"), "v", "full")
+        .filter(
+            F.col("fl").isNull()
+            | F.col("il").isNull()
+            | (F.col("fl") != F.col("il"))
+        )
+        .count()
+    )
+    full_out.unpersist()
+    inc_out.unpersist()
+    assert n_diff == 0, f"row identity FAILED: {n_diff} divergent vertices"
+    print("row identity: OK (full == incremental, every vertex)")
+
+    walls_f = [run_full() for _ in range(args.runs)]
+    walls_i = [run_incremental() for _ in range(args.runs)]
+    wf, wi = min(w for w, _ in walls_f), min(w for w, _ in walls_i)
+    print(f"full recompute:  min-of-{args.runs} {wf:.2f}s "
+          f"(all {[f'{w:.2f}' for w, _ in walls_f]})")
+    print(f"incremental:     min-of-{args.runs} {wi:.2f}s "
+          f"(all {[f'{w:.2f}' for w, _ in walls_i]})")
+    print(f"speedup: {wf / wi:.2f}x at factor {args.factor} "
+          f"({n_pairs:,} edges, {n_manifest:,} manifest rows)")
+
+    if not args.keep:
+        shutil.rmtree(state, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
