@@ -22,13 +22,14 @@ def test_driver_contract_wired():
 
 def test_verification_window_priority():
     """The driver's correctness harness checks the FIRST 50 registry
-    entries in iteration order. The ROUND-8 window leads with the ONLY
-    entries that have zero driver evidence — the r7 post-sweep hygiene
-    family and census (x133-x137) plus their r8 same-oracle twins
-    (x133b/x137b) — then the q1 canary and x126 (pair-domain count
-    rewritten structurally in r8), then 41 slots re-verifying the
-    OLDEST driver evidence (r02 relational-core rows, unchecked since
-    round 2)."""
+    entries in iteration order. The ROUND-9 window (VERDICT r8 items
+    1/7) leads with the only zero-driver-evidence entries — the r8
+    post-sweep additions x138/x139/x140 plus the r9-registered x117b —
+    then every operator whose PHYSICAL PLAN changed in r9 (the x44
+    banded-candidate restructure feeds x44/x7b/x69/x137/x137b, all
+    oracles regenerated), the q1 canary, and the stalest driver tail:
+    the seven r02-only relational rows, nl1-nl5 (item 7), and the
+    front of the r03 block."""
     import json
     import os
 
@@ -36,32 +37,40 @@ def test_verification_window_priority():
 
     window = list(QUERIES)[:50]
     never_checked = {
-        "x133_eval_decontam",
-        "x133b_eval_decontam_bcast",
-        "x134_tokenizer_fertility",
-        "x135_charclass_audit",
-        "x136_eval_leak_report",
+        "x138_padding_waste",
+        "x139_dedup_savings",
+        "x140_incremental_components",
+        "x117b_plain_semijoin",
+    }
+    assert never_checked == set(window[:4])
+    plan_changed_r9 = {
+        "x44_knn_graph",
+        "x7b_embedding_neardup_lsh",
+        "x69_knn_pagerank",
         "x137_knn_clustering_coeff",
         "x137b_triangle_census_graph",
     }
-    assert never_checked == set(window[:7])
-    justified_rechecks = {"q1_pricing_summary", "x126_fd_audit"}
+    assert plan_changed_r9 == set(window[4:9])
+    justified_rechecks = {"q1_pricing_summary"}
     assert justified_rechecks <= set(window)
-    # Every remaining slot must be spent on the OLDEST driver evidence:
-    # its latest CORRECTNESS row must be round 2 (nothing fresher
-    # deserves a slot while r02 rows exist).
+    # Every remaining slot must be spent on the stalest driver
+    # evidence: its latest CORRECTNESS row must be r02 or r03 (nothing
+    # fresher deserves a slot while 4+-round-stale rows exist).
     latest: dict[str, int] = {}
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for r in range(1, 8):
+    for r in range(1, 9):
         p = os.path.join(root, f"CORRECTNESS_r{r:02d}.json")
         if os.path.exists(p):
             for q in json.load(open(p)):
                 latest[q] = r
-    others = [n for n in window if n not in never_checked | justified_rechecks]
-    stale_violations = [n for n in others if latest.get(n) != 2]
+    others = [
+        n
+        for n in window
+        if n not in never_checked | plan_changed_r9 | justified_rechecks
+    ]
+    stale_violations = [n for n in others if latest.get(n) not in (2, 3)]
     assert not stale_violations, stale_violations
-    # Every window entry carries a full value-hash oracle this round
-    # (the rows-only fast paths all have r7 driver rows already).
+    # Every window entry carries a full value-hash oracle this round.
     no_oracle = {n for n in window if n not in ORACLES}
     assert not no_oracle, no_oracle
 
