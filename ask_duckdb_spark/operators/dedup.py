@@ -279,7 +279,17 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
     estimate Jaccard from ``sig_a``/``sig_b`` without re-joining the
     signature frame (each extra join would recompute the hashing).
     """
-    bands = _banded(sig, id_col)
+    return _pairs_from_bands(_banded(sig, id_col), id_col)
+
+
+def _pairs_from_bands(bands: DataFrame, id_col: str) -> DataFrame:
+    """In-bucket ordered pair generation over a (id, sig, band, bucket)
+    frame — the second half of :func:`lsh_candidate_pairs`, split out so
+    an INCREMENTAL ingest can feed it a pruned band frame (persisted
+    index rows for touched buckets ∪ the new batch's bands) instead of
+    re-banding the whole corpus (scripts/x140_trial.py's end-to-end
+    path). Skew/memory cap and dedup semantics identical to the full
+    path by construction."""
     members = (
         bands.groupBy("band", "bucket")
         .agg(
@@ -413,7 +423,13 @@ def x2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _neardup_pairs_from_signatures(sig: DataFrame) -> DataFrame:
     """Banded-LSH pairs + signature-estimated Jaccard >= 0.5 from a
     (doc_id, sig) frame — shared by the portable and fast paths."""
-    pairs = lsh_candidate_pairs(sig, "doc_id")
+    return _jaccard_filtered(lsh_candidate_pairs(sig, "doc_id"))
+
+
+def _jaccard_filtered(pairs: DataFrame) -> DataFrame:
+    """Signature-estimated Jaccard >= 0.5 over a candidate-pair frame
+    carrying sig_a/sig_b — shared by the full path and the incremental
+    probe (scripts/x140_trial.py)."""
     # Verify candidates with estimated Jaccard from the signatures that
     # rode through the bucket join (no re-join, no re-shuffle of text).
     est = pairs.select(

@@ -45,7 +45,11 @@ sys.path.insert(0, _HERE)
 from pyspark.sql import functions as F  # noqa: E402
 
 from ask_duckdb_spark.operators.dedup import (  # noqa: E402
+    _banded,
+    _jaccard_filtered,
     _min_label_components,
+    _pairs_from_bands,
+    minhash_signatures,
     x2_minhash_neardup,
 )
 from ask_duckdb_spark.session import get_spark  # noqa: E402
@@ -165,6 +169,120 @@ def main() -> int:
           f"(all {[f'{w:.2f}' for w, _ in walls_i]})")
     print(f"speedup: {wf / wi:.2f}x at factor {args.factor} "
           f"({n_pairs:,} edges, {n_manifest:,} manifest rows)")
+
+    # --- end-to-end ingest comparison --------------------------------
+    # The kernel-only walls above isolate CLUSTERING, where the corpus-
+    # derived edge volume is tiny and both paths sit on the job floor.
+    # A production ingest's dominant cost is PAIR GENERATION — the
+    # text shingling + N_HASHES minhash passes over every document —
+    # and that is exactly what the incremental posture avoids re-doing
+    # for old docs. Owned state for this path (persisted above/below,
+    # not timed): the manifest, plus the banded signature index
+    # (doc_id, sig, band, bucket) every LSH ingest pipeline keeps.
+    #
+    # full ingest        = re-hash ALL docs -> band -> pair -> jaccard
+    #                      -> kernel over all edges   (the x2 posture)
+    # incremental ingest = hash the BATCH only -> band -> probe the
+    #                      persisted index (touched buckets only) ->
+    #                      pairs involving >=1 new doc -> jaccard ->
+    #                      kernel over manifest stars + new edges
+    #
+    # Cap caveat (documented, asserted below): a bucket that crosses
+    # MAX_BUCKET only when the batch lands is dropped wholesale by the
+    # full path (losing its old-old pairs) but the incremental manifest
+    # retains that old connectivity — identity holds whenever the cap
+    # does not newly bind, which the identity gate checks end to end.
+    bands_pq = os.path.join(state, "bands.parquet")
+    docs_pq = os.path.join(args.workdir, "documents.parquet")
+    cut_val = (
+        spark.read.parquet(docs_pq)
+        .agg(F.expr("CAST((max(doc_id) * 4) DIV 5 AS BIGINT)"))
+        .collect()[0][0]
+    )
+
+    t0 = time.time()
+    old_docs = spark.read.parquet(docs_pq).filter(F.col("doc_id") < cut_val)
+    _banded(
+        minhash_signatures(old_docs, "doc_id", "text"), "doc_id"
+    ).write.mode("overwrite").parquet(bands_pq)
+    print(f"banded index build + persist: {time.time() - t0:.1f}s "
+          f"[owned state, not timed]")
+
+    def run_full_e2e() -> tuple[float, int]:
+        spark.catalog.clearCache()
+        t0 = time.time()
+        edges = x2_minhash_neardup(spark, args.workdir).select("id_a", "id_b")
+        out = _min_label_components(edges, who="x140-trial full-e2e")
+        n = out.count()
+        out.unpersist()
+        return time.time() - t0, n
+
+    def _incremental_labels():
+        docs = spark.read.parquet(docs_pq)
+        batch = docs.filter(F.col("doc_id") >= cut_val)
+        sig_new = minhash_signatures(batch, "doc_id", "text")
+        bands_new = _banded(sig_new, "doc_id").persist()
+        touched = bands_new.select("band", "bucket").dropDuplicates()
+        bands_old_touched = spark.read.parquet(bands_pq).join(
+            touched, ["band", "bucket"], "left_semi"
+        )
+        cand = _pairs_from_bands(
+            bands_old_touched.unionByName(bands_new), "doc_id"
+        ).filter(
+            (F.col("id_a") >= cut_val) | (F.col("id_b") >= cut_val)
+        )
+        new_edges = _jaccard_filtered(cand).select("id_a", "id_b")
+        star = (
+            spark.read.parquet(manifest_pq)
+            .filter(F.col("v") != F.col("label"))
+            .select(F.col("v").alias("id_a"), F.col("label").alias("id_b"))
+        )
+        out = _min_label_components(
+            new_edges.unionAll(star), who="x140-trial inc-e2e"
+        )
+        return out, bands_new
+
+    def run_inc_e2e() -> tuple[float, int]:
+        spark.catalog.clearCache()
+        t0 = time.time()
+        out, bands_new = _incremental_labels()
+        n = out.count()
+        out.unpersist()
+        bands_new.unpersist()
+        return time.time() - t0, n
+
+    # end-to-end row-identity gate (also warms both paths)
+    full_lab = _min_label_components(
+        x2_minhash_neardup(spark, args.workdir).select("id_a", "id_b"),
+        who="x140-trial identity-full-e2e",
+    )
+    inc_lab, _bn = _incremental_labels()
+    n_diff = (
+        full_lab.withColumnRenamed("label", "fl")
+        .join(inc_lab.withColumnRenamed("label", "il"), "v", "full")
+        .filter(
+            F.col("fl").isNull()
+            | F.col("il").isNull()
+            | (F.col("fl") != F.col("il"))
+        )
+        .count()
+    )
+    full_lab.unpersist()
+    inc_lab.unpersist()
+    _bn.unpersist()
+    assert n_diff == 0, f"e2e row identity FAILED: {n_diff} divergent vertices"
+    print("e2e row identity: OK (full ingest == incremental ingest)")
+
+    walls_fe = [run_full_e2e() for _ in range(args.runs)]
+    walls_ie = [run_inc_e2e() for _ in range(args.runs)]
+    wfe = min(w for w, _ in walls_fe)
+    wie = min(w for w, _ in walls_ie)
+    print(f"full ingest e2e:        min-of-{args.runs} {wfe:.2f}s "
+          f"(all {[f'{w:.2f}' for w, _ in walls_fe]})")
+    print(f"incremental ingest e2e: min-of-{args.runs} {wie:.2f}s "
+          f"(all {[f'{w:.2f}' for w, _ in walls_ie]})")
+    print(f"e2e speedup: {wfe / wie:.2f}x at factor {args.factor} "
+          f"(batch = top 20% of doc_ids)")
 
     if not args.keep:
         shutil.rmtree(state, ignore_errors=True)
