@@ -2176,6 +2176,18 @@ def x140_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     state), new edges are batch-sized, and the propagation diameter
     collapses to ~2 because every old component is already a star.
     The batch cadence never re-shuffles the established corpus.
+
+    Measured boundary (SCALE.md r9, scripts/x140_trial.py): on SPARSE
+    dup graphs (edges < vertices — this corpus at every factor tried)
+    the KERNEL-only win does not materialize, because the star set is
+    one row per clustered doc and so exceeds the raw edge list it
+    replaces; both paths sit on the job floor (0.62-0.87x). The
+    premise's real form is END-TO-END: hashing + pairing only the
+    batch against the persisted banded index (the `_pairs_from_bands`
+    probe) measured 16.6x over full re-ingest at 500k docs with a
+    fixed 5,000-doc batch (141.13 s -> 8.48 s, row-identical), and the
+    gap widens with corpus size — the win is never re-shingling or
+    re-pairing the old corpus, not the propagation itself.
     """
     d = load_table(spark, sf_dir, "documents")
     cut = d.agg(
