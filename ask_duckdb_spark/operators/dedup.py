@@ -2226,3 +2226,80 @@ def x140_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("doc_id"), F.col("label").alias("cluster")
     ).orderBy("doc_id")
     return unpersist_with(out, pairs)
+
+
+def banded_signature_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, sig, band, bucket) rows — the persisted LSH index an
+    incremental near-dup pipeline owns (write once per corpus, append
+    per batch). One row per (doc, band); the signature rides along so
+    probe-time pairing never re-hashes text. At 100 TB, store this
+    bucketed by (band, bucket) so an ingest probe is a co-located
+    join, not a full index scan."""
+    return _banded(minhash_signatures(docs, id_col, text_col), id_col)
+
+
+def incremental_components_update(
+    docs_batch: DataFrame,
+    banded_index: DataFrame,
+    manifest: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cluster labels after ingesting ``docs_batch`` against persisted
+    state — the END-TO-END incremental form of x140, measured 16.6x
+    over full re-ingest at 500k docs (SCALE.md r9; the registry's x140
+    rebuilds state in-op only because registry entries own none).
+
+    Cost is O(batch): only the batch is shingled/hashed; the persisted
+    ``banded_index`` (see :func:`banded_signature_index`, covering the
+    OLD docs) is semi-joined down to buckets the batch touches before
+    any pair exists; pairing/Jaccard run the exact production
+    `_pairs_from_bands`/`_jaccard_filtered` path; the kernel sees only
+    manifest star edges ∪ batch-touching new edges. Returns (v, label)
+    — row-identical to a full recompute over old ∪ batch (trial-gated
+    at 10x/30x/100x), EXCEPT when a bucket crosses MAX_BUCKET only
+    once the batch lands: the full path then drops that bucket's
+    old-old pairs wholesale while the manifest retains their
+    connectivity — the incremental answer is the more faithful one.
+
+    ``manifest`` is (v, label) over the old pair graph (x29/x140
+    form). The batch-id flag joins broadcast a batch-sized frame —
+    the small side by construction at any ingest cadence.
+    """
+    sig_new = minhash_signatures(docs_batch, id_col, text_col)
+    # Two consumers (the touched-bucket probe and the pair union) —
+    # persist so the batch is hashed once; released with the result
+    # (x2's lifecycle pattern, ADVICE r5).
+    bands_new = _banded(sig_new, id_col).persist()
+    touched = bands_new.select("band", "bucket").dropDuplicates()
+    old_touched = banded_index.join(touched, ["band", "bucket"], "left_semi")
+    cand = _pairs_from_bands(old_touched.unionByName(bands_new), id_col)
+    # Keep only pairs with >= 1 batch member: old-old pairs surfacing
+    # in touched buckets are connectivity the manifest already owns.
+    bset = docs_batch.select(F.col(id_col).alias("_mid"), F.lit(True).alias("_in"))
+    cand = (
+        cand.join(
+            F.broadcast(bset.withColumnRenamed("_mid", "id_a")), "id_a", "left"
+        )
+        .withColumnRenamed("_in", "_ina")
+        .join(
+            F.broadcast(bset.withColumnRenamed("_mid", "id_b")), "id_b", "left"
+        )
+        .withColumnRenamed("_in", "_inb")
+        .filter(F.col("_ina").isNotNull() | F.col("_inb").isNotNull())
+        .drop("_ina", "_inb")
+    )
+    new_edges = _jaccard_filtered(cand).select("id_a", "id_b")
+    star = manifest.filter(F.col("v") != F.col("label")).select(
+        F.col("v").alias("id_a"), F.col("label").alias("id_b")
+    )
+    try:
+        out = _min_label_components(
+            new_edges.unionAll(star), who="incremental_components_update"
+        )
+    except Exception:
+        bands_new.unpersist()
+        raise
+    return unpersist_with(out, bands_new)

@@ -45,11 +45,9 @@ sys.path.insert(0, _HERE)
 from pyspark.sql import functions as F  # noqa: E402
 
 from ask_duckdb_spark.operators.dedup import (  # noqa: E402
-    _banded,
-    _jaccard_filtered,
     _min_label_components,
-    _pairs_from_bands,
-    minhash_signatures,
+    banded_signature_index,
+    incremental_components_update,
     x2_minhash_neardup,
 )
 from ask_duckdb_spark.session import get_spark  # noqa: E402
@@ -220,9 +218,9 @@ def main() -> int:
 
     t0 = time.time()
     old_docs = spark.read.parquet(docs_pq).filter(F.col("doc_id") < cut_val)
-    _banded(
-        minhash_signatures(old_docs, "doc_id", "text"), "doc_id"
-    ).write.mode("overwrite").parquet(bands_pq)
+    banded_signature_index(old_docs).write.mode("overwrite").parquet(
+        bands_pq
+    )
     print(f"banded index build + persist: {time.time() - t0:.1f}s "
           f"[owned state, not timed]")
 
@@ -236,37 +234,23 @@ def main() -> int:
         return time.time() - t0, n
 
     def _incremental_labels():
-        docs = spark.read.parquet(docs_pq)
-        batch = docs.filter(F.col("doc_id") >= cut_val)
-        sig_new = minhash_signatures(batch, "doc_id", "text")
-        bands_new = _banded(sig_new, "doc_id").persist()
-        touched = bands_new.select("band", "bucket").dropDuplicates()
-        bands_old_touched = spark.read.parquet(bands_pq).join(
-            touched, ["band", "bucket"], "left_semi"
+        # The PRODUCT path (operators/dedup.py), not trial-local logic:
+        # the walls below time what a user of the library would run.
+        batch = spark.read.parquet(docs_pq).filter(
+            F.col("doc_id") >= cut_val
         )
-        cand = _pairs_from_bands(
-            bands_old_touched.unionByName(bands_new), "doc_id"
-        ).filter(
-            (F.col("id_a") >= cut_val) | (F.col("id_b") >= cut_val)
+        return incremental_components_update(
+            batch,
+            spark.read.parquet(bands_pq),
+            spark.read.parquet(manifest_pq),
         )
-        new_edges = _jaccard_filtered(cand).select("id_a", "id_b")
-        star = (
-            spark.read.parquet(manifest_pq)
-            .filter(F.col("v") != F.col("label"))
-            .select(F.col("v").alias("id_a"), F.col("label").alias("id_b"))
-        )
-        out = _min_label_components(
-            new_edges.unionAll(star), who="x140-trial inc-e2e"
-        )
-        return out, bands_new
 
     def run_inc_e2e() -> tuple[float, int]:
         spark.catalog.clearCache()
         t0 = time.time()
-        out, bands_new = _incremental_labels()
+        out = _incremental_labels()
         n = out.count()
         out.unpersist()
-        bands_new.unpersist()
         return time.time() - t0, n
 
     # end-to-end row-identity gate (also warms both paths)
@@ -274,7 +258,7 @@ def main() -> int:
         x2_minhash_neardup(spark, args.workdir).select("id_a", "id_b"),
         who="x140-trial identity-full-e2e",
     )
-    inc_lab, _bn = _incremental_labels()
+    inc_lab = _incremental_labels()
     n_diff = (
         full_lab.withColumnRenamed("label", "fl")
         .join(inc_lab.withColumnRenamed("label", "il"), "v", "full")
@@ -287,7 +271,6 @@ def main() -> int:
     )
     full_lab.unpersist()
     inc_lab.unpersist()
-    _bn.unpersist()
     assert n_diff == 0, f"e2e row identity FAILED: {n_diff} divergent vertices"
     print("e2e row identity: OK (full ingest == incremental ingest)")
 

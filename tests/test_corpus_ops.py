@@ -258,3 +258,48 @@ def test_x140_incremental_equals_full_recompute(spark):
         any(v >= cut for v in vs) and any(v < cut for v in vs)
         for vs in comp.values()
     ), "no component mixes manifest and batch docs — merge path unexercised"
+
+
+def test_incremental_components_update_library_path(spark):
+    """The library form of the incremental ingest (the 16.6x path
+    SCALE.md r9 measures): banded_signature_index over the OLD docs +
+    manifest over the OLD pair graph, then incremental_components_update
+    with the 20% batch must reproduce x29's full-recompute labels
+    exactly. Unlike x140's registry form (which rebuilds state in-op),
+    this drives the user-facing API the trial script times."""
+    from pyspark.sql import functions as F
+
+    from ask_duckdb_spark.operators import QUERIES
+    from ask_duckdb_spark.operators.dedup import (
+        _min_label_components,
+        banded_signature_index,
+        incremental_components_update,
+        x2_minhash_neardup,
+    )
+    from tests.conftest import SF_DIR_001
+
+    d = spark.read.parquet(f"{SF_DIR_001}/documents.parquet")
+    cut = d.agg(
+        F.expr("CAST((max(doc_id)*4) DIV 5 AS BIGINT)").alias("c")
+    ).first().c
+    old_docs = d.filter(F.col("doc_id") < cut)
+    batch = d.filter(F.col("doc_id") >= cut)
+
+    index = banded_signature_index(old_docs)
+    old_pairs = (
+        x2_minhash_neardup(spark, SF_DIR_001)
+        .select("id_a", "id_b")
+        .filter((F.col("id_a") < cut) & (F.col("id_b") < cut))
+    )
+    manifest = _min_label_components(old_pairs, who="test manifest")
+
+    upd = incremental_components_update(batch, index, manifest)
+    got = sorted((r.v, r.label) for r in upd.collect())
+    manifest.unpersist()
+    upd.unpersist()
+
+    want = sorted(
+        (r.doc_id, r.cluster)
+        for r in QUERIES["x29_dedup_clusters"](spark, SF_DIR_001).collect()
+    )
+    assert got == want
