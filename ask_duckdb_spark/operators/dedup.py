@@ -2265,8 +2265,10 @@ def incremental_components_update(
     connectivity — the incremental answer is the more faithful one.
 
     ``manifest`` is (v, label) over the old pair graph (x29/x140
-    form). The batch-id flag joins broadcast a batch-sized frame —
-    the small side by construction at any ingest cadence.
+    form). The batch-id flag joins carry a batch-sized (id, true)
+    frame; no broadcast hint is forced — AQE broadcasts it at any
+    sane ingest cadence and degrades to a shuffled hash join rather
+    than a driver OOM if a caller hands in a monster batch.
     """
     sig_new = minhash_signatures(docs_batch, id_col, text_col)
     # Two consumers (the touched-bucket probe and the pair union) —
@@ -2280,13 +2282,9 @@ def incremental_components_update(
     # in touched buckets are connectivity the manifest already owns.
     bset = docs_batch.select(F.col(id_col).alias("_mid"), F.lit(True).alias("_in"))
     cand = (
-        cand.join(
-            F.broadcast(bset.withColumnRenamed("_mid", "id_a")), "id_a", "left"
-        )
+        cand.join(bset.withColumnRenamed("_mid", "id_a"), "id_a", "left")
         .withColumnRenamed("_in", "_ina")
-        .join(
-            F.broadcast(bset.withColumnRenamed("_mid", "id_b")), "id_b", "left"
-        )
+        .join(bset.withColumnRenamed("_mid", "id_b"), "id_b", "left")
         .withColumnRenamed("_in", "_inb")
         .filter(F.col("_ina").isNotNull() | F.col("_inb").isNotNull())
         .drop("_ina", "_inb")
