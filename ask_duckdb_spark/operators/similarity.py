@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import cosine_similarity, dot, l2_norm
 from ..sources.catalog import load_table
 from ._util import floor_round, floor_round_sql, unpersist_with
 from .registry import query
@@ -698,9 +698,29 @@ def _banded_candidate_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    return ids.join(ea, "id_a").join(eb, "id_b").select("id_a", "id_b", "ea", "eb")
+    # Norms are per-VECTOR quantities: fold them ONCE here (n narrow
+    # rows) instead of per candidate pair. Downstream cosines become
+    # dot(ea, eb) / (na * nb) — one array fold per pair instead of
+    # three, and the double each norm yields is bit-identical to the
+    # pair-side fold it replaces (same expression per value), so the
+    # shared DuckDB oracles and the recall gates are untouched. At 10x
+    # fixture volume the scoring stage folds 50M pairs; this removes
+    # ~2/3 of that work.
+    ea = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        l2_norm(F.col("embedding")).alias("na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        l2_norm(F.col("embedding")).alias("nb"),
+    )
+    return (
+        ids.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", "ea", "eb", "na", "nb")
+    )
 
 
 def _capped_pairs_sql(keep_self: bool, cte: str = "bk") -> str:
@@ -757,7 +777,10 @@ def x7b_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return (
         _banded_candidate_pairs(emb)
-        .filter(cosine_similarity(F.col("ea"), F.col("eb")) > NEARDUP_T)
+        .filter(
+            (dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")))
+            > NEARDUP_T
+        )
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     )
@@ -934,7 +957,9 @@ def x44_knn_graph(
     ).select(
         F.col("id_a").alias("src"),
         F.col("id_b").alias("dst"),
-        cosine_similarity(F.col("ea"), F.col("eb")).alias("sim"),
+        (dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias(
+            "sim"
+        ),
     )
     w = W.partitionBy("src").orderBy(F.col("sim").desc(), "dst")
     return (
