@@ -599,20 +599,28 @@ def x7_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             stacklevel=2,
         )
     emb = full.filter(F.col("vec_id") < X7_CAP)
+    # Per-vector norms hoisted to the join inputs (one fold per row,
+    # not three per pair) — bit-identical values, same discipline as
+    # _banded_candidate_pairs.
     a = emb.select(
         F.col("vec_id").alias("id_a"),
         F.col("label").alias("lbl"),
         F.col("embedding").alias("ea"),
+        l2_norm(F.col("embedding")).alias("na"),
     )
     b = emb.select(
         F.col("vec_id").alias("id_b"),
         F.col("label").alias("lbl"),
         F.col("embedding").alias("eb"),
+        l2_norm(F.col("embedding")).alias("nb"),
     )
     return (
         a.join(b, "lbl")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine_similarity(F.col("ea"), F.col("eb")) > NEARDUP_T)
+        .filter(
+            (dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")))
+            > NEARDUP_T
+        )
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     )
@@ -1101,17 +1109,27 @@ def x62_semdedup(
     # different branches (and would rebuild the codebook up to 3x).
     cents = _ivf_centroids(emb, n_cells).persist()
     assigned = _assign_cells(emb, cents)
+    # Per-vector norms hoisted to the self-join inputs: the within-cell
+    # pair scan is this operator's measured wall (SCALE.md 100x), and
+    # one fold per row replaces three per pair — bit-identical values.
     a = assigned.select(
-        "cell", F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+        "cell",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        l2_norm(F.col("embedding")).alias("na"),
     )
     b = assigned.select(
-        "cell", F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+        "cell",
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        l2_norm(F.col("embedding")).alias("nb"),
     )
     dropped = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
-            cosine_similarity(F.col("ea"), F.col("eb")) >= F.lit(NEARDUP_T)
+            (dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")))
+            >= F.lit(NEARDUP_T)
         )
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
@@ -1267,19 +1285,23 @@ def x63_semdedup_hier(
     """
     emb = load_table(spark, sf_dir, "embeddings")
     assigned = _hier_assign(emb, n_coarse, n_fine)
+    # Same norm hoist as the flat-IVF form above — bit-identical.
     a = assigned.select(
         "ccell", "fcell", F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("ea"),
+        l2_norm(F.col("embedding")).alias("na"),
     )
     b = assigned.select(
         "ccell", "fcell", F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("eb"),
+        l2_norm(F.col("embedding")).alias("nb"),
     )
     dropped = (
         a.join(b, ["ccell", "fcell"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
-            cosine_similarity(F.col("ea"), F.col("eb")) >= F.lit(NEARDUP_T)
+            (dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")))
+            >= F.lit(NEARDUP_T)
         )
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
