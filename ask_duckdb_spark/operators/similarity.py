@@ -365,8 +365,20 @@ def _assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
     x62 (SemDeDup) — at 100 TB this is the write-time partitioning
     step (cell = partition column).
     """
-    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
-        "csim", cosine_similarity(F.col("embedding"), F.col("cv"))
+    # Norm hoist: the scan folds n x k cosines; the row norm is
+    # per-VECTOR (fold once, not once per centroid) and the centroid
+    # norm is per-CENTROID (fold k times total, inside the broadcast
+    # frame). dot/(vn*cn) yields the bit-identical double.
+    scored = (
+        emb.withColumn("_vn", l2_norm(F.col("embedding")))
+        .crossJoin(
+            F.broadcast(cents.withColumn("_cn", l2_norm(F.col("cv"))))
+        )
+        .withColumn(
+            "csim",
+            dot(F.col("embedding"), F.col("cv"))
+            / (F.col("_vn") * F.col("_cn")),
+        )
     )
     assign_rank = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cell")
     return (
@@ -1175,16 +1187,27 @@ def _hier_assign(
         n_coarse = N_COARSE
     if n_fine is None:
         n_fine = N_FINE
+    # Norm hoist on both assignment scans (n x N_COARSE + n x N_FINE
+    # cosines): row norm folds once per row (_vn, carried from level 1
+    # to level 2), seed norms fold once per seed inside the broadcast
+    # frames — bit-identical doubles.
     seeds_c = emb.filter(F.col("vec_id") < n_coarse).select(
-        F.col("vec_id").alias("ccell"), F.col("embedding").alias("cv")
+        F.col("vec_id").alias("ccell"),
+        F.col("embedding").alias("cv"),
+        l2_norm(F.col("embedding")).alias("_cn"),
     )
     rank1 = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), "ccell")
     a1 = (
-        emb.crossJoin(F.broadcast(seeds_c))
-        .withColumn("csim", cosine_similarity(F.col("embedding"), F.col("cv")))
+        emb.withColumn("_vn", l2_norm(F.col("embedding")))
+        .crossJoin(F.broadcast(seeds_c))
+        .withColumn(
+            "csim",
+            dot(F.col("embedding"), F.col("cv"))
+            / (F.col("_vn") * F.col("_cn")),
+        )
         .withColumn("rn", F.row_number().over(rank1))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "ccell")
+        .select("vec_id", "embedding", "ccell", "_vn")
     )
     fine_rank = W.partitionBy("ccell").orderBy("vec_id")
     seeds_f = (
@@ -1194,12 +1217,17 @@ def _hier_assign(
             "ccell",
             F.col("vec_id").alias("fcell"),
             F.col("embedding").alias("fv"),
+            F.col("_vn").alias("_fn"),
         )
     )
     rank2 = W.partitionBy("vec_id").orderBy(F.col("fsim").desc(), "fcell")
     return (
         a1.join(F.broadcast(seeds_f), "ccell")
-        .withColumn("fsim", cosine_similarity(F.col("embedding"), F.col("fv")))
+        .withColumn(
+            "fsim",
+            dot(F.col("embedding"), F.col("fv"))
+            / (F.col("_vn") * F.col("_fn")),
+        )
         .withColumn("rn", F.row_number().over(rank2))
         .filter(F.col("rn") == 1)
         .select("vec_id", "embedding", "ccell", "fcell")
