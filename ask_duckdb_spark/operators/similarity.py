@@ -46,12 +46,23 @@ N_PLANES = BAND_BITS * N_BANDS
 def x5_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 neighbors of vec_id=0."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    # Query-norm hoist: the scan folds one cosine per corpus row; the
+    # query vector's norm is a constant, so fold it once inside the
+    # broadcast frame (2 array folds per row instead of 3) —
+    # bit-identical double.
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"),
+        l2_norm(F.col("embedding")).alias("_qn"),
+    )
     scored = (
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qv))
         .select(
-            "vec_id", cosine_similarity(F.col("embedding"), F.col("qv")).alias("sim")
+            "vec_id",
+            (
+                dot(F.col("embedding"), F.col("qv"))
+                / (l2_norm(F.col("embedding")) * F.col("_qn"))
+            ).alias("sim"),
         )
     )
     return (
@@ -313,12 +324,20 @@ def _ivf_centroids(emb: DataFrame, n_cells: int = None) -> DataFrame:
     """
     if n_cells is None:
         n_cells = N_CELLS
+    # Norm hoist (same as _assign_cells): this is an n x k scan.
     seeds = emb.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell"), F.col("embedding").alias("cv")
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").alias("cv"),
+        l2_norm(F.col("embedding")).alias("_sn"),
     )
     assigned = (
-        emb.crossJoin(F.broadcast(seeds))
-        .withColumn("sim", cosine_similarity(F.col("embedding"), F.col("cv")))
+        emb.withColumn("_vn", l2_norm(F.col("embedding")))
+        .crossJoin(F.broadcast(seeds))
+        .withColumn(
+            "sim",
+            dot(F.col("embedding"), F.col("cv"))
+            / (F.col("_vn") * F.col("_sn")),
+        )
         .withColumn(
             "rn",
             F.row_number().over(
@@ -521,16 +540,25 @@ def x25_batch_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The double-precision fold matches the oracle bit-for-bit (see x7).
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    # Norm hoist (x5's discipline, batched): query norms fold once per
+    # query in the broadcast frame, the row norm once per row instead
+    # of once per (row, query) — bit-identical doubles.
     q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        l2_norm(F.col("embedding")).alias("_qn"),
     )
     scored = (
         emb.filter(F.col("vec_id") >= 5)
+        .withColumn("_vn", l2_norm(F.col("embedding")))
         .crossJoin(F.broadcast(q))
         .select(
             "qid",
             "vec_id",
-            cosine_similarity(F.col("embedding"), F.col("qv")).alias("sim"),
+            (
+                dot(F.col("embedding"), F.col("qv"))
+                / (F.col("_vn") * F.col("_qn"))
+            ).alias("sim"),
         )
     )
     w = W.partitionBy("qid").orderBy(F.col("sim").desc(), "vec_id")
