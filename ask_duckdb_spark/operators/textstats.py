@@ -2770,17 +2770,23 @@ def x89_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("tr"),
     )
     emb = load_table(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qv")
-    )
-    from ..functions.vectors import cosine_similarity
+    from ..functions.vectors import dot, l2_norm
 
+    # Query-norm hoist (x5's discipline): fold the constant query norm
+    # once in the broadcast frame — bit-identical double.
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"),
+        l2_norm(F.col("embedding")).alias("_qn"),
+    )
     vrank = (
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qv))
         .select(
             F.col("vec_id").alias("doc_id"),
-            cosine_similarity(F.col("embedding"), F.col("qv")).alias("sim"),
+            (
+                dot(F.col("embedding"), F.col("qv"))
+                / (l2_norm(F.col("embedding")) * F.col("_qn"))
+            ).alias("sim"),
         )
         .select(
             "doc_id",
