@@ -28,81 +28,80 @@ from . import hygiene  # noqa: F401,E402
 # relational core; r3 the NL pipeline + X families; r4 the dialect
 # surface; r5-r6 the scale extensions; r7 the r6 red trio (fixed) +
 # the layout/retrieval families; r8 closed 50/50 full-pass (the
-# x133-x137 hygiene/census block + the r02-stale relational core).
+# x133-x137 hygiene/census block + the r02-stale relational core);
+# r9 closed 50/50 again (x138-x140/x117b + the x44-restructure
+# consumers + the r02/r03 relational+NL tail).
 #
-# ROUND-9 WINDOW (active), per VERDICT r8 items 1/7: lead with the
-# only entries that have zero driver evidence — the r8 post-sweep
-# additions x138/x139/x140 (local bit-exact diffcheck in
-# DIFFCHECK_r08.md; r6 taught local green != driver green) and the
-# r9-registered x117b plain-semi twin — then every operator whose
-# PHYSICAL PLAN changed this round: the x44 banded-candidate
-# restructure (narrow id-only shuffles + KNN_MAX_BUCKET skew cap,
-# VERDICT r8 item 3) feeds x44/x7b/x69/x137/x137b, all of whose
-# oracles were regenerated from the shared _capped_pairs_sql fragment
-# — outputs are diffcheck-identical but the driver hash is the hard
-# signal. Then q1 (flagship canary), the seven r02-only relational
-# rows (p1-p6, p8 — the oldest evidence anywhere), the nl1-nl5
-# pipeline (item 7: the reference's primary entry point, r03-stale),
-# and the front of the r03 tail (f5, j9, the q-suite, x1-x23). Still
-# r03/r04-stale after this window: x25-x36, the d/f/g dialect blocks
-# — keep walking in r10.
+# ROUND-10 WINDOW (active), per VERDICT r9 item 1: with every entry
+# now driver-checked at least once and zero red rows, the whole
+# window walks the stalest CORRECTNESS tail. Lead with the x2
+# near-dup flagship (bench-timed every round, last driver hash r05),
+# then the ten r03-only scale-extension rows (x25-x36 - the oldest
+# evidence anywhere), then the r04 dialect surface the judge traced
+# to CORRECTNESS_r04.json - subqueries sq1-sq7, date ops d1-d6, the
+# f12-f27 function extras, g11/g13-g15 aggregates, o5, and the
+# q7/q8/q9 TPC-H tail - then the r05 specialty joins j8/j10/j11,
+# windows w6/w8, and the x4 simhash bench headline. Still stale
+# after this window: q11-q22 (r04), the x24+/x37+ mid-tail
+# (r05-r07) - keep walking in r11.
 _VERIFY_FIRST = [
-    # zero driver evidence (VERDICT r8 item 1) + the r9 registration
-    "x138_padding_waste",
-    "x139_dedup_savings",
-    "x140_incremental_components",
-    "x117b_plain_semijoin",
-    # plan changed r9 (x44 candidate restructure + bucket cap)
-    "x44_knn_graph",
-    "x7b_embedding_neardup_lsh",
-    "x69_knn_pagerank",
-    "x137_knn_clustering_coeff",
-    "x137b_triangle_census_graph",
-    "q1_pricing_summary",  # flagship, regression canary
-    # oldest driver evidence (r02): the trivial predicate forms
-    "p1_projection",
-    "p2_select_star",
-    "p3_filter_eq",
-    "p4_like",
-    "p5_ilike",
-    "p6_null_checks",
-    "p8_in_list",
-    # NL pipeline (VERDICT r8 item 7; r03-stale)
-    "nl1_fence_extraction",
-    "nl2_fuzzy_identifier_repair",
-    "nl3_alias_substitution",
-    "nl4_literal_canonicalization",
-    "nl5_full_ask_lifecycle",
-    # r03-stale tail: remaining JSON op, as-of join, the q-suite
-    "f5_json_array_membership",
-    "j9_asof_last_purchase",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q18_large_orders",
-    # r03-stale tail: the x1-x23 corpus core
-    "x1_dedup_exact",
-    "x1b_dedup_hash_key",
-    "x3_ngram_jaccard_pairs",
-    "x5_cosine_topk",
-    "x7_embedding_neardup",
-    "x8_token_stats",
-    "x9_top_terms",
-    "x11_lang_id",
-    "x12_fingerprint",
-    "x13_sessionize",
-    "x14_session_window",
-    "x15_tumbling_window",
-    "x16_sliding_window",
-    "x17_session_stats",
-    "x18_props_schema_on_read",
-    "x19_binary_metadata",
-    "x20_decode_features",
-    "x21_token_count_bpe",
-    "x23_hash_sample",
+    # flagship near-dup, judge-named first (VERDICT r9 item 1)
+    "x2_minhash_neardup",
+    # r03-only driver evidence: the oldest rows anywhere
+    "x25_batch_ann_topk",
+    "x26_salted_user_totals",
+    "x28_user_value_trend",
+    "x30_pack_shards",
+    "x31_clean_corpus",
+    "x32_rebalance_sample",
+    "x33_decontamination",
+    "x34_train_val_test_split",
+    "x35_dedup_normalized",
+    "x36_frame_sample",
+    # r04 dialect surface: subqueries
+    "sq1_scalar_subquery",
+    "sq2_in_subquery",
+    "sq3_correlated_exists",
+    "sq4_cte",
+    "sq5_lateral_join",
+    "sq6_values_inline",
+    "sq7_recursive_cte",
+    # r04: date/time ops
+    "d1_date_trunc",
+    "d2_extract_parts",
+    "d3_date_arith",
+    "d4_format_epoch",
+    "d5_month_arith",
+    "d6_generate_days",
+    # r04: function extras
+    "f12_regexp",
+    "f13_split_array",
+    "f16_nullsafe_eq",
+    "f17_pivot",
+    "f18_greatest_least",
+    "f19_json_tuple",
+    "f22_pad_reverse",
+    "f23_bitwise",
+    "f24_cast_matrix",
+    "f25_width_bucket_histogram",
+    "f26_posexplode_ordinality",
+    "f27_unpivot",
+    # r04: aggregate extras + ordering + TPC-H tail head
+    "g11_grouping_sets",
+    "g13_mode",
+    "g14_string_agg_ordered",
+    "g15_group_percentiles",
+    "o5_nulls_ordering",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_type_profit",
+    # r05: specialty joins + window tail + simhash headline
+    "j8_event_range_join",
+    "j10_salted_skew_join",
+    "j11_fuzzy_name_join",
+    "w6_first_last_nth",
+    "w8_forward_fill",
+    "x4_simhash",
 ]
 
 

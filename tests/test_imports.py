@@ -22,53 +22,48 @@ def test_driver_contract_wired():
 
 def test_verification_window_priority():
     """The driver's correctness harness checks the FIRST 50 registry
-    entries in iteration order. The ROUND-9 window (VERDICT r8 items
-    1/7) leads with the only zero-driver-evidence entries — the r8
-    post-sweep additions x138/x139/x140 plus the r9-registered x117b —
-    then every operator whose PHYSICAL PLAN changed in r9 (the x44
-    banded-candidate restructure feeds x44/x7b/x69/x137/x137b, all
-    oracles regenerated), the q1 canary, and the stalest driver tail:
-    the seven r02-only relational rows, nl1-nl5 (item 7), and the
-    front of the r03 block."""
+    entries in iteration order. The ROUND-10 window (VERDICT r9 item
+    1) is a pure staleness rotation: every registry entry now has
+    driver evidence and zero rows are red, so all 50 slots walk the
+    oldest CORRECTNESS tail — the x2 flagship (last driver hash r05)
+    leads by judge instruction, then the ten r03-only scale rows
+    (x25–x36), the r04 dialect surface (sq/d/f/g/o5/q7–q9), and the
+    r05 joins/windows/simhash head."""
     import json
     import os
 
     from ask_duckdb_spark.operators import ORACLES, QUERIES
 
     window = list(QUERIES)[:50]
-    never_checked = {
-        "x138_padding_waste",
-        "x139_dedup_savings",
-        "x140_incremental_components",
-        "x117b_plain_semijoin",
+    # Judge-named lead: the near-dup flagship, bench-timed every
+    # round but driver-hashed last in r05.
+    assert window[0] == "x2_minhash_neardup"
+    # The r03 block fills the next ten slots — the oldest driver
+    # evidence anywhere in the registry.
+    r03_block = {
+        "x25_batch_ann_topk",
+        "x26_salted_user_totals",
+        "x28_user_value_trend",
+        "x30_pack_shards",
+        "x31_clean_corpus",
+        "x32_rebalance_sample",
+        "x33_decontamination",
+        "x34_train_val_test_split",
+        "x35_dedup_normalized",
+        "x36_frame_sample",
     }
-    assert never_checked == set(window[:4])
-    plan_changed_r9 = {
-        "x44_knn_graph",
-        "x7b_embedding_neardup_lsh",
-        "x69_knn_pagerank",
-        "x137_knn_clustering_coeff",
-        "x137b_triangle_census_graph",
-    }
-    assert plan_changed_r9 == set(window[4:9])
-    justified_rechecks = {"q1_pricing_summary"}
-    assert justified_rechecks <= set(window)
-    # Every remaining slot must be spent on the stalest driver
-    # evidence: its latest CORRECTNESS row must be r02 or r03 (nothing
+    assert r03_block == set(window[1:11])
+    # Every slot must be spent on stale driver evidence: the latest
+    # CORRECTNESS row for each window entry must be r03–r05 (nothing
     # fresher deserves a slot while 4+-round-stale rows exist).
     latest: dict[str, int] = {}
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for r in range(1, 9):
+    for r in range(1, 10):
         p = os.path.join(root, f"CORRECTNESS_r{r:02d}.json")
         if os.path.exists(p):
             for q in json.load(open(p)):
                 latest[q] = r
-    others = [
-        n
-        for n in window
-        if n not in never_checked | plan_changed_r9 | justified_rechecks
-    ]
-    stale_violations = [n for n in others if latest.get(n) not in (2, 3)]
+    stale_violations = [n for n in window if latest.get(n) not in (3, 4, 5)]
     assert not stale_violations, stale_violations
     # Every window entry carries a full value-hash oracle this round.
     no_oracle = {n for n in window if n not in ORACLES}
