@@ -2235,8 +2235,13 @@ def banded_signature_index(
     incremental near-dup pipeline owns (write once per corpus, append
     per batch). One row per (doc, band); the signature rides along so
     probe-time pairing never re-hashes text. At 100 TB, store this
-    bucketed by (band, bucket) so an ingest probe is a co-located
-    join, not a full index scan."""
+    bucketed by (band, bucket) — sources/bucketing.write_bucketed with
+    n_buckets sized to the probe jobs' shuffle parallelism — so the
+    ingest probe's index side reads with ZERO exchange: every shuffle
+    left in the probe plan is batch-sized (proven through storage in
+    tests/test_corpus_ops.py::test_banded_index_bucketed_probe_exchange_free,
+    which also pins read-back row parity and label identity through
+    incremental_components_update)."""
     return _banded(minhash_signatures(docs, id_col, text_col), id_col)
 
 
@@ -2246,6 +2251,7 @@ def incremental_components_update(
     manifest: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    assert_new_ids: bool = False,
 ) -> DataFrame:
     """Cluster labels after ingesting ``docs_batch`` against persisted
     state — the END-TO-END incremental form of x140, measured 16.6x
@@ -2262,14 +2268,55 @@ def incremental_components_update(
     at 10x/30x/100x), EXCEPT when a bucket crosses MAX_BUCKET only
     once the batch lands: the full path then drops that bucket's
     old-old pairs wholesale while the manifest retains their
-    connectivity — the incremental answer is the more faithful one.
+    connectivity — the incremental answer is the more faithful one
+    (pinned by construction in tests/test_corpus_ops.py::
+    test_incremental_cap_boundary_divergence; the trial's identity
+    gate counts newly-binding buckets and asserts identity only when
+    none exist).
 
     ``manifest`` is (v, label) over the old pair graph (x29/x140
     form). The batch-id flag joins carry a batch-sized (id, true)
     frame; no broadcast hint is forced — AQE broadcasts it at any
     sane ingest cadence and degrades to a shuffled hash join rather
     than a driver OOM if a caller hands in a monster batch.
+
+    CONTRACT — batch ids must be NEW: every ``docs_batch`` id must be
+    absent from both ``banded_index`` and ``manifest``. A re-ingested
+    (updated) doc violates this silently: its STALE index rows keep
+    the old signature and pair against the batch's neighbors, and an
+    id present in both manifest and batch can carry conflicting
+    connectivity into the kernel — wrong labels, not an error. The
+    update cadence for changed docs is DELETE-THEN-APPEND: drop the
+    doc's rows from the index and its vertex from the manifest (which
+    may split a component — recluster its members), then ingest it as
+    new. ``assert_new_ids=True`` enforces the contract with an
+    inner-join probe of batch ids against index ids and raises
+    ``ValueError`` with samples; it costs a full index-id scan, so it
+    is opt-in for backfills/debug rather than the per-ingest default
+    (at 100 TB the id check belongs in the metadata layer that
+    assigns ingest ids, not in a corpus-wide join per batch).
     """
+    if assert_new_ids:
+        batch_ids = docs_batch.select(F.col(id_col).alias("_bid"))
+        dup_index = (
+            banded_index.select(F.col(id_col).alias("_bid"))
+            .join(batch_ids, "_bid", "left_semi")
+            .limit(5)
+            .collect()
+        )
+        dup_manifest = (
+            manifest.select(F.col("v").alias("_bid"))
+            .join(batch_ids, "_bid", "left_semi")
+            .limit(5)
+            .collect()
+        )
+        if dup_index or dup_manifest:
+            raise ValueError(
+                "incremental_components_update: batch ids must be new "
+                "(delete-then-append for updates); already in index: "
+                f"{sorted(r._bid for r in dup_index)}, in manifest: "
+                f"{sorted(r._bid for r in dup_manifest)} (first 5 each)"
+            )
     sig_new = minhash_signatures(docs_batch, id_col, text_col)
     # Two consumers (the touched-bucket probe and the pair union) —
     # persist so the batch is hashed once; released with the result

@@ -692,7 +692,9 @@ def _banded_candidate_pairs(
 
     The shared scaffolding of x7b and x44: explode ``_band_keys``,
     self-join on (band, bkey), deduplicate pairs that collide in
-    several bands. Columns: id_a, id_b, ea, eb. With
+    several bands. Columns: id_a, id_b, ea, eb, na, nb (the per-vector
+    L2 norms, hoisted here so pair scoring is dot/(na*nb) — one array
+    fold per pair instead of three). With
     ``keep_self=False`` the pair order is id_a < id_b (near-dup
     pairs); with True, both directions survive except the diagonal
     (k-NN graph, where each vector needs its own neighbor list).

@@ -29,6 +29,18 @@ def write_bucketed(
 
     Sorting within buckets by the same columns lets SortMergeJoin skip
     its sort as well — the join degenerates to a streamed merge.
+
+    Sizing rule (measured, Spark 4.1 — tests/test_corpus_ops.py
+    bucketed-probe test): a ONE-sided bucketed join (bucketed table ⋈
+    derived frame) only skips the bucketed side's exchange when
+    ``n_buckets`` equals the join parallelism
+    (``spark.sql.shuffle.partitions``); with a mismatch the planner
+    disables the bucketed scan ("Bucketed: false (disabled by query
+    planner)") and re-shuffles the stored side anyway. Two-sided
+    bucketed joins (both tables same spec, as in
+    tests/test_bucketing.py) are exchange-free regardless. At cluster
+    scale: size n_buckets to the shuffle parallelism the probing jobs
+    will run with.
     """
     (
         df.write.mode(mode)

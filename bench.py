@@ -71,7 +71,15 @@ HEADLINE_V2 = [
     # eval-set decontamination (two tokenize+hash scans + gram-keyed
     # contamination join) — so the hygiene family gets round-over-round
     # regression coverage like the r6 families above.
-    "x133_eval_decontam",
+    # r10 (VERDICT r9 item 2): time the x133b BROADCAST twin — the
+    # x117→x117b discipline applied again. x133b is the plan you run
+    # at 100 TB (eval gram set is benchmark-sized → ships once, the
+    # corpus gram stream is filtered where it is produced, zero
+    # training-gram exchange) and it is registered, driver-green (r08)
+    # and row-equality-pytest-pinned against x133. The shuffle-join
+    # form x133 stays registered as the oracle-mirroring shape; the
+    # DuckDB side of this set is unchanged (same _X133_ORACLE SQL).
+    "x133b_eval_decontam_bcast",
 ]
 
 

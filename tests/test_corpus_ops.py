@@ -274,7 +274,6 @@ def test_incremental_components_update_library_path(spark):
         _min_label_components,
         banded_signature_index,
         incremental_components_update,
-        x2_minhash_neardup,
     )
     from tests.conftest import SF_DIR_001
 
@@ -286,11 +285,19 @@ def test_incremental_components_update_library_path(spark):
     batch = d.filter(F.col("doc_id") >= cut)
 
     index = banded_signature_index(old_docs)
-    old_pairs = (
-        x2_minhash_neardup(spark, SF_DIR_001)
-        .select("id_a", "id_b")
-        .filter((F.col("id_a") < cut) & (F.col("id_b") < cut))
+    # Manifest from an OLD-DOCS-ONLY ingest (ADVICE r9): filtering
+    # full-corpus x2 pairs to old ids would inherit the full path's
+    # MAX_BUCKET decisions and could never contain the old-old
+    # connectivity the cap caveat is about — this is the state a
+    # production pipeline actually owns.
+    from ask_duckdb_spark.operators.dedup import (
+        _jaccard_filtered,
+        _pairs_from_bands,
     )
+
+    old_pairs = _jaccard_filtered(
+        _pairs_from_bands(index, "doc_id")
+    ).select("id_a", "id_b")
     manifest = _min_label_components(old_pairs, who="test manifest")
 
     upd = incremental_components_update(batch, index, manifest)
@@ -303,3 +310,234 @@ def test_incremental_components_update_library_path(spark):
         for r in QUERIES["x29_dedup_clusters"](spark, SF_DIR_001).collect()
     )
     assert got == want
+
+
+def test_incremental_cap_boundary_divergence(spark):
+    """VERDICT r9 item 5: pin the documented MAX_BUCKET boundary
+    behavior instead of leaving it prose. Construct a bucket that
+    crosses the cap only once the batch lands (MAX_BUCKET identical
+    old docs + 5 identical new ones): the full recompute drops the
+    bucket wholesale — its old-old pairs and their connectivity are
+    GONE — while the incremental path keeps the manifest's old
+    component intact and (correctly) adds no new edges. The
+    incremental answer is the more faithful one; this is the one
+    regime where the two legitimately diverge (dedup.py docstring,
+    SCALE.md r9)."""
+    from pyspark.sql import functions as F
+
+    from ask_duckdb_spark.operators.dedup import (
+        MAX_BUCKET,
+        _jaccard_filtered,
+        _min_label_components,
+        _pairs_from_bands,
+        banded_signature_index,
+        incremental_components_update,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    text = " ".join(f"tok{j}" for j in range(12))
+    n_old, n_batch = MAX_BUCKET, 5
+    old = spark.createDataFrame(
+        [(i, text) for i in range(n_old)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(n_old + i, text) for i in range(n_batch)],
+        "doc_id long, text string",
+    )
+
+    # Old-only ingest: every band bucket holds exactly MAX_BUCKET
+    # members — at the cap, kept — so the old docs form one component.
+    index = banded_signature_index(old)
+    old_edges = _jaccard_filtered(
+        _pairs_from_bands(index, "doc_id")
+    ).select("id_a", "id_b")
+    manifest = _min_label_components(old_edges, who="cap-boundary manifest")
+    man_rows = sorted((r.v, r.label) for r in manifest.collect())
+    assert len(man_rows) == n_old
+    assert {label for _, label in man_rows} == {0}
+
+    # Full recompute over old ∪ batch: the same buckets now hold
+    # MAX_BUCKET + 5 members, over the cap — dropped before any pair
+    # exists. The old connectivity is lost wholesale.
+    all_docs = old.unionByName(batch)
+    full_edges = _jaccard_filtered(
+        lsh_candidate_pairs(
+            minhash_signatures(all_docs, "doc_id", "text"), "doc_id"
+        )
+    )
+    assert full_edges.count() == 0, "cap did not bind — fixture broken"
+
+    # Incremental: the probe sees the same over-cap buckets (no new
+    # edges) but the manifest stars retain the old component exactly.
+    upd = incremental_components_update(batch, index, manifest)
+    got = sorted((r.v, r.label) for r in upd.collect())
+    manifest.unpersist()
+    upd.unpersist()
+    assert got == man_rows
+
+
+def test_incremental_update_rejects_reingested_ids(spark):
+    """The batch-ids-must-be-new contract (ADVICE r9): with
+    assert_new_ids=True, a batch id already present in the index or
+    the manifest raises instead of silently pairing stale signatures."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ask_duckdb_spark.operators.dedup import (
+        _jaccard_filtered,
+        _min_label_components,
+        _pairs_from_bands,
+        banded_signature_index,
+        incremental_components_update,
+    )
+    from tests.conftest import SF_DIR_001
+
+    d = spark.read.parquet(f"{SF_DIR_001}/documents.parquet")
+    cut = d.agg(
+        F.expr("CAST((max(doc_id)*4) DIV 5 AS BIGINT)").alias("c")
+    ).first().c
+    old_docs = d.filter(F.col("doc_id") < cut)
+    index = banded_signature_index(old_docs)
+    manifest = _min_label_components(
+        _jaccard_filtered(_pairs_from_bands(index, "doc_id")).select(
+            "id_a", "id_b"
+        ),
+        who="reingest-guard manifest",
+    )
+    # A "batch" that re-ingests existing docs violates the contract.
+    stale_batch = old_docs.limit(3)
+    with _pytest.raises(ValueError, match="must be new"):
+        incremental_components_update(
+            stale_batch, index, manifest, assert_new_ids=True
+        )
+    # A genuinely-new batch passes the guard and still reproduces the
+    # full-recompute labels (the guard must not perturb the pipeline).
+    batch = d.filter(F.col("doc_id") >= cut)
+    upd = incremental_components_update(
+        batch, index, manifest, assert_new_ids=True
+    )
+    from ask_duckdb_spark.operators import QUERIES
+
+    got = sorted((r.v, r.label) for r in upd.collect())
+    want = sorted(
+        (r.doc_id, r.cluster)
+        for r in QUERIES["x29_dedup_clusters"](spark, SF_DIR_001).collect()
+    )
+    manifest.unpersist()
+    upd.unpersist()
+    assert got == want
+
+
+def test_banded_index_bucketed_probe_exchange_free(spark):
+    """VERDICT r9 item 4: banded_signature_index's own 100 TB claim —
+    "store this bucketed by (band, bucket) so an ingest probe is a
+    co-located join, not a full index scan" — proven through STORAGE.
+    The index is written bucketed by (band, bucket) via
+    sources/bucketing.py, read back from the catalog, and the
+    touched-bucket left-semi probe (the exact shape
+    incremental_components_update plans) must shuffle ONLY the
+    batch-sized touched frame: the index side reads its buckets with
+    zero Exchange. Broadcast is pinned off so bucket co-location (not
+    a small-side broadcast) is what carries the property — at real
+    index volume the probe side is the only thing that moves."""
+    from pyspark.sql import functions as F
+
+    from ask_duckdb_spark.operators.dedup import (
+        _banded,
+        _jaccard_filtered,
+        _min_label_components,
+        _pairs_from_bands,
+        banded_signature_index,
+        incremental_components_update,
+        minhash_signatures,
+    )
+    from ask_duckdb_spark.plans.checks import formatted_plan, num_shuffles
+    from ask_duckdb_spark.sources.bucketing import (
+        bucketed_join_ready,
+        write_bucketed,
+    )
+    from tests.conftest import SF_DIR_001
+
+    d = spark.read.parquet(f"{SF_DIR_001}/documents.parquet")
+    cut = d.agg(
+        F.expr("CAST((max(doc_id)*4) DIV 5 AS BIGINT)").alias("c")
+    ).first().c
+    old_docs = d.filter(F.col("doc_id") < cut)
+    batch = d.filter(F.col("doc_id") >= cut)
+
+    index = banded_signature_index(old_docs)
+    # Sizing rule (measured, Spark 4.1): a ONE-sided bucketed join only
+    # skips the bucketed side's exchange when n_buckets matches the
+    # join parallelism — at 8 buckets vs 32 shuffle partitions the
+    # planner re-shuffled the index side anyway ("Bucketed: false
+    # (disabled by query planner)"). Size the index's bucket count to
+    # the cluster's shuffle parallelism.
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    write_bucketed(
+        index, "banded_idx_b", ["band", "bucket"], n_buckets=n_buckets
+    )
+    try:
+        assert bucketed_join_ready(spark, "banded_idx_b")
+        idx_b = spark.table("banded_idx_b")
+        bands_new = _banded(
+            minhash_signatures(batch, "doc_id", "text"), "doc_id"
+        )
+        touched = bands_new.select("band", "bucket").dropDuplicates()
+
+        keys = (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+        prev = {k: spark.conf.get(k) for k in keys}
+        for k in keys:
+            spark.conf.set(k, "-1")
+        try:
+            probe_b = idx_b.join(touched, ["band", "bucket"], "left_semi")
+            probe_f = index.join(touched, ["band", "bucket"], "left_semi")
+            nb, nf = num_shuffles(probe_b), num_shuffles(probe_f)
+            nt = num_shuffles(touched)
+            # The exact claim: the bucketed index side adds ZERO
+            # exchanges — every shuffle in the probe plan is one the
+            # batch-sized touched frame already owns (its dedup
+            # exchange doubles as the join alignment). The flat
+            # control pays index-side exchanges on top (join
+            # alignment + minhash's widen repartition).
+            assert nb == nt, (
+                f"bucketed={nb} touched-only={nt}\n" + formatted_plan(probe_b)
+            )
+            assert nf > nb, f"flat={nf} should exceed bucketed={nb}"
+            assert "Bucketed: true" in formatted_plan(probe_b)
+        finally:
+            for k, v in prev.items():
+                spark.conf.set(k, v)
+
+        # Read-back parity: the bucketed probe returns the same rows.
+        got_rows = sorted(
+            (r.doc_id, r.band, r.bucket)
+            for r in probe_b.select("doc_id", "band", "bucket").collect()
+        )
+        want_rows = sorted(
+            (r.doc_id, r.band, r.bucket)
+            for r in probe_f.select("doc_id", "band", "bucket").collect()
+        )
+        assert got_rows == want_rows and got_rows
+
+        # End-to-end through the library path: the persisted-index
+        # update reproduces the in-memory-index labels exactly.
+        manifest = _min_label_components(
+            _jaccard_filtered(_pairs_from_bands(index, "doc_id")).select(
+                "id_a", "id_b"
+            ),
+            who="bucketed-roundtrip manifest",
+        )
+        upd_b = incremental_components_update(batch, idx_b, manifest)
+        got = sorted((r.v, r.label) for r in upd_b.collect())
+        upd_b.unpersist()
+        upd_f = incremental_components_update(batch, index, manifest)
+        want = sorted((r.v, r.label) for r in upd_f.collect())
+        manifest.unpersist()
+        upd_f.unpersist()
+        assert got == want and got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS banded_idx_b")
