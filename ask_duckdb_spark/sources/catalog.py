@@ -58,6 +58,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     apply_runtime_conf(spark)
     cache: dict = spark.__dict__.setdefault("_adbs_table_cache", {})
+    # "catalog:<prefix>" resolves <prefix><name> as a CATALOG table
+    # instead of a parquet directory — the warehouse posture: lets any
+    # registry operator run unchanged against managed (e.g. bucketed)
+    # tables, which is how a 100 TB deployment actually stores facts
+    # (scripts/joinblock_bucketed.py uses this to bench the TPC-H join
+    # block on bucketed layout; write via sources/bucketing.py).
+    if sf_dir.startswith("catalog:"):
+        prefix = sf_dir[len("catalog:"):]
+        key = (sf_dir, name)
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+        df = spark.table(f"{prefix}{name}")
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts",
+                F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"),
+            )
+        cache[key] = df
+        return df
     key = (os.path.abspath(sf_dir), name)
     hit = cache.get(key)
     if hit is not None:

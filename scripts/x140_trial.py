@@ -224,20 +224,33 @@ def main() -> int:
     # caveat is about and made the gate vacuous on it. The gate then
     # counts newly-binding buckets: zero -> identity is asserted; >0 ->
     # the divergence is reported as the documented behavior.
-    bands_pq = os.path.join(state, "bands.parquet")
     manifest_e2e_pq = os.path.join(state, "manifest_e2e.parquet")
 
+    # The index is persisted BUCKETED by (band, bucket) — the 100 TB
+    # posture the banded_signature_index docstring claims (VERDICT r9
+    # item 4): the ingest probe's index side then reads back with zero
+    # exchange (plan-asserted in tests/test_corpus_ops.py). Sizing
+    # rule: n_buckets must match the probe jobs' shuffle parallelism
+    # or the planner disables the bucketed scan (bucketing.py).
+    from ask_duckdb_spark.sources.bucketing import write_bucketed
+
+    idx_table = "x140_trial_banded_idx"
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
     t0 = time.time()
     old_docs = spark.read.parquet(docs_pq).filter(F.col("doc_id") < cut_val)
-    banded_signature_index(old_docs).write.mode("overwrite").parquet(
-        bands_pq
+    write_bucketed(
+        banded_signature_index(old_docs),
+        idx_table,
+        ["band", "bucket"],
+        n_buckets=n_buckets,
     )
-    print(f"banded index build + persist: {time.time() - t0:.1f}s "
+    print(f"banded index build + bucketed persist "
+          f"({n_buckets} buckets): {time.time() - t0:.1f}s "
           f"[owned state, not timed]")
 
     t0 = time.time()
     old_edges = _jaccard_filtered(
-        _pairs_from_bands(spark.read.parquet(bands_pq), "doc_id")
+        _pairs_from_bands(spark.table(idx_table), "doc_id")
     ).select("id_a", "id_b")
     m_e2e = _min_label_components(old_edges, who="x140-trial manifest-e2e")
     m_e2e.write.mode("overwrite").parquet(manifest_e2e_pq)
@@ -256,7 +269,7 @@ def main() -> int:
         minhash_signatures(batch_docs, "doc_id", "text"), "doc_id"
     ).select("band", "bucket")
     old_sizes = (
-        spark.read.parquet(bands_pq)
+        spark.table(idx_table)
         .groupBy("band", "bucket")
         .count()
         .withColumnRenamed("count", "n_old")
@@ -296,7 +309,7 @@ def main() -> int:
         )
         return incremental_components_update(
             batch,
-            spark.read.parquet(bands_pq),
+            spark.table(idx_table),
             spark.read.parquet(manifest_e2e_pq),
         )
 
@@ -363,6 +376,7 @@ def main() -> int:
 
     if not args.keep:
         shutil.rmtree(state, ignore_errors=True)
+        spark.sql(f"DROP TABLE IF EXISTS {idx_table}")
     return 0
 
 
