@@ -756,6 +756,14 @@ def _banded_candidate_pairs(
     # shared DuckDB oracles and the recall gates are untouched. At 10x
     # fixture volume the scoring stage folds 50M pairs; this removes
     # ~2/3 of that work.
+    return _attach_embeddings(ids, emb)
+
+
+def _attach_embeddings(ids: DataFrame, emb: DataFrame) -> DataFrame:
+    """Join embeddings + hoisted L2 norms back onto an id-only pair
+    frame — the shared tail of `_banded_candidate_pairs` and
+    `_ivf_candidate_pairs` (the id-only shuffle discipline plus the
+    per-vector norm hoist live here exactly once)."""
     ea = emb.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("ea"),
@@ -771,6 +779,84 @@ def _banded_candidate_pairs(
         .join(eb, "id_b")
         .select("id_a", "id_b", "ea", "eb", "na", "nb")
     )
+
+
+def _ivf_candidate_pairs(
+    emb: DataFrame,
+    keep_self: bool = False,
+    n_cells: int = None,
+    n_probe: int = 2,
+    max_bucket: int = None,
+) -> DataFrame:
+    """IVF-partitioned candidate pairs — the SCALE path for the
+    x44-family candidate wall (VERDICT r9 item 3).
+
+    Why: the banded sign-random-projection self-join is volume-bound —
+    at 10x fixture scale it emits 4,258 directed candidates per vector
+    (85.2M pairs for 20k vectors, census_protocol.py r10) for a K=3
+    graph, because band buckets are CORPUS-FRACTION sized (2^band_bits
+    buckets regardless of n). IVF cells instead stay CONSTANT sized
+    when the caller scales ``n_cells`` with the corpus (the x62/x27
+    design point): candidates per vector ~= n_probe^2 * cell_size,
+    independent of corpus growth.
+
+    Construction: coarse codebook via `_ivf_centroids` (deterministic
+    seeds + one Lloyd step, broadcast-sized), every vector assigned to
+    its ``n_probe`` nearest cells (multi-probe replication — boundary
+    neighbors share a cell with probability rising in n_probe), pairs
+    generated WITHIN cells only. Same shuffle discipline as the banded
+    form: the cell self-join and dedup move (vec_id, cell) / (id_a,
+    id_b) only; embeddings and hoisted norms join back by id at the
+    end (`_attach_embeddings`). Same skew cap: a degenerate cell
+    (collapsed embedding space) is dropped at ``max_bucket`` members
+    riding the join's own partitioning.
+
+    Recall is geometry-dependent (a true neighbor straddling two probe
+    sets of disjoint cells is missed): the kNN-graph recall floor is
+    pytest-gated in tests/test_similarity.py like x87's, and the
+    banded form remains the registered default — this is the measured
+    at-scale alternative, selected by the n_cells knob a 100 TB
+    deployment sets from its corpus-size estimate.
+    """
+    if max_bucket is None:
+        max_bucket = KNN_MAX_BUCKET
+    cents = _ivf_centroids(emb, n_cells)
+    scored = (
+        emb.withColumn("_vn", l2_norm(F.col("embedding")))
+        .crossJoin(F.broadcast(cents.withColumn("_cn", l2_norm(F.col("cv")))))
+        .withColumn(
+            "csim",
+            dot(F.col("embedding"), F.col("cv"))
+            / (F.col("_vn") * F.col("_cn")),
+        )
+    )
+    rank = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cell")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(rank))
+        .filter(F.col("rn") <= n_probe)
+        .select("vec_id", "cell")
+    )
+    capped = (
+        assigned.withColumn(
+            "bsz", F.count(F.lit(1)).over(W.partitionBy("cell"))
+        )
+        .filter(F.col("bsz") <= max_bucket)
+        .drop("bsz")
+    )
+    a = capped.select(F.col("vec_id").alias("id_a"), "cell")
+    b = capped.select(F.col("vec_id").alias("id_b"), "cell")
+    keep = (
+        F.col("id_a") != F.col("id_b")
+        if keep_self
+        else F.col("id_a") < F.col("id_b")
+    )
+    ids = (
+        a.join(b, ["cell"])
+        .filter(keep)
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _attach_embeddings(ids, emb)
 
 
 def _capped_pairs_sql(keep_self: bool, cte: str = "bk") -> str:
@@ -1004,6 +1090,44 @@ def x44_knn_graph(
     emb = load_table(spark, sf_dir, "embeddings")
     cands = _banded_candidate_pairs(
         emb, keep_self=True, n_bands=n_bands, band_bits=band_bits
+    ).select(
+        F.col("id_a").alias("src"),
+        F.col("id_b").alias("dst"),
+        (dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias(
+            "sim"
+        ),
+    )
+    w = W.partitionBy("src").orderBy(F.col("sim").desc(), "dst")
+    return (
+        cands.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_K)
+        .select("src", "dst", "rnk")
+        .orderBy("src", "rnk")
+    )
+
+
+def ivf_knn_graph(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = None,
+    n_probe: int = 2,
+) -> DataFrame:
+    """x44's k-NN graph with IVF-partitioned candidate generation —
+    the scale path for the census candidate wall (VERDICT r9 item 3).
+
+    Same contract and scoring as x44 (exact cosine rerank, top-KNN_K
+    per source, deterministic tie-break) over `_ivf_candidate_pairs`
+    instead of the banded self-join: candidates per vector stay
+    ~n_probe^2 * cell_size when ``n_cells`` scales with the corpus,
+    where the banded form's per-vector candidate count grows with
+    corpus density (85.2M pairs at 10x — census_protocol.py r10).
+    Library path, not a registry entry (the banded x44 remains the
+    registered default and its oracle stays authoritative); recall
+    floor pytest-gated in tests/test_similarity.py.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cands = _ivf_candidate_pairs(
+        emb, keep_self=True, n_cells=n_cells, n_probe=n_probe
     ).select(
         F.col("id_a").alias("src"),
         F.col("id_b").alias("dst"),
@@ -2875,6 +2999,15 @@ def x137b_triangle_census_graph(
     knn = x44_knn_graph.__wrapped__(spark, sf_dir, band_bits=bits).select(
         "src", "dst"
     )
+    return _census_from_knn(knn)
+
+
+def _census_from_knn(knn: DataFrame) -> DataFrame:
+    """x137b's degree-ordered triangle census over a (src, dst) k-NN
+    edge frame — factored so the IVF-candidate scale path
+    (`triangle_census_ivf`) runs the IDENTICAL census over its own
+    edges; x137b's plan is unchanged (same expressions, same persist
+    lifecycle)."""
     und = (
         knn.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
@@ -2937,3 +3070,30 @@ def x137b_triangle_census_graph(
         )
     )
     return unpersist_with(unpersist_with(out, ori), und)
+
+
+def triangle_census_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = None,
+    n_probe: int = 2,
+) -> DataFrame:
+    """The census in its CANDIDATE-SCALE posture: x137b's exact
+    degree-ordered triangle counting (`_census_from_knn`, bit-shared)
+    over `ivf_knn_graph` edges instead of the banded-candidate graph.
+
+    This is the answer to the x44 candidate wall behind the census
+    ops: the census joins were never the cost (SCALE.md r8) — the
+    banded candidate VOLUME was (85.2M pairs at 10x for a K=3 graph).
+    With ``n_cells`` scaled to corpus size (the x62 convention:
+    N_CELLS * factor), candidate volume per vector is flat in corpus
+    growth, so the whole census pipeline scales linearly. The graph is
+    the IVF approximation of the banded graph (recall pytest-gated),
+    so census COUNTS are approximate relative to x137b's — the
+    diagnostic reading (clustering coefficient as manifold health) is
+    unchanged, the registered x137/x137b stay authoritative for the
+    oracle-pinned semantics. Library path (measured by
+    scripts/census_protocol.py --stages ivf), not a registry entry.
+    """
+    knn = ivf_knn_graph(spark, sf_dir, n_cells=n_cells, n_probe=n_probe)
+    return _census_from_knn(knn.select("src", "dst"))

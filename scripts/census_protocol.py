@@ -44,8 +44,11 @@ sys.path.insert(0, os.path.dirname(_HERE))
 
 from ask_duckdb_spark.operators import QUERIES  # noqa: E402
 from ask_duckdb_spark.operators.similarity import (  # noqa: E402
+    N_CELLS,
     _banded_candidate_pairs,
+    _ivf_candidate_pairs,
     _sized_band_bits,
+    triangle_census_ivf,
 )
 from ask_duckdb_spark.session import get_spark  # noqa: E402
 from ask_duckdb_spark.sources.catalog import load_table  # noqa: E402
@@ -103,23 +106,40 @@ def main() -> int:
 
     # JIT/codegen warm-up at sf0.001 — negligible IO, real class cache.
     for name in args.stages:
-        QUERIES[name](spark, WARM_DIR).count()
+        if name.startswith("ivf"):
+            triangle_census_ivf(spark, WARM_DIR).count()
+        else:
+            QUERIES[name](spark, WARM_DIR).count()
     spark.catalog.clearCache()
 
     # Candidate volume at the sizing the census actually runs with.
     bits = _sized_band_bits(spark, args.workdir, "census-protocol")
     emb = load_table(spark, args.workdir, "embeddings")
     n_vec = emb.count()
-    n_cand = _banded_candidate_pairs(emb, keep_self=True,
-                                     band_bits=bits).count()
-    spark.catalog.clearCache()
-    print(f"candidate volume: {n_cand:,} directed candidate pairs over "
-          f"{n_vec:,} vectors at band_bits={bits} "
-          f"({n_cand / max(n_vec, 1):.1f} per vector)")
+    ivf_cells = N_CELLS * args.factor  # the x62 corpus-scaled sizing
+    if any(s.startswith("ivf") for s in args.stages):
+        n_ivf = _ivf_candidate_pairs(
+            emb, keep_self=True, n_cells=ivf_cells
+        ).count()
+        spark.catalog.clearCache()
+        print(f"candidate volume [ivf n_cells={ivf_cells} n_probe=2]: "
+              f"{n_ivf:,} directed pairs over {n_vec:,} vectors "
+              f"({n_ivf / max(n_vec, 1):.1f} per vector)")
+    if any(not s.startswith("ivf") for s in args.stages):
+        n_cand = _banded_candidate_pairs(emb, keep_self=True,
+                                         band_bits=bits).count()
+        spark.catalog.clearCache()
+        print(f"candidate volume [banded bits={bits}]: {n_cand:,} "
+              f"directed candidate pairs over {n_vec:,} vectors "
+              f"({n_cand / max(n_vec, 1):.1f} per vector)")
 
     def one_run(name: str) -> float:
         t0 = time.time()
-        QUERIES[name](spark, args.workdir).count()
+        if name.startswith("ivf"):
+            triangle_census_ivf(spark, args.workdir,
+                                n_cells=ivf_cells).count()
+        else:
+            QUERIES[name](spark, args.workdir).count()
         wall = time.time() - t0
         spark.catalog.clearCache()
         return wall
