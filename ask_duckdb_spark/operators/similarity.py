@@ -785,7 +785,7 @@ def _ivf_candidate_pairs(
     emb: DataFrame,
     keep_self: bool = False,
     n_cells: int = None,
-    n_probe: int = 2,
+    n_probe: int = N_PROBE,
     max_bucket: int = None,
 ) -> DataFrame:
     """IVF-partitioned candidate pairs — the SCALE path for the
@@ -812,7 +812,10 @@ def _ivf_candidate_pairs(
     riding the join's own partitioning.
 
     Recall is geometry-dependent (a true neighbor straddling two probe
-    sets of disjoint cells is missed): the kNN-graph recall floor is
+    sets of disjoint cells is missed): on the near-uniform synthetic
+    embeddings n_probe=2 reads 0.723 graph recall, n_probe=3 (the
+    default — N_PROBE, the x27 convention) reads 0.953 and n_probe=4
+    0.998 (measured r10, sf0.001); the kNN-graph recall floor is
     pytest-gated in tests/test_similarity.py like x87's, and the
     banded form remains the registered default — this is the measured
     at-scale alternative, selected by the n_cells knob a 100 TB
@@ -1110,7 +1113,7 @@ def ivf_knn_graph(
     spark: SparkSession,
     sf_dir: str,
     n_cells: int = None,
-    n_probe: int = 2,
+    n_probe: int = N_PROBE,
 ) -> DataFrame:
     """x44's k-NN graph with IVF-partitioned candidate generation —
     the scale path for the census candidate wall (VERDICT r9 item 3).
@@ -3076,7 +3079,7 @@ def triangle_census_ivf(
     spark: SparkSession,
     sf_dir: str,
     n_cells: int = None,
-    n_probe: int = 2,
+    n_probe: int = N_PROBE,
 ) -> DataFrame:
     """The census in its CANDIDATE-SCALE posture: x137b's exact
     degree-ordered triangle counting (`_census_from_knn`, bit-shared)

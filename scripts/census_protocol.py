@@ -122,7 +122,7 @@ def main() -> int:
             emb, keep_self=True, n_cells=ivf_cells
         ).count()
         spark.catalog.clearCache()
-        print(f"candidate volume [ivf n_cells={ivf_cells} n_probe=2]: "
+        print(f"candidate volume [ivf n_cells={ivf_cells} n_probe=3]: "
               f"{n_ivf:,} directed pairs over {n_vec:,} vectors "
               f"({n_ivf / max(n_vec, 1):.1f} per vector)")
     if any(not s.startswith("ivf") for s in args.stages):
