@@ -90,6 +90,17 @@ def main() -> int:
     # One-time layout cost — reported, not charged to the query walls
     # (at 100 TB the write-side shuffle is paid once per table load,
     # amortized over every downstream join).
+    # Clear orphaned managed-table locations from prior --keep-tables
+    # runs (fresh metastore + existing dir = LOCATION_ALREADY_EXISTS).
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "").replace("file:", "")
+    for name in list(BUCKET_KEYS) + list(PLAIN):
+        spark.sql(f"DROP TABLE IF EXISTS {PREFIX}{name}")
+        if wh:
+            shutil.rmtree(os.path.join(wh, f"{PREFIX}{name}"),
+                          ignore_errors=True)
+
     t0 = time.time()
     for name, key in BUCKET_KEYS.items():
         write_bucketed(

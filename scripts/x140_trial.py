@@ -236,6 +236,13 @@ def main() -> int:
 
     idx_table = "x140_trial_banded_idx"
     n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # A prior --keep run leaves the managed table's LOCATION behind
+    # while this session's fresh metastore has no entry for it —
+    # saveAsTable then fails LOCATION_ALREADY_EXISTS. Clear both.
+    spark.sql(f"DROP TABLE IF EXISTS {idx_table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "").replace("file:", "")
+    if wh:
+        shutil.rmtree(os.path.join(wh, idx_table), ignore_errors=True)
     t0 = time.time()
     old_docs = spark.read.parquet(docs_pq).filter(F.col("doc_id") < cut_val)
     write_bucketed(
