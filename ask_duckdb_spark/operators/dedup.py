@@ -2184,10 +2184,13 @@ def x140_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaces; both paths sit on the job floor (0.62-0.87x). The
     premise's real form is END-TO-END: hashing + pairing only the
     batch against the persisted banded index (the `_pairs_from_bands`
-    probe) measured 16.6x over full re-ingest at 500k docs with a
-    fixed 5,000-doc batch (141.13 s -> 8.48 s, row-identical), and the
-    gap widens with corpus size — the win is never re-shingling or
-    re-pairing the old corpus, not the propagation itself.
+    probe) holds a FLAT wall in corpus size while full re-ingest grows
+    ~linearly — 2.38x at 500k docs with a fixed 5,000-doc batch
+    (13.3 s -> 5.6 s, row-identical; SCALE.md r10, whose quiet-host
+    protocol also retracts r9's degraded-host 141 s / 16.6x reading)
+    and the gap widens with corpus size — the win is never
+    re-shingling or re-pairing the old corpus, not the propagation
+    itself.
     """
     d = load_table(spark, sf_dir, "documents")
     cut = d.agg(
@@ -2254,9 +2257,10 @@ def incremental_components_update(
     assert_new_ids: bool = False,
 ) -> DataFrame:
     """Cluster labels after ingesting ``docs_batch`` against persisted
-    state — the END-TO-END incremental form of x140, measured 16.6x
-    over full re-ingest at 500k docs (SCALE.md r9; the registry's x140
-    rebuilds state in-op only because registry entries own none).
+    state — the END-TO-END incremental form of x140: wall FLAT in
+    corpus size (5.6 s at 500k docs, 2.38x over the ~linearly growing
+    full re-ingest; SCALE.md r10 — the registry's x140 rebuilds state
+    in-op only because registry entries own none).
 
     Cost is O(batch): only the batch is shingled/hashed; the persisted
     ``banded_index`` (see :func:`banded_signature_index`, covering the
@@ -2301,6 +2305,9 @@ def incremental_components_update(
         dup_index = (
             banded_index.select(F.col(id_col).alias("_bid"))
             .join(batch_ids, "_bid", "left_semi")
+            # distinct BEFORE limit: the index holds one row per
+            # (doc, band), so 5 raw rows could all be one offender.
+            .distinct()
             .limit(5)
             .collect()
         )

@@ -376,13 +376,17 @@ def _ivf_centroids(emb: DataFrame, n_cells: int = None) -> DataFrame:
     )
 
 
-def _assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
+def _assign_cells(
+    emb: DataFrame, cents: DataFrame, n_probe: int = 1
+) -> DataFrame:
     """(vec_id, embedding, cell): nearest-centroid assignment.
 
     Broadcast the tiny codebook against the corpus; deterministic
     tie-break on the lowest cell id. Shared by x27 (IVF probe) and
     x62 (SemDeDup) — at 100 TB this is the write-time partitioning
-    step (cell = partition column).
+    step (cell = partition column). With ``n_probe > 1`` each vector
+    is REPLICATED into its n_probe nearest cells (the multi-probe
+    form `_ivf_candidate_pairs` pairs within).
     """
     # Norm hoist: the scan folds n x k cosines; the row norm is
     # per-VECTOR (fold once, not once per centroid) and the centroid
@@ -400,9 +404,14 @@ def _assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
         )
     )
     assign_rank = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cell")
+    # n_probe == 1 keeps the registered x27/x62 plans' exact predicate
+    # (rn == 1) rather than a semantically-equal rn <= 1.
+    keep = (
+        F.col("rn") == 1 if n_probe == 1 else F.col("rn") <= n_probe
+    )
     return (
         scored.withColumn("rn", F.row_number().over(assign_rank))
-        .filter(F.col("rn") == 1)
+        .filter(keep)
         .select("vec_id", "embedding", "cell")
     )
 
@@ -824,20 +833,10 @@ def _ivf_candidate_pairs(
     if max_bucket is None:
         max_bucket = KNN_MAX_BUCKET
     cents = _ivf_centroids(emb, n_cells)
-    scored = (
-        emb.withColumn("_vn", l2_norm(F.col("embedding")))
-        .crossJoin(F.broadcast(cents.withColumn("_cn", l2_norm(F.col("cv")))))
-        .withColumn(
-            "csim",
-            dot(F.col("embedding"), F.col("cv"))
-            / (F.col("_vn") * F.col("_cn")),
-        )
-    )
-    rank = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cell")
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(rank))
-        .filter(F.col("rn") <= n_probe)
-        .select("vec_id", "cell")
+    # Multi-probe assignment via the shared scorer (one tie-break, one
+    # norm hoist — x27/x62's `_assign_cells` with n_probe > 1).
+    assigned = _assign_cells(emb, cents, n_probe=n_probe).select(
+        "vec_id", "cell"
     )
     capped = (
         assigned.withColumn(
@@ -1091,9 +1090,20 @@ def x44_knn_graph(
     brute-force graph at sf0.01.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    cands = _banded_candidate_pairs(
-        emb, keep_self=True, n_bands=n_bands, band_bits=band_bits
-    ).select(
+    return _rerank_topk(
+        _banded_candidate_pairs(
+            emb, keep_self=True, n_bands=n_bands, band_bits=band_bits
+        )
+    )
+
+
+def _rerank_topk(pairs: DataFrame) -> DataFrame:
+    """Exact cosine rerank + top-KNN_K per source over a directed
+    candidate frame (id_a, id_b, ea, eb, na, nb) — the shared tail of
+    `x44_knn_graph` and `ivf_knn_graph`, factored so the "same
+    contract and scoring" claim is enforced by shared code (one
+    tie-break, one KNN_K) rather than two hand-synced blocks."""
+    cands = pairs.select(
         F.col("id_a").alias("src"),
         F.col("id_b").alias("dst"),
         (dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias(
@@ -1129,21 +1139,10 @@ def ivf_knn_graph(
     floor pytest-gated in tests/test_similarity.py.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    cands = _ivf_candidate_pairs(
-        emb, keep_self=True, n_cells=n_cells, n_probe=n_probe
-    ).select(
-        F.col("id_a").alias("src"),
-        F.col("id_b").alias("dst"),
-        (dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias(
-            "sim"
-        ),
-    )
-    w = W.partitionBy("src").orderBy(F.col("sim").desc(), "dst")
-    return (
-        cands.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= KNN_K)
-        .select("src", "dst", "rnk")
-        .orderBy("src", "rnk")
+    return _rerank_topk(
+        _ivf_candidate_pairs(
+            emb, keep_self=True, n_cells=n_cells, n_probe=n_probe
+        )
     )
 
 

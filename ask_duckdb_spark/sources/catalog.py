@@ -65,29 +65,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # (scripts/joinblock_bucketed.py uses this to bench the TPC-H join
     # block on bucketed layout; write via sources/bucketing.py).
     if sf_dir.startswith("catalog:"):
+        # NOT memoized: catalog tables are mutable (DROP/overwrite in
+        # the same session — the bench/test pattern), so a cached
+        # DataFrame would stay bound to the dropped table's file
+        # index; spark.table() is a metastore lookup, not a directory
+        # listing, so there is nothing expensive to memoize anyway.
         prefix = sf_dir[len("catalog:"):]
-        key = (sf_dir, name)
-        hit = cache.get(key)
-        if hit is not None:
-            return hit
-        df = spark.table(f"{prefix}{name}")
-        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                "ts",
-                F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"),
-            )
-        cache[key] = df
-        return df
+        return _events_fixup(spark.table(f"{prefix}{name}"), name)
     key = (os.path.abspath(sf_dir), name)
     hit = cache.get(key)
     if hit is not None:
         return hit
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = _events_fixup(
+        spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")), name
+    )
+    cache[key] = df
+    return df
+
+
+def _events_fixup(df: DataFrame, name: str) -> DataFrame:
+    """events.ts arrives INT64 TIMESTAMP(NANOS) (read as long under
+    nanosAsLong): convert to microsecond TIMESTAMP_NTZ by integer
+    division — one conversion shared by the parquet and catalog
+    resolution paths."""
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
             "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
         )
-    cache[key] = df
     return df
 
 

@@ -25,7 +25,11 @@ claim, not an inference from walls.
 Usage::
 
     python scripts/census_protocol.py --factor 10 \
-        [--workdir .scale_trial] [--reps 3] [--stages x137b x137]
+        [--workdir .scale_trial] [--reps 3] \
+        [--stages x137b_triangle_census_graph x137_knn_clustering_coeff ivf]
+
+Stage names are full registry keys; the special name ``ivf`` runs the
+`triangle_census_ivf` library path at n_cells = N_CELLS * factor.
 
 The corpus must already exist under --workdir (reuse a
 scale_trial/x140_trial --keep corpus); this script never rebuilds it,
