@@ -32,76 +32,75 @@ from . import hygiene  # noqa: F401,E402
 # r9 closed 50/50 again (x138-x140/x117b + the x44-restructure
 # consumers + the r02/r03 relational+NL tail).
 #
-# ROUND-10 WINDOW (active), per VERDICT r9 item 1: with every entry
-# now driver-checked at least once and zero red rows, the whole
-# window walks the stalest CORRECTNESS tail. Lead with the x2
-# near-dup flagship (bench-timed every round, last driver hash r05),
-# then the ten r03-only scale-extension rows (x25-x36 - the oldest
-# evidence anywhere), then the r04 dialect surface the judge traced
-# to CORRECTNESS_r04.json - subqueries sq1-sq7, date ops d1-d6, the
-# f12-f27 function extras, g11/g13-g15 aggregates, o5, and the
-# q7/q8/q9 TPC-H tail - then the r05 specialty joins j8/j10/j11,
-# windows w6/w8, and the x4 simhash bench headline. Still stale
-# after this window: q11-q22 (r04), the x24+/x37+ mid-tail
-# (r05-r07) - keep walking in r11.
+# ROUND-11 WINDOW (active), per VERDICT r10 items 1-2: lead with the
+# two NEW zero-evidence entries registering the IVF scale path
+# (x141/x142 - the designated 100 TB census plan, judge item 1; they
+# also re-exercise the ADVICE-r10 primary-member cap fix in
+# _ivf_candidate_pairs), then walk the judge-traced stalest tail:
+# the r04 TPC-H q-suite (q11-q22, last rows in CORRECTNESS_r04.json),
+# the full 32-entry r05 block (x6/x24/x27/x29/x38/x42/x45-x63/x66,
+# f20/f21, nl6, so4-so6 - x27/x62/x63 also sit downstream of the
+# _ivf_sql refactor, so their slots double as regression evidence),
+# topped up to 50 from the r06 tail head (g12, w5, x100-family).
+# Still stale after this window: the remaining 28 r06 rows - keep
+# walking in r12.
 _VERIFY_FIRST = [
-    # flagship near-dup, judge-named first (VERDICT r9 item 1)
-    "x2_minhash_neardup",
-    # r03-only driver evidence: the oldest rows anywhere
-    "x25_batch_ann_topk",
-    "x26_salted_user_totals",
-    "x28_user_value_trend",
-    "x30_pack_shards",
-    "x31_clean_corpus",
-    "x32_rebalance_sample",
-    "x33_decontamination",
-    "x34_train_val_test_split",
-    "x35_dedup_normalized",
-    "x36_frame_sample",
-    # r04 dialect surface: subqueries
-    "sq1_scalar_subquery",
-    "sq2_in_subquery",
-    "sq3_correlated_exists",
-    "sq4_cte",
-    "sq5_lateral_join",
-    "sq6_values_inline",
-    "sq7_recursive_cte",
-    # r04: date/time ops
-    "d1_date_trunc",
-    "d2_extract_parts",
-    "d3_date_arith",
-    "d4_format_epoch",
-    "d5_month_arith",
-    "d6_generate_days",
-    # r04: function extras
-    "f12_regexp",
-    "f13_split_array",
-    "f16_nullsafe_eq",
-    "f17_pivot",
-    "f18_greatest_least",
-    "f19_json_tuple",
-    "f22_pad_reverse",
-    "f23_bitwise",
-    "f24_cast_matrix",
-    "f25_width_bucket_histogram",
-    "f26_posexplode_ordinality",
-    "f27_unpivot",
-    # r04: aggregate extras + ordering + TPC-H tail head
-    "g11_grouping_sets",
-    "g13_mode",
-    "g14_string_agg_ordered",
-    "g15_group_percentiles",
-    "o5_nulls_ordering",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_type_profit",
-    # r05: specialty joins + window tail + simhash headline
-    "j8_event_range_join",
-    "j10_salted_skew_join",
-    "j11_fuzzy_name_join",
-    "w6_first_last_nth",
-    "w8_forward_fill",
-    "x4_simhash",
+    # NEW this round: the IVF census/knn-graph scale path, oracle-
+    # paired via the x62/x63 QSCALE discipline (VERDICT r10 item 1)
+    "x141_ivf_knn_graph",
+    "x142_ivf_triangle_census",
+    # r04 TPC-H q-suite: the oldest driver evidence anywhere
+    "q11_important_stock",
+    "q12_priority_shipping",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q21_waiting_suppliers",
+    "q22_dormant_high_balance",
+    # r05 block: dialect tail
+    "f20_array_agg_sorted",
+    "f21_map_functions",
+    "nl6_duckdb_dialect_passthrough",
+    "so4_intersect_all",
+    "so5_except_all",
+    "so6_union_by_name",
+    # r05 block: scale-extension mid-tail
+    "x24_dedup_keep",
+    "x27_ivf_topk",
+    "x29_dedup_clusters",
+    "x38_cms_heavy_hitters",
+    "x42_label_centroids",
+    "x45_pii_redaction",
+    "x46_url_normalize_dedup",
+    "x47_chunk_documents",
+    "x48_char_diversity_filter",
+    "x49_incremental_dedup",
+    "x4b_simhash_neardup_pairs",
+    "x50_length_outlier_filter",
+    "x51_domain_cap",
+    "x52_funnel_stages",
+    "x53_prefix_filter_jaccard",
+    "x55_full_prep_pipeline",
+    "x56_join_key_skew_report",
+    "x57_bigram_rarity",
+    "x58_random_projection",
+    "x59_source_overlap",
+    "x60_mixture_weights",
+    "x61_gopher_quality_rules",
+    "x62_semdedup",
+    "x63_semdedup_hier",
+    "x66_dsir_importance",
+    "x6_ann_lsh_topk",
+    # r06 tail head: fills to 50
+    "g12_stats_agg",
+    "w5_range_frame",
+    "x100_event_transitions",
+    "x102_journey_surprisal",
+    "x103_column_profile",
+    "x105_embedding_drift",
+    "x108_reshard_audit",
 ]
 
 
