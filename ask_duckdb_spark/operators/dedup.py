@@ -2295,34 +2295,44 @@ def incremental_components_update(
     may split a component — recluster its members), then ingest it as
     new. ``assert_new_ids=True`` enforces the contract with an
     inner-join probe of batch ids against index ids and raises
-    ``ValueError`` with samples; it costs a full index-id scan, so it
-    is opt-in for backfills/debug rather than the per-ingest default
-    (at 100 TB the id check belongs in the metadata layer that
-    assigns ingest ids, not in a corpus-wide join per batch).
+    ``ValueError`` with samples; it costs a full index-id scan PLUS a
+    full manifest scan (both probes run as ONE action over a persisted
+    batch-id frame — ADVICE r10: two independent collects would scan
+    the unpersisted batch twice, and the docstring must price the
+    manifest scan too), so it is opt-in for backfills/debug rather
+    than the per-ingest default (at 100 TB the id check belongs in the
+    metadata layer that assigns ingest ids, not in a corpus-wide join
+    per batch).
     """
     if assert_new_ids:
-        batch_ids = docs_batch.select(F.col(id_col).alias("_bid"))
-        dup_index = (
-            banded_index.select(F.col(id_col).alias("_bid"))
-            .join(batch_ids, "_bid", "left_semi")
-            # distinct BEFORE limit: the index holds one row per
-            # (doc, band), so 5 raw rows could all be one offender.
-            .distinct()
-            .limit(5)
-            .collect()
-        )
-        dup_manifest = (
-            manifest.select(F.col("v").alias("_bid"))
-            .join(batch_ids, "_bid", "left_semi")
-            .limit(5)
-            .collect()
-        )
-        if dup_index or dup_manifest:
+        batch_ids = docs_batch.select(F.col(id_col).alias("_bid")).persist()
+        try:
+            probe_index = (
+                banded_index.select(F.col(id_col).alias("_bid"))
+                .join(batch_ids, "_bid", "left_semi")
+                # distinct BEFORE limit: the index holds one row per
+                # (doc, band), so 5 raw rows could all be one offender.
+                .distinct()
+                .limit(5)
+                .withColumn("_src", F.lit("index"))
+            )
+            probe_manifest = (
+                manifest.select(F.col("v").alias("_bid"))
+                .join(batch_ids, "_bid", "left_semi")
+                .limit(5)
+                .withColumn("_src", F.lit("manifest"))
+            )
+            dups = probe_index.unionByName(probe_manifest).collect()
+        finally:
+            batch_ids.unpersist()
+        if dups:
             raise ValueError(
                 "incremental_components_update: batch ids must be new "
                 "(delete-then-append for updates); already in index: "
-                f"{sorted(r._bid for r in dup_index)}, in manifest: "
-                f"{sorted(r._bid for r in dup_manifest)} (first 5 each)"
+                f"{sorted(r._bid for r in dups if r._src == 'index')}, "
+                "in manifest: "
+                f"{sorted(r._bid for r in dups if r._src == 'manifest')}"
+                " (first 5 each)"
             )
     sig_new = minhash_signatures(docs_batch, id_col, text_col)
     # Two consumers (the touched-bucket probe and the pair union) —

@@ -28,7 +28,9 @@ Usage::
         [--workdir .scale_trial] [--reps 3] \
         [--stages x137b_triangle_census_graph x137_knn_clustering_coeff ivf]
 
-Stage names are full registry keys; the special name ``ivf`` runs the
+Stage names are full registry keys; the special name ``ivf`` (matched
+EXACTLY — ADVICE r10: a prefix match would silently hijack any future
+``ivf_*`` registry key away from QUERIES and mis-measure it) runs the
 `triangle_census_ivf` library path at n_cells = N_CELLS * factor.
 
 The corpus must already exist under --workdir (reuse a
@@ -110,7 +112,7 @@ def main() -> int:
 
     # JIT/codegen warm-up at sf0.001 — negligible IO, real class cache.
     for name in args.stages:
-        if name.startswith("ivf"):
+        if name == "ivf":
             triangle_census_ivf(spark, WARM_DIR).count()
         else:
             QUERIES[name](spark, WARM_DIR).count()
@@ -121,7 +123,7 @@ def main() -> int:
     emb = load_table(spark, args.workdir, "embeddings")
     n_vec = emb.count()
     ivf_cells = N_CELLS * args.factor  # the x62 corpus-scaled sizing
-    if any(s.startswith("ivf") for s in args.stages):
+    if any(s == "ivf" for s in args.stages):
         n_ivf = _ivf_candidate_pairs(
             emb, keep_self=True, n_cells=ivf_cells
         ).count()
@@ -129,7 +131,7 @@ def main() -> int:
         print(f"candidate volume [ivf n_cells={ivf_cells} n_probe=3]: "
               f"{n_ivf:,} directed pairs over {n_vec:,} vectors "
               f"({n_ivf / max(n_vec, 1):.1f} per vector)")
-    if any(not s.startswith("ivf") for s in args.stages):
+    if any(s != "ivf" for s in args.stages):
         n_cand = _banded_candidate_pairs(emb, keep_self=True,
                                          band_bits=bits).count()
         spark.catalog.clearCache()
@@ -139,7 +141,7 @@ def main() -> int:
 
     def one_run(name: str) -> float:
         t0 = time.time()
-        if name.startswith("ivf"):
+        if name == "ivf":
             triangle_census_ivf(spark, args.workdir,
                                 n_cells=ivf_cells).count()
         else:

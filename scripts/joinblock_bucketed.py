@@ -19,7 +19,11 @@ This script times the three queries at corpus factor N twice:
             query-code duplication; identical logical plans)
 
 min-of-REPS per query per layout, Exchange-operator counts printed
-from each physical plan, row-count parity asserted flat-vs-bucketed.
+from each physical plan, CONTENT parity asserted flat-vs-bucketed
+(order-independent value fingerprint over every column, not just row
+count — ADVICE r10: an equal-cardinality layout-induced divergence,
+e.g. the events ts fixup differing across the catalog path, must fail
+before anything is timed).
 
 Bucket count = spark.sql.shuffle.partitions (the one-sided sizing rule
 measured in sources/bucketing.py).
@@ -48,6 +52,22 @@ from ask_duckdb_spark.sources.catalog import load_table  # noqa: E402
 
 WARM_DIR = "/root/testdata/sf0.001"
 PREFIX = "jb_"
+
+
+def content_fingerprint(df):
+    """Order-independent value fingerprint: sum of per-row xxhash64
+    over every column (stringified NULL-safe struct), as decimal so a
+    billion-row sum cannot overflow. Distributed — no collect — so it
+    is safe at any trial factor, and the same diffcheck-grade content
+    equality the tests' collect-and-compare gives at small SF."""
+    from pyspark.sql import functions as F
+
+    h = F.xxhash64(F.to_json(F.struct(*df.columns)))
+    row = df.select(
+        F.sum(h.cast("decimal(38,0)")).alias("fp"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    return row.fp, row.n
 
 #: table -> bucket column (the join key that carries the block's
 #: largest exchanges). Tables not listed are registered unbucketed so
@@ -125,8 +145,12 @@ def main() -> int:
     for q in args.queries:
         flat_df = QUERIES[q](spark, args.workdir)
         buck_df = QUERIES[q](spark, cat_dir)
-        n_flat, n_buck = flat_df.count(), buck_df.count()
+        (fp_flat, n_flat), (fp_buck, n_buck) = (
+            content_fingerprint(flat_df),
+            content_fingerprint(buck_df),
+        )
         assert n_flat == n_buck, (q, n_flat, n_buck)
+        assert fp_flat == fp_buck, (q, fp_flat, fp_buck)
         ex_flat, ex_buck = num_shuffles(flat_df), num_shuffles(buck_df)
         walls_f, walls_b = [], []
         # interleave so host drift lands on both layouts equally
