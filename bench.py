@@ -80,6 +80,16 @@ HEADLINE_V2 = [
     # form x133 stays registered as the oracle-mirroring shape; the
     # DuckDB side of this set is unchanged (same _X133_ORACLE SQL).
     "x133b_eval_decontam_bcast",
+    # r11 (VERDICT r10 item 3): the v2 raw ratio at sf0.1 was floor-
+    # dominated — four of five members are sub-0.5 s Spark jobs
+    # against 11-68 ms oracles, so raw measured the scheduler, not the
+    # plans. Add a second VOLUME-BEARING member (hygiene family, like
+    # x133b): the eval-leak report's 8-gram containment scan reads
+    # 1.66 s Spark vs 1.06 s DuckDB (ratio 1.56) in the r11 scout —
+    # real work on both stopwatches. The per-member decomposition now
+    # also ships in the JSON (``v2_per_member``) so the driver-visible
+    # number is interpretable without BENCHLOG cross-reference.
+    "x136_eval_leak_report",
 ]
 
 
@@ -298,6 +308,30 @@ def main() -> int:
                     if floor is not None and v2_duck_total > 0
                     else None
                 ),
+                # Per-member decomposition (VERDICT r10 item 3): the
+                # raw set ratio is only interpretable per member —
+                # floor_x says how many per-query floors the Spark
+                # wall amounts to (a floor_x near 1-3 on a ms-scale
+                # oracle means the member times the scheduler, not the
+                # plan; the volume-bearing members are the ones whose
+                # ratio tracks engine work).
+                "v2_per_member": {
+                    name: {
+                        "spark": v2_timings[name],
+                        "duckdb": v2_duck.get(name),
+                        "ratio": (
+                            round(v2_timings[name] / v2_duck[name], 2)
+                            if v2_duck.get(name)
+                            else None
+                        ),
+                        "floor_x": (
+                            round(v2_timings[name] / floor, 1)
+                            if floor
+                            else None
+                        ),
+                    }
+                    for name in HEADLINE_V2
+                },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 # Diagnostics for run-to-run comparison: BENCH numbers
                 # are only comparable when the host was otherwise idle
