@@ -2266,8 +2266,11 @@ def incremental_components_update(
     ``banded_index`` (see :func:`banded_signature_index`, covering the
     OLD docs) is semi-joined down to buckets the batch touches before
     any pair exists; pairing/Jaccard run the exact production
-    `_pairs_from_bands`/`_jaccard_filtered` path; the kernel sees only
-    manifest star edges ∪ batch-touching new edges. Returns (v, label)
+    `_pairs_from_bands`/`_jaccard_filtered` path; the ITERATIVE kernel
+    sees only the label-contracted new-edge graph (O(batch) vertices —
+    r11's contract-then-solve, see the in-body comment), and the
+    manifest is relabeled through the winner map in one non-iterative
+    join. Returns (v, label)
     — row-identical to a full recompute over old ∪ batch (trial-gated
     at 10x/30x/100x), EXCEPT when a bucket crosses MAX_BUCKET only
     once the batch lands: the full path then drops that bucket's
@@ -2353,15 +2356,64 @@ def incremental_components_update(
         .filter(F.col("_ina").isNotNull() | F.col("_inb").isNotNull())
         .drop("_ina", "_inb")
     )
-    new_edges = _jaccard_filtered(cand).select("id_a", "id_b")
-    star = manifest.filter(F.col("v") != F.col("label")).select(
-        F.col("v").alias("id_a"), F.col("label").alias("id_b")
+    # CONTRACT-THEN-SOLVE (r11, VERDICT r10 item 6): the r10 form fed
+    # star ∪ new_edges (|manifest| + |batch| rows) to the iterative
+    # kernel, so every propagation round — join + agg + eager
+    # checkpoint + convergence count, ~1-1.4 s of fixed job cost each
+    # — ran over the corpus-clustered vertex set. The floor profile
+    # (SCALE.md r11) shows the kernel was ~2.9 s of the ~5.6 s
+    # incremental wall at x100 while converging in just 2 rounds.
+    # Union-find algebra lets the rounds run BATCH-SIZED instead:
+    # replace each old endpoint of a new edge by its manifest label
+    # (component representative), solve components over that contracted
+    # graph — vertices are touched labels + batch ids + unclustered old
+    # ids, i.e. O(batch) — then relabel the manifest through the
+    # winner map in ONE non-iterative join. Exactness: a manifest
+    # label is the MIN id of its old component and is itself a member,
+    # so min over contracted vertices == min over all member vertices
+    # — the output stays row-identical to the full recompute (same
+    # trial identity gates, same cap caveat).
+    new_edges = _jaccard_filtered(cand).select("id_a", "id_b").persist()
+    old_map = manifest.select(F.col("v").alias("_cv"), F.col("label").alias("_cl"))
+    contracted = (
+        new_edges.join(
+            old_map.withColumnRenamed("_cv", "id_a"), "id_a", "left"
+        )
+        .withColumnRenamed("_cl", "_la")
+        .join(old_map.withColumnRenamed("_cv", "id_b"), "id_b", "left")
+        .withColumnRenamed("_cl", "_lb")
+        .select(
+            F.coalesce(F.col("_la"), F.col("id_a")).alias("id_a"),
+            F.coalesce(F.col("_lb"), F.col("id_b")).alias("id_b"),
+        )
     )
     try:
-        out = _min_label_components(
-            new_edges.unionAll(star), who="incremental_components_update"
+        small = _min_label_components(
+            contracted, who="incremental_components_update"
         )
     except Exception:
         bands_new.unpersist()
+        new_edges.unpersist()
         raise
-    return unpersist_with(out, bands_new)
+    relabel = small.select(F.col("v").alias("_rep"), F.col("label").alias("_final"))
+    # Old vertices: one join manifest.label -> winner (labels untouched
+    # by any new edge pass through).
+    out_old = manifest.join(
+        relabel.withColumnRenamed("_rep", "label"), "label", "left"
+    ).select(
+        "v", F.coalesce(F.col("_final"), F.col("label")).alias("label")
+    )
+    # Vertices the new edges introduce (batch docs + previously
+    # unclustered old docs): contracted under their own id, so their
+    # winner is a direct lookup.
+    new_vs = (
+        new_edges.select(F.col("id_a").alias("v"))
+        .union(new_edges.select(F.col("id_b").alias("v")))
+        .distinct()
+        .join(manifest.select("v"), "v", "left_anti")
+    )
+    out_new = new_vs.join(
+        relabel.withColumnRenamed("_rep", "v"), "v", "left"
+    ).select("v", F.coalesce(F.col("_final"), F.col("v")).alias("label"))
+    out = out_old.unionByName(out_new)
+    return unpersist_with(unpersist_with(out, bands_new), new_edges)
