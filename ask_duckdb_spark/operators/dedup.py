@@ -2372,9 +2372,31 @@ def incremental_components_update(
     # label is the MIN id of its old component and is itself a member,
     # so min over contracted vertices == min over all member vertices
     # — the output stays row-identical to the full recompute (same
-    # trial identity gates, same cap caveat).
+    # trial identity gates, same cap caveat). Manifest access
+    # discipline: the corpus-sized manifest is scanned exactly twice,
+    # both STREAMING scans against broadcast right sides (the
+    # touched-id semi-join here; the winner-map relabel below) — zero
+    # manifest shuffles per ingest. At trial scale the fixed job costs
+    # dominate and walls read ~parity with the r10 form (SCALE.md
+    # r11); the cut is structural: the r10 kernel joined |manifest|
+    # star edges per propagation round, i.e. O(manifest) work per
+    # ingest hidden inside "O(batch)".
     new_edges = _jaccard_filtered(cand).select("id_a", "id_b").persist()
-    old_map = manifest.select(F.col("v").alias("_cv"), F.col("label").alias("_cl"))
+    # Touched-vertex set (batch-sized): semi-join the manifest down to
+    # it BEFORE any contraction join, so the corpus-sized manifest is
+    # only ever STREAMED against a broadcast hash set — at 100 TB the
+    # manifest is corpus-sized, and a left-outer join against it would
+    # shuffle the corpus per ingest (the exact cost this function
+    # exists to avoid). After this, every kernel-side frame is
+    # O(batch) and AQE broadcasts it.
+    touched_ids = (
+        new_edges.select(F.col("id_a").alias("_cv"))
+        .union(new_edges.select(F.col("id_b").alias("_cv")))
+        .distinct()
+    )
+    old_map = manifest.select(
+        F.col("v").alias("_cv"), F.col("label").alias("_cl")
+    ).join(F.broadcast(touched_ids), "_cv", "left_semi")
     contracted = (
         new_edges.join(
             old_map.withColumnRenamed("_cv", "id_a"), "id_a", "left"
@@ -2405,12 +2427,11 @@ def incremental_components_update(
     )
     # Vertices the new edges introduce (batch docs + previously
     # unclustered old docs): contracted under their own id, so their
-    # winner is a direct lookup.
-    new_vs = (
-        new_edges.select(F.col("id_a").alias("v"))
-        .union(new_edges.select(F.col("id_b").alias("v")))
-        .distinct()
-        .join(manifest.select("v"), "v", "left_anti")
+    # winner is a direct lookup. Anti-join against the TOUCHED slice
+    # of the manifest (old_map), never the full manifest — membership
+    # is equivalent for vertices already restricted to touched_ids.
+    new_vs = touched_ids.withColumnRenamed("_cv", "v").join(
+        old_map.select(F.col("_cv").alias("v")), "v", "left_anti"
     )
     out_new = new_vs.join(
         relabel.withColumnRenamed("_rep", "v"), "v", "left"
