@@ -261,8 +261,9 @@ def test_x140_incremental_equals_full_recompute(spark):
 
 
 def test_incremental_components_update_library_path(spark):
-    """The library form of the incremental ingest (the 16.6x path
-    SCALE.md r9 measures): banded_signature_index over the OLD docs +
+    """The library form of the incremental ingest (the flat-wall path
+    SCALE.md r10/r11 measure — 2.38x at 500k docs on the quiet-host
+    baseline): banded_signature_index over the OLD docs +
     manifest over the OLD pair graph, then incremental_components_update
     with the 20% batch must reproduce x29's full-recompute labels
     exactly. Unlike x140's registry form (which rebuilds state in-op),
@@ -309,6 +310,69 @@ def test_incremental_components_update_library_path(spark):
         (r.doc_id, r.cluster)
         for r in QUERIES["x29_dedup_clusters"](spark, SF_DIR_001).collect()
     )
+    assert got == want
+
+
+def test_incremental_merges_old_components_through_batch_doc(spark):
+    """The contraction's hardest case, pinned BY CONSTRUCTION: one
+    batch doc near-dups members of TWO distinct old components, so the
+    r11 contract-then-solve path must merge the components through the
+    contracted graph (label1 — batch — label2) and relabel BOTH old
+    components to the global min. The fixture corpora never exercise
+    this (measured r11: zero batch docs touch >= 2 old components at
+    sf0.01), so the real-data identity gates alone would let a
+    contraction bug here ship silently.
+
+    Construction: shared word block S plus unique blocks A/B sized so
+    shingle Jaccard(S+A, S+B) ~ 0.29 (old components stay separate)
+    while the batch doc S+A+B reads ~ 0.65 / 0.56 against them (edges
+    to both)."""
+    from ask_duckdb_spark.operators.dedup import (
+        _jaccard_filtered,
+        _min_label_components,
+        _pairs_from_bands,
+        banded_signature_index,
+        incremental_components_update,
+    )
+
+    def block(p):
+        return [f"{p}{i}" for i in range(24)]
+
+    s, a, b = block("s"), block("a"), block("b")
+    t1, t2, z = " ".join(s + a), " ".join(s + b), " ".join(s + a + b)
+    old = spark.createDataFrame(
+        [(1, t1), (2, t1), (3, t2), (4, t2)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame([(100, z)], "doc_id long, text string")
+
+    index = banded_signature_index(old)
+    manifest = _min_label_components(
+        _jaccard_filtered(_pairs_from_bands(index, "doc_id")).select(
+            "id_a", "id_b"
+        ),
+        who="merge-test manifest",
+    )
+    man = {r.v: r.label for r in manifest.collect()}
+    # Precondition: exactly the two intended old components.
+    assert man == {1: 1, 2: 1, 3: 3, 4: 3}, man
+
+    upd = incremental_components_update(batch, index, manifest)
+    got = {r.v: r.label for r in upd.collect()}
+    manifest.unpersist()
+    upd.unpersist()
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 100: 1}, got
+
+    # And the answer is identical to a full recompute over old ∪ batch.
+    full = _min_label_components(
+        _jaccard_filtered(
+            _pairs_from_bands(
+                banded_signature_index(old.unionByName(batch)), "doc_id"
+            )
+        ).select("id_a", "id_b"),
+        who="merge-test full",
+    )
+    want = {r.v: r.label for r in full.collect()}
+    full.unpersist()
     assert got == want
 
 
