@@ -884,11 +884,19 @@ def _ivf_candidate_pairs(
     """
     if max_bucket is None:
         max_bucket = KNN_MAX_BUCKET
-    cents = _ivf_centroids(emb, n_cells)
+    # persist BOTH fan-out frames (the x27/x62 cents lifecycle, plus
+    # the assignment): cents feeds the assignment, and the assignment
+    # feeds three branches (prim census + both self-join sides).
+    # Without the persists every branch re-expands the full
+    # centroid+assignment lineage — measured r11: the x141 plan
+    # scanned the embeddings parquet 14x per execution.
+    cents = _ivf_centroids(emb, n_cells).persist()
     # Multi-probe assignment via the shared scorer (one tie-break, one
     # norm hoist — x27/x62's `_assign_cells` with n_probe > 1).
-    assigned = _assign_cells(emb, cents, n_probe=n_probe, keep_rank=True).select(
-        "vec_id", "cell", "rn"
+    assigned = (
+        _assign_cells(emb, cents, n_probe=n_probe, keep_rank=True)
+        .select("vec_id", "cell", "rn")
+        .persist()
     )
     # Primary-member census per cell: n_cells rows, broadcast back onto
     # the replicated assignment. A cell with no primary members keeps
@@ -916,7 +924,8 @@ def _ivf_candidate_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    return _attach_embeddings(ids, emb)
+    out = _attach_embeddings(ids, emb)
+    return unpersist_with(unpersist_with(out, cents), assigned)
 
 
 def _capped_pairs_sql(keep_self: bool, cte: str = "bk") -> str:
@@ -1205,11 +1214,15 @@ def ivf_knn_graph(
     Recall floor pytest-gated in tests/test_similarity.py.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    return _rerank_topk(
-        _ivf_candidate_pairs(
-            emb, keep_self=True, n_cells=n_cells, n_probe=n_probe
-        )
+    pairs = _ivf_candidate_pairs(
+        emb, keep_self=True, n_cells=n_cells, n_probe=n_probe
     )
+    # Lifetime chain: the rerank result holds `pairs` (via the
+    # finalizer closure), whose own finalizer releases the persisted
+    # centroid/assignment frames — without this the caches died the
+    # moment this function returned (weakref fires on the LOCAL frame)
+    # and every branch re-expanded the full IVF lineage.
+    return unpersist_with(_rerank_topk(pairs), pairs)
 
 
 # --- x58: deterministic random-projection dimensionality reduction ----
@@ -3175,7 +3188,10 @@ def triangle_census_ivf(
     --stages ivf.
     """
     knn = ivf_knn_graph(spark, sf_dir, n_cells=n_cells, n_probe=n_probe)
-    return _census_from_knn(knn.select("src", "dst"))
+    # Same lifetime chain as ivf_knn_graph: the census result keeps
+    # the knn frame (and through it the IVF caches) alive until the
+    # caller releases it.
+    return unpersist_with(_census_from_knn(knn.select("src", "dst")), knn)
 
 
 def _x141_oracle() -> str:
