@@ -2388,7 +2388,10 @@ def incremental_components_update(
     # manifest is corpus-sized, and a left-outer join against it would
     # shuffle the corpus per ingest (the exact cost this function
     # exists to avoid). After this, every kernel-side frame is
-    # O(batch) and AQE broadcasts it.
+    # O(batch). No forced broadcast hint — AQE broadcasts the touched
+    # set at any sane ingest cadence and degrades to a shuffled join
+    # rather than a driver OOM on a monster batch (the same posture as
+    # ``bset`` above).
     touched_ids = (
         new_edges.select(F.col("id_a").alias("_cv"))
         .union(new_edges.select(F.col("id_b").alias("_cv")))
@@ -2396,7 +2399,7 @@ def incremental_components_update(
     )
     old_map = manifest.select(
         F.col("v").alias("_cv"), F.col("label").alias("_cl")
-    ).join(F.broadcast(touched_ids), "_cv", "left_semi")
+    ).join(touched_ids, "_cv", "left_semi")
     contracted = (
         new_edges.join(
             old_map.withColumnRenamed("_cv", "id_a"), "id_a", "left"
