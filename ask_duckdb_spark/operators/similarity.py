@@ -877,10 +877,11 @@ def _ivf_candidate_pairs(
     embeddings n_probe=2 reads 0.723 graph recall, n_probe=3 (the
     default — N_PROBE, the x27 convention) reads 0.953 and n_probe=4
     0.998 (measured r10, sf0.001); the kNN-graph recall floor is
-    pytest-gated in tests/test_similarity.py like x87's, and the
-    banded form remains the registered default — this is the measured
-    at-scale alternative, selected by the n_cells knob a 100 TB
-    deployment sets from its corpus-size estimate.
+    pytest-gated in tests/test_similarity.py like x87's. Since r11
+    both candidate generators are registered, oracle-paired peers
+    (banded x44/x137, IVF x141/x142); this is the at-scale form,
+    selected by the n_cells knob a 100 TB deployment sets from its
+    corpus-size estimate.
     """
     if max_bucket is None:
         max_bucket = KNN_MAX_BUCKET
