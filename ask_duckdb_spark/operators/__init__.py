@@ -32,75 +32,74 @@ from . import hygiene  # noqa: F401,E402
 # r9 closed 50/50 again (x138-x140/x117b + the x44-restructure
 # consumers + the r02/r03 relational+NL tail).
 #
-# ROUND-11 WINDOW (active), per VERDICT r10 items 1-2: lead with the
-# two NEW zero-evidence entries registering the IVF scale path
-# (x141/x142 - the designated 100 TB census plan, judge item 1; they
-# also re-exercise the ADVICE-r10 primary-member cap fix in
-# _ivf_candidate_pairs), then walk the judge-traced stalest tail:
-# the r04 TPC-H q-suite (q11-q22, last rows in CORRECTNESS_r04.json),
-# the full 32-entry r05 block (x6/x24/x27/x29/x38/x42/x45-x63/x66,
-# f20/f21, nl6, so4-so6 - x27/x62/x63 also sit downstream of the
-# _ivf_sql refactor, so their slots double as regression evidence),
-# topped up to 50 from the r06 tail head (g12, w5, x100-family).
-# Still stale after this window: the remaining 28 r06 rows - keep
-# walking in r12.
+# ROUND-12 WINDOW (active), per VERDICT r11 items 1 and 3: no new
+# surface this round (judge item 7) — the window is plan-changed
+# entries first, then a pure staleness rotation. Lead: the three
+# entries whose contract/plan changes THIS round and therefore need
+# fresh driver evidence (x2f gains x2's pair-set oracle and drops the
+# hash-family-dependent estimate column, judge item 3; x4f's rows-only
+# status is re-documented as by-design — its pair set is provably
+# hash-family-dependent, see tests/test_fastpath.py — and re-evidenced;
+# x132 gets its grid discipline enforced in code with the oracle
+# updated in lockstep, judge item 6). Then the complete 28-entry r06
+# tail (the judge-traced stalest evidence anywhere), then 19 from the
+# oldest r07 block. Still stale after this window: the remaining 25
+# r07 rows (x101/x104/x106/x107/x113, the x115-x131 layout/stats band,
+# x92/x94, and the inherently rows-only x54/x67) — keep walking in r13.
 _VERIFY_FIRST = [
-    # NEW this round: the IVF census/knn-graph scale path, oracle-
-    # paired via the x62/x63 QSCALE discipline (VERDICT r10 item 1)
-    "x141_ivf_knn_graph",
-    "x142_ivf_triangle_census",
-    # r04 TPC-H q-suite: the oldest driver evidence anywhere
-    "q11_important_stock",
-    "q12_priority_shipping",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q21_waiting_suppliers",
-    "q22_dormant_high_balance",
-    # r05 block: dialect tail
-    "f20_array_agg_sorted",
-    "f21_map_functions",
-    "nl6_duckdb_dialect_passthrough",
-    "so4_intersect_all",
-    "so5_except_all",
-    "so6_union_by_name",
-    # r05 block: scale-extension mid-tail
-    "x24_dedup_keep",
-    "x27_ivf_topk",
-    "x29_dedup_clusters",
-    "x38_cms_heavy_hitters",
-    "x42_label_centroids",
-    "x45_pii_redaction",
-    "x46_url_normalize_dedup",
-    "x47_chunk_documents",
-    "x48_char_diversity_filter",
-    "x49_incremental_dedup",
-    "x4b_simhash_neardup_pairs",
-    "x50_length_outlier_filter",
-    "x51_domain_cap",
-    "x52_funnel_stages",
-    "x53_prefix_filter_jaccard",
-    "x55_full_prep_pipeline",
-    "x56_join_key_skew_report",
-    "x57_bigram_rarity",
-    "x58_random_projection",
-    "x59_source_overlap",
-    "x60_mixture_weights",
-    "x61_gopher_quality_rules",
-    "x62_semdedup",
-    "x63_semdedup_hier",
-    "x66_dsir_importance",
-    "x6_ann_lsh_topk",
-    # r06 tail head: fills to 50
-    "g12_stats_agg",
-    "w5_range_frame",
-    "x100_event_transitions",
-    "x102_journey_surprisal",
-    "x103_column_profile",
-    "x105_embedding_drift",
-    "x108_reshard_audit",
+    # Plan-changed this round (VERDICT r11 items 3 and 6)
+    "x2f_minhash_neardup_fast",
+    "x4f_simhash_fast",
+    "x132_ks_drift",
+    # The full r06-stale tail (VERDICT r11 item 1, all 28)
+    "x28b_user_value_trend_sql",
+    "x70_kmeans_lloyd",
+    "x71_mixture_sample",
+    "x72_cell_exemplars",
+    "x73_source_divergence",
+    "x74_neardup_eval",
+    "x76_bm25_topk",
+    "x77_zipf_slope",
+    "x78_curriculum_bins",
+    "x80_cc_star",
+    "x82_source_card",
+    "x84_truncation_recall",
+    "x86_novelty_ratio",
+    "x87_ann_recall_eval",
+    "x88_source_novelty",
+    "x89_hybrid_rrf",
+    "x91_containment_pairs",
+    "x93_mean_surprisal",
+    "x95_vocab_coverage",
+    "x96_leakage_safe_split",
+    "x97_late_event_audit",
+    "x98_mixture_deficiency",
+    "x99_dup_source_attribution",
+    "x109_session_transitions",
+    "x110_interarrival_percentiles",
+    "x111_conversion_time",
+    "x112_norm_audit",
+    "x114_fk_audit",
+    # Oldest r07 tail: fills to 50 (judge-named head first)
+    "f14_math",
+    "g10_approx_count_distinct",
+    "q2_min_cost_supplier",
+    "q20_excess_shipments",
+    "w7_percent_rank_cume",
+    "x10_quality_score",
+    "x22_tfidf_top_term",
+    "x37_quantile_sketch",
+    "x39_repetition_ratio",
+    "x43_quantize_error",
+    "x64_paragraph_dedup",
+    "x65_pq_adc_topk",
+    "x68_repeated_window_spans",
+    "x75_hard_negatives",
+    "x79_vocab_growth",
+    "x81_token_budget_select",
+    "x83_budget_select_cutoff",
+    "x85_cluster_keep_best",
+    "x90_stratified_budget_select",
 ]
 
 

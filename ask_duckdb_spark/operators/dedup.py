@@ -448,23 +448,39 @@ def _jaccard_filtered(pairs: DataFrame) -> DataFrame:
     return est.filter(F.col("jaccard_est") >= 0.5).orderBy("id_a", "id_b")
 
 
-@query("x2f_minhash_neardup_fast")
+#: x2f's oracle: the PAIR-SET projection of x2's full oracle. The pair
+#: set is the hash-family-stable contract of the fast path (pinned by
+#: tests/test_fastpath.py); the per-pair jaccard_est is NOT — it counts
+#: matching signature slots, and which permutation slots agree depends
+#: on the token-hash primitive (measured at sf0.01: identical 25-pair
+#: set, 15/25 estimates differ between md5 and xxhash64 families). So
+#: the registry contract for the fast path is the dedup deliverable —
+#: the pair list — and THAT is value-hash-checked against DuckDB
+#: (VERDICT r11 item 3, refined to what is actually hash-stable).
+_X2F_ORACLE = (
+    f"SELECT id_a, id_b FROM ({_X2_ORACLE}\n) ORDER BY id_a, id_b"
+)
+
+
+@query("x2f_minhash_neardup_fast", oracle=_X2F_ORACLE)
 def x2f_minhash_neardup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """xxhash64 production path of x2 — same pipeline, native hashing.
 
-    No SQL oracle (DuckDB cannot compute xxhash64), so the driver
-    records a rows-only check; the REAL gate is tests/test_fastpath.py,
-    which asserts this path's pair set agrees with oracle-audited x2 on
-    the fixtures. x2 (portable md5) is the auditable twin you sample-
-    audit with; this is what you run over 100 TB, where the ~2x/token
-    hash saving is hours of cluster time and the sketch family
-    (permutations, banding, skew cap) is IDENTICAL — only the token
-    hash primitive differs. Mirrors the x3 (exact) / x2 (sketch)
-    differential pattern one level down.
+    Oracle-checked on the pair set (see _X2F_ORACLE: the estimates are
+    hash-family-dependent by construction, the pair list is not), and
+    additionally pytest-pinned pair-for-pair equal to oracle-audited x2
+    in tests/test_fastpath.py. x2 (portable md5) is the auditable twin
+    you sample-audit with; this is what you run over 100 TB, where the
+    ~2x/token hash saving is hours of cluster time and the sketch
+    family (permutations, banding, skew cap) is IDENTICAL — only the
+    token hash primitive differs. Mirrors the x3 (exact) / x2 (sketch)
+    differential pattern one level down. Callers who want the (fast-
+    family) estimates use _neardup_pairs_from_signatures directly.
     """
     d = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures_fast(d, "doc_id", "text").persist()
-    return unpersist_with(_neardup_pairs_from_signatures(sig), sig)
+    pairs = _neardup_pairs_from_signatures(sig).select("id_a", "id_b")
+    return unpersist_with(pairs.orderBy("id_a", "id_b"), sig)
 
 
 # ---------------------------------------------------------------------------
@@ -822,10 +838,17 @@ def x4f_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Bits 0-59 of ``xxhash64(token)`` replace the md5-derived 60-bit
     hash; everything else (tokenizer, per-bit majority, band scheme in
-    x4b's pairing) is byte-identical code. Rows-only at the driver
-    (xxhash64 has no DuckDB twin); tests/test_fastpath.py gates its
-    Hamming-radius pair set against the oracle-audited portable x4b
-    pairs. The production default at 100 TB for the same reason as x2f:
+    x4b's pairing) is byte-identical code. DELIBERATELY rows-only at
+    the driver, unlike x2f: x2f's pair set is hash-family-stable (so it
+    carries x2's pair-set oracle), but SimHash+Hamming<=3 is a tighter
+    sketch whose output — signature values AND the derived pair set —
+    is legitimately hash-family-dependent (measured at sf0.01: portable
+    finds 13 of the 25 exact-J>=0.5 truth pairs, fast finds 17; see
+    tests/test_fastpath.py). No DuckDB expression reproduces xxhash64,
+    and pinning equality to the portable x4b pairs would be a WRONG
+    gate, so the real correctness gates are the hash-family-independent
+    invariants + recall floor in tests/test_fastpath.py. The production
+    default at 100 TB for the same reason as x2f:
     the hash is the wall there, and it's ~2x cheaper per token.
     """
     d = widen(load_table(spark, sf_dir, "documents"))

@@ -755,12 +755,31 @@ def x131_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x132 — two-sample Kolmogorov-Smirnov drift, exact integers
 # ---------------------------------------------------------------------------
 
+#: Hard bound on the KS evaluation grid (VERDICT r11 item 6): the
+#: metric is quantized to at most this many equal-width cells BEFORE
+#: the |sources| x |grid| cross join, so an unbounded-cardinality
+#: metric can never blow the grid — the discipline is enforced in the
+#: plan, not just documented. Quantization is LOSSLESS whenever the
+#: integer value span <= cells (consecutive values land in distinct
+#: cells), which holds for n_chars at every test SF; when lossy, KS on
+#: the 1e4-cell grid underestimates D by at most the largest single-
+#: cell probability mass (~1e-4 for smooth distributions). Integer-DIV
+#: arithmetic on both engines keeps the oracle in exact lockstep;
+#: headroom: span * cells must fit int64 (span <= 9.2e14).
+KS_GRID_CELLS = 10_000
+
 
 @query(
     "x132_ks_drift",
-    oracle="""
-    WITH c AS (
+    oracle=f"""
+    WITH c0 AS (
       SELECT source, n_chars AS v, count(*) AS cs FROM documents GROUP BY 1, 2
+    ), gb AS (
+      SELECT min(v) AS mn, max(v) - min(v) + 1 AS span FROM c0
+    ), c AS (
+      SELECT source, ((v - mn) * {KS_GRID_CELLS}) // span AS v,
+             sum(cs) AS cs
+      FROM c0 CROSS JOIN gb GROUP BY 1, 2
     ), av AS (
       SELECT v, sum(cs) AS ca FROM c GROUP BY 1
     ), cuma AS (
@@ -809,15 +828,37 @@ def x132_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     product, then widen to decimal(38,0)/HUGEINT (same plan). The
     statistic needs the cumulative merge only over the |distinct v| ×
     |sources| GRID (not the corpus): one corpus scan builds the
-    (source, v) count frame (persisted — it feeds four consumers),
-    after which every window and join runs on grid-sized data. For a
-    continuous metric, quantize to a bounded grid first (the x127
-    discipline) — KS on a 1e4-point grid loses at most 1e-4 of D.
+    (source, v) count frame, which is then quantized to at most
+    KS_GRID_CELLS width_bucket-style cells (ENFORCED in the plan —
+    see KS_GRID_CELLS; lossless at every test SF) and persisted (it
+    feeds four consumers), after which every window and join runs on
+    bounded grid-sized data.
     """
     d = load_table(spark, sf_dir, "documents").select(
         "source", F.col("n_chars").alias("v")
     )
-    c = d.groupBy("source", "v").agg(F.count("*").alias("cs")).persist()
+    # Raw per-(source, value) counts: the only corpus-sized shuffle,
+    # map-side combinable. Persisted because both the grid bounds and
+    # the quantized re-aggregation read it.
+    c0 = d.groupBy("source", "v").agg(F.count("*").alias("cs")).persist()
+    gb = c0.agg(
+        F.min("v").alias("mn"),
+        (F.max("v") - F.min("v") + F.lit(1)).alias("span"),
+    )
+    # Monotone integer quantization — identical DIV arithmetic to the
+    # oracle's // — caps the grid at KS_GRID_CELLS cells by
+    # construction: (v - mn) <= span - 1 implies cell <= cells - 1.
+    c = (
+        c0.crossJoin(F.broadcast(gb))
+        .select(
+            "source",
+            F.expr(f"((v - mn) * {KS_GRID_CELLS}) DIV span").alias("v"),
+            "cs",
+        )
+        .groupBy("source", "v")
+        .agg(F.sum("cs").alias("cs"))
+        .persist()
+    )
     av = c.groupBy("v").agg(F.sum("cs").alias("ca"))
     cuma = av.select(
         "v", F.sum("ca").over(Window.orderBy("v")).alias("cum_all")
@@ -863,4 +904,4 @@ def x132_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("d_ppm"), "source")
     )
-    return unpersist_with(result, c)
+    return unpersist_with(unpersist_with(result, c), c0)

@@ -1,17 +1,21 @@
 """Twin gates for the xxhash64 fast production paths (x2f, x4f).
 
-DuckDB cannot compute xxhash64, so these operators carry no SQL oracle
-— the driver records only rows-only checks. THIS file is their real
-correctness gate, the same differential pattern as x3 (exact Jaccard)
-auditing x2 (sketch), one level down: the oracle-audited portable path
-audits the fast path.
+DuckDB cannot compute xxhash64, so neither fast path can carry a
+signature-level SQL oracle. THIS file is their sketch-level correctness
+gate, the same differential pattern as x3 (exact Jaccard) auditing x2
+(sketch), one level down: the oracle-audited portable path audits the
+fast path.
 
 What is checkable differs per sketch:
 
 - MinHash estimates Jaccard directly; with 32 permutations and the
   fixtures' well-separated duplicate structure (true dups at J~0.97,
   non-dups at J~0), the >=0.5-estimate pair set is stable across hash
-  families — so x2f must produce EXACTLY x2's pair set.
+  families — so x2f must produce EXACTLY x2's pair set. Since r12 the
+  registry entry's contract IS that pair set (the per-pair estimate is
+  hash-family-dependent: 15/25 estimates differ at sf0.01), so x2f
+  additionally carries x2's pair-set oracle and the driver value-hash
+  checks it; this test pins the stronger pair-for-pair claim.
 - SimHash + Hamming<=3 is a much tighter sketch whose pair set is
   legitimately hash-family-dependent (measured: portable finds 13 of
   the 25 exact-J>=0.5 truth pairs at sf0.01, fast finds 17 + a few
