@@ -2420,9 +2420,19 @@ def incremental_components_update(
         .union(new_edges.select(F.col("id_b").alias("_cv")))
         .distinct()
     )
-    old_map = manifest.select(
-        F.col("v").alias("_cv"), F.col("label").alias("_cl")
-    ).join(touched_ids, "_cv", "left_semi")
+    # Persisted (ADVICE r11): old_map is BATCH-sized but has three
+    # consumers (both contraction joins + the new_vs anti-join), and
+    # each unpersisted consumption would re-stream the corpus-sized
+    # manifest — four scans per ingest where the discipline promises
+    # two. Materializing the semi-join once pins the count: manifest
+    # is streamed HERE and in out_old's relabel join, nowhere else.
+    old_map = (
+        manifest.select(
+            F.col("v").alias("_cv"), F.col("label").alias("_cl")
+        )
+        .join(touched_ids, "_cv", "left_semi")
+        .persist()
+    )
     contracted = (
         new_edges.join(
             old_map.withColumnRenamed("_cv", "id_a"), "id_a", "left"
@@ -2442,6 +2452,7 @@ def incremental_components_update(
     except Exception:
         bands_new.unpersist()
         new_edges.unpersist()
+        old_map.unpersist()
         raise
     relabel = small.select(F.col("v").alias("_rep"), F.col("label").alias("_final"))
     # Old vertices: one join manifest.label -> winner (labels untouched
@@ -2463,4 +2474,6 @@ def incremental_components_update(
         relabel.withColumnRenamed("_rep", "v"), "v", "left"
     ).select("v", F.coalesce(F.col("_final"), F.col("v")).alias("label"))
     out = out_old.unionByName(out_new)
-    return unpersist_with(unpersist_with(out, bands_new), new_edges)
+    return unpersist_with(
+        unpersist_with(unpersist_with(out, bands_new), new_edges), old_map
+    )

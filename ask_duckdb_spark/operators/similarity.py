@@ -899,16 +899,22 @@ def _ivf_candidate_pairs(
         .select("vec_id", "cell", "rn")
         .persist()
     )
-    # Primary-member census per cell: n_cells rows, broadcast back onto
+    # Primary-member census per cell: n_cells rows, joined back onto
     # the replicated assignment. A cell with no primary members keeps
-    # its replicated visitors (COALESCE 0 <= cap).
+    # its replicated visitors (COALESCE 0 <= cap). No forced broadcast
+    # hint (ADVICE r11): n_cells scales with corpus size at the design
+    # point (n / target_cell_size — ~1e7 cells for 1e10 vectors), so a
+    # hard hint could pin a driver-OOM plan; AQE broadcasts the census
+    # whenever its runtime size is actually small and degrades to a
+    # shuffled join when it isn't — the same posture dedup.py took in
+    # r11 for the touched-id semi-join.
     prim = (
         assigned.filter(F.col("rn") == 1)
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("psz"))
     )
     capped = (
-        assigned.join(F.broadcast(prim), ["cell"], "left")
+        assigned.join(prim, ["cell"], "left")
         .filter(F.coalesce(F.col("psz"), F.lit(0)) <= max_bucket)
         .select("vec_id", "cell")
     )

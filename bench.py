@@ -252,9 +252,7 @@ def main() -> int:
     )
     v2_total = round(sum(v2_timings.values()), 3)
     v2_duck_total = round(sum(v2_duck.values()), 3)
-    print(
-        json.dumps(
-            {
+    payload = {
                 "metric": "headline_total_wall",
                 "value": total,
                 "unit": "sec",
@@ -341,6 +339,37 @@ def main() -> int:
                 "load_avg_start": round(load_start, 2),
                 "load_avg_end": round(os.getloadavg()[0], 2),
                 "settle_wait_sec": settled_wait,
+    }
+    print(json.dumps(payload))
+    # The driver's BENCH artifact captures only the TAIL of stdout, and
+    # the full payload line is long enough that its head — the frozen
+    # set's per-query Spark walls — was clipped out of BENCH_r10/r11
+    # (VERDICT r11 item 4, "parsed": null). Emit the big line first,
+    # then a compact LAST line carrying the scalars + the per-query
+    # walls, so whatever window the driver keeps always ends with a
+    # complete, parseable JSON record with the triage data.
+    print(
+        json.dumps(
+            {
+                k: payload[k]
+                for k in (
+                    "metric",
+                    "value",
+                    "unit",
+                    "queries",
+                    "duckdb_oracle_total",
+                    "spark_on_oracle_subset",
+                    "spark_vs_duckdb_ratio",
+                    "per_query_floor_sec",
+                    "ratio_minus_floor",
+                    "v2_total",
+                    "v2_duckdb_total",
+                    "v2_ratio",
+                    "v2_ratio_minus_floor",
+                    "sf",
+                    "load_avg_start",
+                    "load_avg_end",
+                )
             }
         )
     )

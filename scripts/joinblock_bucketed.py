@@ -59,10 +59,23 @@ def content_fingerprint(df):
     over every column (stringified NULL-safe struct), as decimal so a
     billion-row sum cannot overflow. Distributed — no collect — so it
     is safe at any trial factor, and the same diffcheck-grade content
-    equality the tests' collect-and-compare gives at small SF."""
-    from pyspark.sql import functions as F
+    equality the tests' collect-and-compare gives at small SF.
 
-    h = F.xxhash64(F.to_json(F.struct(*df.columns)))
+    Map-typed columns are canonicalized to key-sorted entry arrays
+    first (ADVICE r11): ``to_json`` serializes map entries in physical
+    order, so two content-equal plans could otherwise fingerprint
+    differently just because a shuffle reordered map builds — a
+    spurious parity FAILURE, the opposite of the r10 assert's point."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import MapType
+
+    cols = [
+        F.array_sort(F.map_entries(f.name)).alias(f.name)
+        if isinstance(f.dataType, MapType)
+        else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    h = F.xxhash64(F.to_json(F.struct(*cols)))
     row = df.select(
         F.sum(h.cast("decimal(38,0)")).alias("fp"),
         F.count(F.lit(1)).alias("n"),
