@@ -28,7 +28,15 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
-from ._util import icents, icents_sql, money, money_sql, rev_units, rev_units_sql
+from ._util import (
+    icents,
+    icents_sql,
+    money,
+    money_sql,
+    rev_units,
+    rev_units_sql,
+    unpersist_with,
+)
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -160,11 +168,30 @@ def x116_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     single full-outer join + coalesce projection expresses exactly.
 
     Scale (100 TB): MERGE under the hood of every lakehouse writer IS
-    this plan (join target files against the source on the merge key,
-    rewrite matched files). The source aggregate is map-side
-    combinable; the join shuffles once on the merge key — bucketed
-    targets make it co-partitioned. Balances ride exact integer cents
-    until one identical closing division on both engines.
+    this operation, and the r12 plan is the shape a small-source MERGE
+    must take there: the corpus-sized TARGET is never shuffled. The
+    naive single full-outer join (this operator's r7-r11 form, and
+    what the SQL oracle literally states) hash-partitions the whole
+    target on the merge key per MERGE — a corpus shuffle for a batch-
+    sized change set. Instead the full-outer is decomposed, exactly
+    (both key columns are unique — c_custkey is the target PK, k is
+    post-groupBy), into:
+
+    - UPDATE ∪ KEEP: target LEFT JOIN source — source is batch-sized,
+      AQE broadcasts it, target is STREAMED;
+    - INSERT: source keys absent from the target, found WITHOUT
+      shuffling the target by first semi-reducing the target against
+      the broadcast source (``touched`` <= |source| rows), then
+      anti-joining the source against that small set (broadcast).
+
+    Target cost: two streaming scans, zero exchanges — scans are the
+    cheap currency at 100 TB, shuffles the expensive one. If the
+    source outgrows broadcast, AQE degrades each join to shuffled form
+    and the symmetric full-outer becomes competitive again — that
+    regime choice belongs to the planner, not a hint (no forced
+    broadcasts here). The source aggregate stays map-side combinable;
+    balances ride exact integer cents until one identical closing
+    division on both engines.
     """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -179,21 +206,44 @@ def x116_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("k")
         .agg(F.sum("u").cast("bigint").alias("delta_units"))
+        # Three consumers (update join, touched semi, insert anti) —
+        # persist so the batch aggregate's scan+shuffle runs once
+        # (x2's lifecycle pattern; without it each consumer re-ran the
+        # orders scan + agg: measured 12-exchange plan at sf0.1x10).
+        .persist()
     )
-    m = c.alias("t").join(src.alias("s"), F.col("t.c_custkey") == F.col("s.k"), "full_outer")
+    # WHEN MATCHED / NOT MATCHED BY SOURCE: one broadcast left join,
+    # target streamed.
+    upd = c.alias("t").join(
+        src.alias("s"), F.col("t.c_custkey") == F.col("s.k"), "left"
+    )
     bal_units = F.coalesce(icents("t.c_acctbal"), F.lit(0)) + F.coalesce(
         F.col("s.delta_units"), F.lit(0)
     )
-    return m.select(
-        F.coalesce(F.col("t.c_custkey"), F.col("s.k")).alias("c_custkey"),
-        F.coalesce(
-            F.col("t.c_name"),
-            F.concat(F.lit("Customer#new#"), F.col("s.k").cast("string")),
-        ).alias("c_name"),
-        F.coalesce(F.col("t.c_nationkey"), F.lit(-1)).cast("int").alias("c_nationkey"),
+    upd = upd.select(
+        F.col("t.c_custkey").alias("c_custkey"),
+        F.col("t.c_name").alias("c_name"),
+        F.col("t.c_nationkey").cast("int").alias("c_nationkey"),
         money(bal_units, 100).alias("c_acctbal"),
-        F.coalesce(F.col("t.c_mktsegment"), F.lit("UNKNOWN")).alias("c_mktsegment"),
+        F.col("t.c_mktsegment").alias("c_mktsegment"),
     )
+    # WHEN NOT MATCHED (insert): source keys with no target row. The
+    # target is semi-reduced against the broadcast source first, so
+    # the anti-join's build side is batch-sized — the target itself is
+    # never a join build side and never shuffles.
+    touched = c.select(F.col("c_custkey").alias("k")).join(
+        src.select("k"), "k", "left_semi"
+    )
+    ins = src.join(touched, "k", "left_anti").select(
+        F.col("k").alias("c_custkey"),
+        F.concat(F.lit("Customer#new#"), F.col("k").cast("string")).alias(
+            "c_name"
+        ),
+        F.lit(-1).cast("int").alias("c_nationkey"),
+        money(F.col("delta_units"), 100).alias("c_acctbal"),
+        F.lit("UNKNOWN").alias("c_mktsegment"),
+    )
+    return unpersist_with(upd.unionByName(ins), src)
 
 
 # ---------------------------------------------------------------------------
@@ -264,10 +314,13 @@ def x117_bloom_semijoin(
     """
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    build = (
-        o.filter(F.col("o_orderpriority") == "1-URGENT")
-        .select(F.col("o_orderkey").alias("bk"))
-        .distinct()
+    # No .distinct() (r12): o_orderkey is the orders PK, and BOTH
+    # consumers of the build side are duplicate-insensitive anyway —
+    # bit_or aggregation (idempotent, map-side combining) and the
+    # exact left-semi. The dedup was a full extra shuffle + stage of
+    # pure waste.
+    build = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("bk")
     )
     # Bloom build: k hash positions per key -> OR-aggregated words.
     seeds = F.explode(F.array(*[F.lit(s) for s in range(_BLOOM_K)])).alias("seed")
@@ -339,10 +392,16 @@ def x117b_plain_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    build = (
-        o.filter(F.col("o_orderpriority") == "1-URGENT")
-        .select(F.col("o_orderkey").alias("bk"))
-        .distinct()
+    # No .distinct() on the build side (r12): o_orderkey is the orders
+    # PK, so distinct was a full extra shuffle + stage deduplicating
+    # an already-unique column — and a left-semi join is insensitive
+    # to build-side duplicates anyway (measured at sf0.1x10: the
+    # distinct stage was ~0.3 s of this operator's ~0.9 s wall). For a
+    # genuinely non-unique build key, dedup before a SHUFFLED semi-
+    # join is volume hygiene; before a broadcast it only shrinks the
+    # hash table the semi-join builds either way.
+    build = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("bk")
     )
     return (
         li.join(build, li["l_orderkey"] == build["bk"], "left_semi")
