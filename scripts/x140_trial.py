@@ -365,8 +365,16 @@ def main() -> int:
 
     walls_fe, walls_ie = [], []
     for _ in range(args.runs):
+        # Per-rep load1 stamps (r12): lets a reader separate external
+        # bursts (load spikes on BOTH paths of a pair) from session-
+        # age effects (monotone growth at flat load) without guessing.
+        l0 = os.getloadavg()[0]
         walls_fe.append(run_full_e2e())
+        l1 = os.getloadavg()[0]
         walls_ie.append(run_inc_e2e())
+        print(f"  rep: full {walls_fe[-1][0]:.2f}s (load1 {l0:.1f}->"
+              f"{l1:.1f})  inc {walls_ie[-1][0]:.2f}s "
+              f"(end {os.getloadavg()[0]:.1f})")
     wfe = min(w for w, _ in walls_fe)
     wie = min(w for w, _ in walls_ie)
     print(f"full ingest e2e:        min-of-{args.runs} {wfe:.2f}s "
