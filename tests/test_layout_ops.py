@@ -70,6 +70,33 @@ def test_x116_merge_matrix(spark):
     assert kept["c_acctbal"] == round(untouched["c_acctbal"], 2)
 
 
+def test_x116_target_is_never_shuffled(spark):
+    """r12 plan gate for the decomposed MERGE: the target table must
+    only ever be STREAMED — no Exchange may hash-partition customer,
+    and all three joins must be broadcast-shaped (source built once).
+    This is the 100 TB posture the r12 rewrite bought (+2 local stage
+    floors, priced in BENCHLOG r12): a corpus-sized target never pays
+    a shuffle for a batch-sized MERGE."""
+    from ask_duckdb_spark.plans import formatted_plan
+
+    df = QUERIES["x116_merge_upsert"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # the three decomposition joins, all broadcast
+    assert "BroadcastHashJoin LeftOuter" in plan, plan
+    assert "BroadcastHashJoin LeftSemi" in plan, plan
+    assert "BroadcastHashJoin LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan
+    # the ONLY hash-partitioning Exchange allowed is the source
+    # aggregate's (on k, inside the InMemoryRelation's embedded plan);
+    # none may target a customer column.
+    import re
+
+    for m in re.finditer(r"hashpartitioning\(([a-zA-Z_0-9#]+)", plan):
+        assert m.group(1).startswith("k#"), m.group(0)
+    # and the result is still the full MERGE matrix
+    assert df.count() > load_table(spark, SF_DIR, "customer").count()
+
+
 def test_x117_bloom_equals_plain_semijoin_and_broadcasts(spark):
     out = QUERIES["x117_bloom_semijoin"](spark, SF_DIR)
     li = load_table(spark, SF_DIR, "lineitem")
