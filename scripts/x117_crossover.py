@@ -61,10 +61,10 @@ def plain_semi(spark, sf_dir: str):
     identical aggregate (the oracle's literal plan)."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    build = (
-        o.filter(F.col("o_orderpriority") == "1-URGENT")
-        .select(F.col("o_orderkey").alias("bk"))
-        .distinct()
+    # mirrors the registered x117b plan (r12: no distinct — o_orderkey
+    # is the orders PK and left-semi is duplicate-insensitive)
+    build = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("bk")
     )
     exact = li.join(build, li["l_orderkey"] == build["bk"], "left_semi")
     return (
