@@ -23,10 +23,12 @@ def test_driver_contract_wired():
 def test_verification_window_priority():
     """The driver's correctness harness checks the FIRST 50 registry
     entries in iteration order. The ROUND-12 window (VERDICT r11
-    items 1, 3, 6 + item 7's no-new-surface rule): the three entries
-    whose contract/plan changes this round lead (x2f oracle upgrade,
-    x4f by-design rows-only re-evidence, x132 grid enforcement), then
-    a pure staleness rotation — the complete 28-entry r06 tail and 19
+    items 1, 3, 6 + item 7's no-new-surface rule): the six entries
+    whose contract/plan changed this round lead (x2f oracle upgrade,
+    x4f by-design rows-only re-evidence, x132 grid enforcement, and
+    the item-2 audit rewrites x116/x117/x117b — swapped in mid-round
+    for three unchanged r07 rows, which stay at r7 either way), then
+    a pure staleness rotation — the complete 28-entry r06 tail and 16
     from the oldest r07 block."""
     import json
     import os
@@ -36,9 +38,14 @@ def test_verification_window_priority():
     window = list(QUERIES)[:50]
     # Plan-changed lead: fresh driver evidence lands in the same round
     # as the change (standing discipline, memory rule 1).
-    assert window[0] == "x2f_minhash_neardup_fast"
-    assert window[1] == "x4f_simhash_fast"
-    assert window[2] == "x132_ks_drift"
+    assert window[:6] == [
+        "x2f_minhash_neardup_fast",
+        "x4f_simhash_fast",
+        "x132_ks_drift",
+        "x116_merge_upsert",
+        "x117_bloom_semijoin",
+        "x117b_plain_semijoin",
+    ]
     # Every other slot must be spent on stale driver evidence: the
     # latest CORRECTNESS row for each remaining window entry must be
     # r06-r07 (nothing fresher deserves a slot while 5+-round-stale
@@ -52,12 +59,12 @@ def test_verification_window_priority():
             for q in json.load(open(p)):
                 latest[q] = r
     stale_violations = [
-        n for n in window[3:] if latest.get(n) not in (6, 7)
+        n for n in window[6:] if latest.get(n) not in (6, 7)
     ]
     assert not stale_violations, stale_violations
     r6_tail = {n for n, r in latest.items() if r == 6}
     assert len(r6_tail) == 28, len(r6_tail)
-    assert r6_tail <= set(window[3:]), sorted(r6_tail - set(window))
+    assert r6_tail <= set(window[6:]), sorted(r6_tail - set(window))
     # Every window entry carries a full value-hash oracle this round,
     # except x4f — rows-only BY DESIGN (its simhash values and pair set
     # are hash-family-dependent; gated by tests/test_fastpath.py).
