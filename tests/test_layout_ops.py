@@ -97,6 +97,33 @@ def test_x116_target_is_never_shuffled(spark):
     assert df.count() > load_table(spark, SF_DIR, "customer").count()
 
 
+def test_x116_correct_when_source_cannot_broadcast(spark):
+    """The docstring's degradation claim, executed: with broadcast
+    joins disabled (the monster-source regime at 100 TB), AQE falls
+    back to shuffled joins and the decomposed MERGE must produce the
+    SAME rows — the plan choice degrades, the semantics do not."""
+    confs = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    saved = {c: spark.conf.get(c, None) for c in confs}
+    normal = {
+        tuple(r) for r in QUERIES["x116_merge_upsert"](spark, SF_DIR).collect()
+    }
+    try:
+        for c in confs:
+            spark.conf.set(c, "-1")
+        degraded = {
+            tuple(r)
+            for r in QUERIES["x116_merge_upsert"](spark, SF_DIR).collect()
+        }
+    finally:
+        for c, v in saved.items():
+            if v is not None:
+                spark.conf.set(c, v)
+    assert degraded == normal
+
+
 def test_x117_bloom_equals_plain_semijoin_and_broadcasts(spark):
     out = QUERIES["x117_bloom_semijoin"](spark, SF_DIR)
     li = load_table(spark, SF_DIR, "lineitem")
