@@ -45,6 +45,12 @@ PINNED = [
     # closes from rank-selected integer bounds
     "x127_corr_matrix",
     "x128_winsorized_stats",
+    # r12 rewrites: the decomposed MERGE (broadcast left + semi/anti
+    # union — a union's partition layout is exactly what varies here)
+    # and the KS drift under its enforced quantization grid (cumulative
+    # windows over the quantized cells)
+    "x116_merge_upsert",
+    "x132_ks_drift",
 ]
 
 
