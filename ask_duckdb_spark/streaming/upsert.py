@@ -1,10 +1,12 @@
 """Streaming CDC apply: x116's MERGE upsert as a foreachBatch loop.
 
 The batch operator (operators/layout.py x116) merges one source
-aggregate into the target in a single full-outer plan. In production
-the source arrives CONTINUOUSLY — this module is the apply loop that
-keeps a target table current under a stream of updates, the pattern
-behind every lakehouse streaming-MERGE sink:
+aggregate into the target via the r12 decomposition (broadcast left
+join + semi-reduce-then-anti inserts — the target is streamed, never
+shuffled). In production the source arrives CONTINUOUSLY — this
+module is the apply loop that keeps a target table current under a
+stream of updates, the pattern behind every lakehouse streaming-MERGE
+sink:
 
 - **State = versioned parquet snapshots** (``target/v00000`` …), a
   poor-man's commit log: version ``b+1`` is derived from version ``b``
@@ -23,10 +25,11 @@ behind every lakehouse streaming-MERGE sink:
   rows are stable under later updates.
 
 Scale (100 TB): each micro-batch costs one map-side-combinable source
-aggregate plus one merge-key join against the current snapshot — at
-production scale the snapshot is bucketed by the merge key so the join
-is exchange-free on the target side, and version GC keeps the last K
-snapshots (time travel for free). A real deployment swaps the
+aggregate plus two STREAMING scans of the current snapshot (broadcast
+left join + the insert semi/anti pair — zero snapshot exchanges, the
+x116 r12 posture; a bucketed/clustered snapshot additionally turns
+the rewrite into touched-file surgery), and version GC keeps the
+last K snapshots (time travel for free). A real deployment swaps the
 directory-versioning for a table format's atomic commit; the PLAN per
 batch is identical.
 """
@@ -80,22 +83,46 @@ def upsert_apply(
         .groupBy("k")
         .agg(F.sum("u").cast("bigint").alias("delta_units"))
     )
-    prev = spark.read.parquet(_vdir(target_dir, batch_id))
-    m = prev.alias("t").join(src.alias("s"), F.col("t.c_custkey") == F.col("s.k"), "full_outer")
-    merged = m.select(
-        F.coalesce(F.col("t.c_custkey"), F.col("s.k")).alias("c_custkey"),
-        F.coalesce(
-            F.col("t.c_name"),
-            F.concat(F.lit("Customer#new#"), F.col("s.k").cast("string")),
-        ).alias("c_name"),
-        F.coalesce(F.col("t.c_nationkey"), F.lit(-1)).cast("int").alias("c_nationkey"),
-        (
-            F.coalesce(F.col("t.bal_units"), F.lit(0))
-            + F.coalesce(F.col("s.delta_units"), F.lit(0))
-        ).cast("bigint").alias("bal_units"),
-        F.coalesce(F.col("t.c_mktsegment"), F.lit("UNKNOWN")).alias("c_mktsegment"),
-    )
-    merged.write.mode("overwrite").parquet(_vdir(target_dir, batch_id + 1))
+    # r12: same decomposition as batch x116 — the snapshot (the
+    # corpus-sized side, re-joined EVERY micro-batch) is only ever
+    # STREAMED, never shuffled: broadcast left join for update/keep,
+    # semi-reduce-then-anti for inserts. A streaming MERGE pays this
+    # join per batch forever, so the removed per-batch target shuffle
+    # is the difference between a sink that keeps up and one that
+    # falls behind as the target grows. src is micro-batch-sized by
+    # construction; persisted for its three consumers and released
+    # right after the eager snapshot write.
+    src = src.persist()
+    try:
+        prev = spark.read.parquet(_vdir(target_dir, batch_id))
+        upd = prev.alias("t").join(
+            src.alias("s"), F.col("t.c_custkey") == F.col("s.k"), "left"
+        ).select(
+            F.col("t.c_custkey").alias("c_custkey"),
+            F.col("t.c_name").alias("c_name"),
+            F.col("t.c_nationkey").cast("int").alias("c_nationkey"),
+            (
+                F.col("t.bal_units")
+                + F.coalesce(F.col("s.delta_units"), F.lit(0))
+            ).cast("bigint").alias("bal_units"),
+            F.col("t.c_mktsegment").alias("c_mktsegment"),
+        )
+        touched = prev.select(F.col("c_custkey").alias("k")).join(
+            src.select("k"), "k", "left_semi"
+        )
+        ins = src.join(touched, "k", "left_anti").select(
+            F.col("k").alias("c_custkey"),
+            F.concat(F.lit("Customer#new#"), F.col("k").cast("string")).alias(
+                "c_name"
+            ),
+            F.lit(-1).cast("int").alias("c_nationkey"),
+            F.col("delta_units").cast("bigint").alias("bal_units"),
+            F.lit("UNKNOWN").alias("c_mktsegment"),
+        )
+        merged = upd.unionByName(ins)
+        merged.write.mode("overwrite").parquet(_vdir(target_dir, batch_id + 1))
+    finally:
+        src.unpersist()
 
 
 def current_state(spark: SparkSession, target_dir: str) -> DataFrame:
