@@ -420,10 +420,73 @@ def x2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unpersist_with(_neardup_pairs_from_signatures(sig), sig)
 
 
+def _pairs_est_from_bands(bands: DataFrame, id_col: str) -> DataFrame:
+    """(id_a, id_b, jaccard_est) straight out of the bucket loop.
+
+    r13 twin of :func:`_pairs_from_bands` for consumers that only need
+    the ESTIMATE (x2/x2f's registered path): the signature overlap is
+    computed INSIDE the pair lambda — while both sigs are in hand in
+    the bucket member array — so the pair frame that reaches the
+    dedup exchange is three scalars (~24 B/pair) instead of two 32-long
+    signatures (~550 B/pair), and ``dropDuplicates`` runs as a
+    HashAggregate instead of the SortAggregate (two extra Sorts) that
+    array columns forced in the r13 `before` plan. Identical pair set
+    and estimates by construction: est is a pure function of the two
+    signatures, so every duplicate (multi-band collision) carries the
+    same value and keep-any == keep-first."""
+    members = (
+        bands.groupBy("band", "bucket")
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("i"), F.col("sig").alias("s"))
+            ).alias("ms")
+        )
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= MAX_BUCKET))
+    )
+    pairs = members.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ms",
+                    lambda a: F.transform(
+                        F.filter(F.col("ms"), lambda b: b["i"] > a["i"]),
+                        lambda b: F.struct(
+                            a["i"].alias("id_a"),
+                            b["i"].alias("id_b"),
+                            (
+                                F.size(
+                                    F.filter(
+                                        F.zip_with(
+                                            a["s"], b["s"], lambda x, y: x == y
+                                        ),
+                                        lambda m: m,
+                                    )
+                                )
+                                / F.lit(N_HASHES)
+                            ).alias("jaccard_est"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b", "p.jaccard_est")
+
+
 def _neardup_pairs_from_signatures(sig: DataFrame) -> DataFrame:
     """Banded-LSH pairs + signature-estimated Jaccard >= 0.5 from a
-    (doc_id, sig) frame — shared by the portable and fast paths."""
-    return _jaccard_filtered(lsh_candidate_pairs(sig, "doc_id"))
+    (doc_id, sig) frame — shared by the portable and fast paths.
+
+    r13: est-early formulation — threshold-filter BEFORE the pair
+    dedup (each duplicate of a pair carries the identical estimate, so
+    filter-then-dedup == dedup-then-filter) and dedup on scalars only
+    (see :func:`_pairs_est_from_bands`)."""
+    return (
+        _pairs_est_from_bands(_banded(sig, "doc_id"), "doc_id")
+        .filter(F.col("jaccard_est") >= 0.5)
+        .dropDuplicates(["id_a", "id_b"])
+        .orderBy("id_a", "id_b")
+    )
 
 
 def _jaccard_filtered(pairs: DataFrame) -> DataFrame:

@@ -433,26 +433,31 @@ def x136_eval_leak_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     run off the SAME gram frame, so at scale they are one pass with
     two rollups.
 
-    Scale (100 TB): identical shape to x133 — the join is gram-keyed
-    with the eval side benchmark-sized; count(DISTINCT train_id) per
-    eval doc is bounded by that gram's posting length, and the hot-gram
-    pathology (a boilerplate gram shared by millions of training docs)
-    is exactly what x51's domain-cap / x2's MAX_BUCKET guard pattern
-    bounds if it appears — at fixture scale the raw join is the honest
-    oracle-checkable form.
+    Scale (100 TB): x133b's posture applied to this view (r13 rewrite).
+    The EVAL side is the benchmark-sized one, so it is the broadcast
+    side — (eval_id, h) ships to every executor once and the TRAINING
+    gram stream is probed where it is produced: zero shuffle of corpus
+    grams. The pre-join ``tr.distinct()`` of the old shape — a full
+    shuffle of the 90% training gram stream — is GONE: both output
+    measures are COUNT(DISTINCT ...), so duplicate train grams
+    multiplying join rows cannot change any count (the r13 diffcheck
+    re-proved hash-equality against the unchanged oracle, which keeps
+    its SELECT DISTINCT). What still shuffles is the per-eval-doc
+    distinct-count rollup over HIT pairs only — bounded by
+    contamination volume, not the corpus. The hot-gram pathology (a
+    boilerplate gram in millions of training docs) is what x51's
+    domain-cap / x2's MAX_BUCKET guard bounds if it appears.
     """
     d = load_table(spark, sf_dir, "documents")
     # modulo-before-grams, as in x133 (plan-audited r7)
     ev = _doc_grams(d.filter(F.col("doc_id") % EVAL_MOD == 0)).select(
         F.col("doc_id").alias("eval_id"), "h"
     )
-    tr = (
-        _doc_grams(d.filter(F.col("doc_id") % EVAL_MOD != 0))
-        .select(F.col("doc_id").alias("train_id"), "h")
-        .distinct()
+    tr = _doc_grams(d.filter(F.col("doc_id") % EVAL_MOD != 0)).select(
+        F.col("doc_id").alias("train_id"), "h"
     )
     return (
-        ev.join(tr, "h")
+        tr.join(F.broadcast(ev), "h")
         .groupBy("eval_id")
         .agg(
             F.countDistinct("train_id").cast("bigint").alias("n_train_docs"),

@@ -372,26 +372,50 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     The batch iterator shape, Arrow transfer, and bounded memory are
     exactly the real pipeline's.
     """
+    import numpy as np
+
     for pdf in batches:
         payload = pdf["payload"]
-        n = payload.str.len()
+        lens = payload.str.len().to_numpy()
+        # Vectorized byte-mean (r13, guide §4.2): the old per-row
+        # ``payload.map(lambda b: sum(b) ...)`` summed every byte in
+        # interpreted Python — O(total payload bytes) of interpreter
+        # work per batch. Arrow-style instead: one concatenated buffer
+        # + an offsets array, per-row sums via np.add.reduceat — the
+        # whole batch goes through NumPy's native loop. Bit-identical
+        # output (int64→float64 exact, same IEEE op order as the old
+        # float(sum)/len*1e6+0.5 sequence; verified uint64-view equal
+        # on sf0.1).
+        if len(lens):
+            joined = np.frombuffer(b"".join(payload), dtype=np.uint8)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            sums = np.zeros(len(lens), dtype=np.int64)
+            nz = lens > 0
+            if nz.any():
+                # reduceat misbehaves on empty segments; index only
+                # non-empty rows (empty payloads keep sum 0).
+                sums[nz] = np.add.reduceat(joined.astype(np.int64), starts[nz])
+            # portable 6dp rounding: numpy .round is half-EVEN, DuckDB
+            # ROUND half-up — they disagree on exact midpoints (byte
+            # sums / power-of-two lengths, e.g. 93.7265625 at sf0.1).
+            # floor(x*1e6 + 0.5)/1e6 is the same IEEE sequence
+            # everywhere (the q2 fix pattern).
+            mean = (
+                np.floor(
+                    sums.astype(np.float64) / np.maximum(lens, 1) * 1e6 + 0.5
+                )
+                / 1e6
+            )
+        else:
+            mean = np.array([], dtype=np.float64)
+        n = pd.Series(lens, index=pdf.index)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "width": (n % 64 + 1).astype("int32"),
                 "height": (n // 64 % 64 + 1).astype("int32"),
                 "n_frames": (n % 7 + 1).astype("int32"),
-                # portable 6dp rounding: numpy .round is half-EVEN,
-                # DuckDB ROUND half-up — they disagree on exact
-                # midpoints (byte sums / power-of-two lengths, e.g.
-                # 93.7265625 at sf0.1). floor(x*1e6 + 0.5)/1e6 is the
-                # same IEEE sequence everywhere (the q2 fix pattern).
-                "mean_byte": payload.map(
-                    lambda b: __import__("math").floor(
-                        float(sum(b)) / max(len(b), 1) * 1e6 + 0.5
-                    )
-                    / 1e6
-                ),
+                "mean_byte": pd.Series(mean, index=pdf.index),
             }
         )
 
@@ -491,6 +515,12 @@ def x20_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified end to end. Works because fixture text is pure ASCII
     (byte value == codepoint); a real decoder wouldn't care.
     """
-    d = widen(load_table(spark, sf_dir, "documents"))
+    # No widen() (r13): the stub decode is vectorized and I/O-light, so
+    # the repartition exchange + 32 tiny Arrow round-trips cost MORE
+    # than the decode at fixture scale (interleaved A/B: ~2x slower
+    # with widen). At 100 TB the scan already has >> cores partitions,
+    # so parallelism for a real (expensive) decoder comes from the scan
+    # itself — widen was fixture-only overhead on this operator.
+    d = load_table(spark, sf_dir, "documents")
     payload = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     return payload.mapInPandas(_decode_batches, DECODE_SCHEMA).orderBy("doc_id")

@@ -1183,16 +1183,33 @@ def q3_shipping_priority(spark, sf_dir):
     Revenue sums exact integer 1e-4 dollar units (_util.rev_units) —
     the hashed float-aggregate class is order-dependent in its last ulp
     (the bit-exact diffcheck caught q3 diverging at sf0.01), and an
-    exact-cents sum is bit-portable at any partitioning."""
+    exact-cents sum is bit-portable at any partitioning.
+
+    Join order (r13): LEFT-DEEP, FACT-FIRST — lineitem joins each
+    filtered dimension in turn instead of joining a pre-built
+    (customer ⋈ orders) subtree. Without CBO, Catalyst estimates a
+    join's size as the PRODUCT of its children, so the dim-first shape
+    made the (c ⋈ o) side look enormous and the planner BROADCAST THE
+    FACT TABLE (BuildLeft over lineitem in the r13 `before` plan) — the
+    one choice wrong at every scale. Fact-first keeps every broadcast
+    candidate a base table with a sane file-size estimate: dims
+    broadcast while they fit the threshold, sort-merge when they
+    outgrow it, and the fact side is always streamed."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
     return (
-        c.filter(F.col("c_mktsegment") == "BUILDING")
-        .join(o, c.c_custkey == o.o_custkey)
-        .filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz"))
-        .join(li, li.l_orderkey == o.o_orderkey)
-        .filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz"))
+        li.filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz"))
+        .join(
+            o.filter(
+                F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
+            ),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(
+            c.filter(F.col("c_mktsegment") == "BUILDING"),
+            o.o_custkey == c.c_custkey,
+        )
         .groupBy("l_orderkey", "o_orderdate")
         .agg(money(F.sum(rev_units()), 10_000).alias("revenue"))
         .select(
@@ -1370,21 +1387,39 @@ def q5_local_supplier_volume(spark, sf_dir):
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region")
     # 5 ASIA nations — constant-size regardless of SF: always broadcast.
-    asia = (
+    asia_keys = (
         n.join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
                n.n_regionkey == r.r_regionkey)
-        .select("n_nationkey", "n_name")
+        .select("n_nationkey")
     )
-    # supplier scales with SF (10k rows x SF): no forced broadcast —
-    # AQE picks broadcast at small SF and sort-merge at 100 TB.
-    s_asia = s.join(F.broadcast(asia), s.s_nationkey == asia.n_nationkey)
-    return (
-        li.join(s_asia, li.l_suppkey == s_asia.s_suppkey)
+    # Region membership as a LEFT-SEMI join (r13): a semi join's size
+    # estimate is its left child's (supplier's file size), so the
+    # planner sizes the supplier side honestly — the previous INNER
+    # s ⋈ asia subtree carried Catalyst's product-of-children estimate,
+    # which ballooned past lineitem's and made the planner BROADCAST
+    # THE FACT TABLE (BuildLeft over lineitem, r13 `before` plan).
+    # Supplier still scales with SF: no forced broadcast — it
+    # broadcasts while its file fits the threshold, sort-merges beyond.
+    s_sel = s.join(
+        F.broadcast(asia_keys), s.s_nationkey == asia_keys.n_nationkey, "left_semi"
+    ).select("s_suppkey", "s_nationkey")
+    core = (
+        li.join(s_sel, li.l_suppkey == s_sel.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, (o.o_custkey == c.c_custkey)
-              & (c.c_nationkey == s_asia.s_nationkey))
+              & (c.c_nationkey == s_sel.s_nationkey))
+        # Aggregate by the JOIN KEY, attach n_name to the ≤25 aggregated
+        # rows afterwards, then re-aggregate by name: two-level
+        # aggregation over the functional dependency nationkey → name is
+        # exactly GROUP BY n_name, and the heavy agg shuffles an int key
+        # instead of a string while nation stays out of the fact join.
+        .groupBy("s_nationkey")
+        .agg(F.sum(rev_units()).alias("_units"))
+    )
+    return (
+        core.join(F.broadcast(n), core.s_nationkey == n.n_nationkey)
         .groupBy("n_name")
-        .agg(money(F.sum(rev_units()), 10_000).alias("revenue"))
+        .agg(money(F.sum("_units"), 10_000).alias("revenue"))
     )
 
 
@@ -1404,14 +1439,21 @@ def q5_local_supplier_volume(spark, sf_dir):
     """,
 )
 def q10_returned_items(spark, sf_dir):
-    """TPC-H Q10 shape: top returned-item customers by lost revenue."""
+    """TPC-H Q10 shape: top returned-item customers by lost revenue.
+
+    Join order (r13): left-deep fact-first (see q3) — the previous
+    (c ⋈ o) ⋈ li shape made Catalyst broadcast filtered LINEITEM
+    (product-of-children size estimate poisoned the dim side). Now the
+    filtered fact streams through dim broadcasts that AQE/the static
+    planner size from real files, the shape that survives 100 TB."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
     n = t(spark, sf_dir, "nation")
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li.filter(F.col("l_returnflag") == "R"), li.l_orderkey == o.o_orderkey)
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(money(F.sum(rev_units()), 10_000).alias("revenue"))

@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 from ..sources.catalog import load_table
-from ._util import unpersist_with
+from ._util import unpersist_with, widen
 from .registry import query
 from .textstats import _TOKENS_ORACLE
 
@@ -142,7 +142,12 @@ def x125_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (~0.3 s), a 10x cut; at 100 TB this is the difference between a
     # full tokenize of the corpus and a byte-scan with early-out.
     pre = r"[ \t\n\r\x0B\f]+".join(_re.escape(w) for w in PHRASE)
-    cand = d.filter(F.lower(F.col("text")).rlike(pre))
+    # widen() before the regex scan (r13): the fixture arrives as ONE
+    # parquet row group, so the byte-scan ran on a single core (the
+    # whole 0.3 s the r7 comment attributes to it was serialized).
+    # At 100 TB the scan already has >> cores partitions and widen
+    # no-ops — the zero-extra-shuffle scale posture is unchanged.
+    cand = widen(d).filter(F.lower(F.col("text")).rlike(pre))
     t = cand.select("doc_id", tokens(F.col("text")).alias("t"))
     hits = t.select(
         "doc_id", _phrase_count(F.col("t"), PHRASE).alias("n_occurrences")

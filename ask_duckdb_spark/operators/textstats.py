@@ -330,7 +330,16 @@ def x22_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    # count(when(tf > 0, 1)) not count(*): tf = count(*) ≥ 1 for every
+    # group, so the value is identical — but count(*) let the optimizer
+    # PRUNE the count from the df branch's copy of the (doc_id, tok)
+    # aggregate (down to a bare distinct), making the two subtrees
+    # non-canonical so the (doc_id, tok) exchange could not be shared
+    # and the corpus tokenized twice (r13 plan audit; a plain count(tf)
+    # gets rewritten to count(1) and re-pruned). The guarded form keeps
+    # tf referenced, so both branches build the IDENTICAL canonical
+    # partial-count exchange — eligible for exchange/stage reuse.
+    df = tf.groupBy("tok").agg(F.count(F.when(F.col("tf") > 0, 1)).alias("df"))
     n = d.agg(F.count("*").alias("n_docs"))
     scored = tf.join(df, "tok").join(F.broadcast(n)).select(
         "doc_id",
