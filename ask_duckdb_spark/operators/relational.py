@@ -1387,39 +1387,31 @@ def q5_local_supplier_volume(spark, sf_dir):
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region")
     # 5 ASIA nations — constant-size regardless of SF: always broadcast.
-    asia_keys = (
+    asia = (
         n.join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
                n.n_regionkey == r.r_regionkey)
-        .select("n_nationkey")
+        .select("n_nationkey", "n_name")
     )
-    # Region membership as a LEFT-SEMI join (r13): a semi join's size
-    # estimate is its left child's (supplier's file size), so the
-    # planner sizes the supplier side honestly — the previous INNER
-    # s ⋈ asia subtree carried Catalyst's product-of-children estimate,
-    # which ballooned past lineitem's and made the planner BROADCAST
-    # THE FACT TABLE (BuildLeft over lineitem, r13 `before` plan).
-    # Supplier still scales with SF: no forced broadcast — it
-    # broadcasts while its file fits the threshold, sort-merges beyond.
-    s_sel = s.join(
-        F.broadcast(asia_keys), s.s_nationkey == asia_keys.n_nationkey, "left_semi"
-    ).select("s_suppkey", "s_nationkey")
-    core = (
-        li.join(s_sel, li.l_suppkey == s_sel.s_suppkey)
+    # Left-deep FACT-FIRST order (r13, see q3): every join's right side
+    # is a base table (supplier / orders / customer — honest file-size
+    # estimates, broadcast while they fit the threshold, sort-merge
+    # beyond) or the constant-size asia frame (forced broadcast). The
+    # previous shape joined supplier ⋈ asia BEFORE the fact join, and
+    # Catalyst's product-of-children estimate for that subtree ballooned
+    # past lineitem's — so the planner BROADCAST THE FACT TABLE
+    # (BuildLeft over lineitem, r13 `before` plan), wrong at every
+    # scale. The ASIA restriction still applies in the same codegen
+    # stage as the supplier probe (broadcast filters evaluate inline),
+    # so ~80% of lineitem rows are dropped before the orderkey and
+    # custkey joins exactly as before.
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(asia), s.s_nationkey == asia.n_nationkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, (o.o_custkey == c.c_custkey)
-              & (c.c_nationkey == s_sel.s_nationkey))
-        # Aggregate by the JOIN KEY, attach n_name to the ≤25 aggregated
-        # rows afterwards, then re-aggregate by name: two-level
-        # aggregation over the functional dependency nationkey → name is
-        # exactly GROUP BY n_name, and the heavy agg shuffles an int key
-        # instead of a string while nation stays out of the fact join.
-        .groupBy("s_nationkey")
-        .agg(F.sum(rev_units()).alias("_units"))
-    )
-    return (
-        core.join(F.broadcast(n), core.s_nationkey == n.n_nationkey)
+              & (c.c_nationkey == s.s_nationkey))
         .groupBy("n_name")
-        .agg(money(F.sum("_units"), 10_000).alias("revenue"))
+        .agg(money(F.sum(rev_units()), 10_000).alias("revenue"))
     )
 
 

@@ -142,12 +142,12 @@ def x125_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (~0.3 s), a 10x cut; at 100 TB this is the difference between a
     # full tokenize of the corpus and a byte-scan with early-out.
     pre = r"[ \t\n\r\x0B\f]+".join(_re.escape(w) for w in PHRASE)
-    # widen() before the regex scan (r13): the fixture arrives as ONE
-    # parquet row group, so the byte-scan ran on a single core (the
-    # whole 0.3 s the r7 comment attributes to it was serialized).
-    # At 100 TB the scan already has >> cores partitions and widen
-    # no-ops — the zero-extra-shuffle scale posture is unchanged.
-    cand = widen(d).filter(F.lower(F.col("text")).rlike(pre))
+    # r13 note: a widen() ahead of this filter was tried (parallelize
+    # the byte scan across cores at fixture scale) and MEASURED SLOWER
+    # (+27% interleaved A/B): the repartition exchange of the raw text
+    # costs more than the single-core regex saves at this volume, and
+    # at 100 TB the scan is naturally parallel anyway. Kept zero-shuffle.
+    cand = d.filter(F.lower(F.col("text")).rlike(pre))
     t = cand.select("doc_id", tokens(F.col("text")).alias("t"))
     hits = t.select(
         "doc_id", _phrase_count(F.col("t"), PHRASE).alias("n_occurrences")
