@@ -651,22 +651,48 @@ def x3_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parity holds at ANY corpus size because BOTH sides apply the
     # identical least(n/4, MAX_POSTING) — the constant is interpolated
     # into the oracle SQL, never duplicated.
-    grams = capped_postings(distinct_grams(d), d)
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = grams.select(F.col("doc_id").alias("id_a"), "g")
-    b = grams.select(F.col("doc_id").alias("id_b"), "g")
+    # r13: persist — the frame feeds both sides of the posting join;
+    # each consumer re-ran the tokenize+dedup+cap chain before. The
+    # per-doc gram count rides ON the posting stream via a window
+    # (one 1.3M-row doc_id shuffle) instead of the old post-overlap
+    # sizes joins: those planned as broadcast only while the sizes
+    # aggregate's estimate happened to be small — persisting grams
+    # gave the aggregate an honest (large) estimate and flipped them
+    # to TWO sort-merge shuffles of the 11.4M-pair overlap frame
+    # (measured +60 s at sf0.1). Carrying n_a/n_b through the pair
+    # aggregate (min() of a per-key constant) needs no join, no
+    # broadcast, and no per-doc frame at any scale.
+    sized = capped_postings(distinct_grams(d), d).withColumn(
+        "n", F.count("*").over(W.partitionBy("doc_id"))
+    ).persist()
+    # r13 NOTE — measured, kept as the JOIN form: an in-bucket
+    # collect_list + nested-transform pair generation (x2's
+    # _pairs_from_bands shape) was A/B'd here and LOST (32 s vs 21 s
+    # steady-state at sf0.1, 11.4M overlap pairs): higher-order-
+    # function lambdas evaluate interpreted per pair, while the
+    # self-join's row stream is whole-stage-codegen'd — at millions of
+    # pairs the codegen join wins even though it shuffles the posting
+    # stream twice. The x2 bucket loop keeps the transform shape
+    # because ITS pair volume is capped at MAX_BUCKET members per
+    # band-bucket, far below the interpretation-cost crossover.
+    a = sized.select(
+        F.col("doc_id").alias("id_a"), "g", F.col("n").alias("na")
+    )
+    b = sized.select(
+        F.col("doc_id").alias("id_b"), "g", F.col("n").alias("nb")
+    )
     overlap = (
         a.join(b, "g")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("c"))
+        .agg(
+            F.count("*").alias("c"),
+            F.min("na").alias("na"),
+            F.min("nb").alias("nb"),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
-    return (
-        overlap.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
+    return unpersist_with(
+        overlap.select(
             "id_a",
             "id_b",
             (
@@ -674,7 +700,8 @@ def x3_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("na") + F.col("nb") - F.col("c"))
             ).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= 0.05)
+        .filter(F.col("jaccard") >= 0.05),
+        sized,
     )
 
 
@@ -1051,9 +1078,35 @@ def x53_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     its wall grew 7.5× for 10× data where x3's lossy stop-gram cap
     grew 3.4×. Use this operator when recall is contractual; use x3's
     cap when a tuned bound is acceptable.
+
+    r13: the prefix-only form was the round's heaviest registry entry
+    (the sweep clocked it in MINUTES at sf0.1 — hot grams that rank
+    inside many documents' prefixes made the posting self-join
+    quadratic). Two further LOSSLESS PPJoin filters now bound the
+    candidate set, and the shared gram frame is persisted (it fed four
+    recomputed tokenize+dedup scans before):
+
+    * LENGTH filter: J ≥ t forces t·n_a ≤ n_b ≤ n_a/t — cross-length
+      pairs never materialize.
+    * POSITIONAL filter (ppjoin): for a match on gram g at rarest-
+      first positions (p_a, p_b), the overlap is at most
+      1 + min(n_a−p_a, n_b−p_b) — both gram lists are sorted by the
+      SAME total order, so matches after g must sit after p on both
+      sides. Requiring that bound ≥ ⌈(n_a+n_b)/3⌉ (the c ≥
+      t/(1+t)·(n_a+n_b) overlap form of J ≥ 0.5, integer-exact as
+      (n_a+n_b+2) div 3) is lossless for the globally-FIRST shared
+      gram of any true pair: that gram is within both prefixes (the
+      prefix theorem applied to the common total order) and has no
+      earlier matches, so its bound dominates the true overlap — at
+      least one occurrence of every true pair always survives, and
+      the exact verify join decides the rest. Same answer, candidate
+      set cut from quadratic-in-hot-grams to near-output-sized.
     """
     d = load_table(spark, sf_dir, "documents")
-    grams = distinct_grams(d)
+    # Four consumers (df counts, ranked postings, sizes, verify arrays):
+    # persist so the tokenize+explode+dedup scan runs once (x2's
+    # lifecycle pattern — released via unpersist_with).
+    grams = distinct_grams(d).persist()
     # global document frequency — the prefix ordering key (rarest first
     # minimizes posting-list sizes; ties broken on the gram itself so
     # the order is total and deterministic)
@@ -1075,19 +1128,45 @@ def x53_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk")
             <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
         )
-        .select("doc_id", "g")
+        .select("doc_id", "g", "rnk", "n")
+    )
+    pa = prefix.select(
+        F.col("doc_id").alias("id_a"), "g",
+        F.col("rnk").alias("p_a"), F.col("n").alias("n_a"),
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("id_b"), "g",
+        F.col("rnk").alias("p_b"), F.col("n").alias("n_b"),
     )
     cand = (
-        prefix.select(F.col("doc_id").alias("id_a"), "g")
-        .join(prefix.select(F.col("doc_id").alias("id_b"), "g"), "g")
+        pa.join(pb, "g")
         .filter(F.col("id_a") < F.col("id_b"))
+        # length filter (lossless): t*n_a <= n_b <= n_a/t at t=0.5
+        .filter(
+            (F.col("n_b") * F.lit(2) >= F.col("n_a"))
+            & (F.col("n_b") <= F.col("n_a") * F.lit(2))
+        )
+        # positional filter (lossless, see docstring): overlap bound
+        # 1 + min(n_a-p_a, n_b-p_b) must reach c >= (n_a+n_b)/3 — the
+        # integer form 3*(1+min) >= n_a+n_b is exact (no float ceil).
+        .filter(
+            F.lit(3)
+            * (
+                F.lit(1)
+                + F.least(
+                    F.col("n_a") - F.col("p_a"),
+                    F.col("n_b") - F.col("p_b"),
+                )
+            )
+            >= F.col("n_a") + F.col("n_b")
+        )
         .select("id_a", "id_b")
         .distinct()
     )
     full = grams.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("g")).alias("gs")
     )
-    return (
+    out = (
         cand.join(
             full.select(F.col("doc_id").alias("id_a"), F.col("gs").alias("gs_a")),
             "id_a",
@@ -1108,6 +1187,7 @@ def x53_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
     )
+    return unpersist_with(out, grams)
 
 
 # ---------------------------------------------------------------------------

@@ -1869,8 +1869,25 @@ def q2_min_cost_supplier(spark, sf_dir):
     # BELOW a midpoint (found at sf0.001: min unit price
     # 26.241249999999997 — Spark ROUND gives the correct 26.2412,
     # DuckDB's decimal-style round() says 26.2413).
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    # r13: push the (selective) part restriction AHEAD of the catalog
+    # aggregation as a left-semi join — the grouped min and the
+    # per-part window are groupwise, so restricting partkeys first is
+    # exactly equivalent to the old filter-after-window, and the agg +
+    # window + dims join now run on the qualifying slice instead of
+    # the whole lineitem-derived catalog (sweep r13 clocked the old
+    # shape ~2 s at sf0.1). Semi keeps the fact side streamed and the
+    # part side's estimate honest (file-size: broadcast at fixture,
+    # shuffled semi at 100 TB).
     catalog = (
-        li.groupBy("l_partkey", "l_suppkey")
+        li.join(
+            p.select("p_partkey"),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
         .agg(
             (
                 F.floor(
@@ -1881,9 +1898,6 @@ def q2_min_cost_supplier(spark, sf_dir):
                 / 10000
             ).alias("unit_cost")
         )
-    )
-    p = t(spark, sf_dir, "part").filter(
-        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
     )
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")

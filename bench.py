@@ -348,9 +348,13 @@ def main() -> int:
     # then a compact LAST line carrying the scalars + the per-query
     # walls, so whatever window the driver keeps always ends with a
     # complete, parseable JSON record with the triage data.
+    # "compact": true distinguishes this trailing record from the full
+    # payload above (ADVICE r12: both carry the same "metric", so a
+    # consumer parsing ALL stdout JSON lines could double-count).
     print(
         json.dumps(
-            {
+            {"compact": True}
+            | {
                 k: payload[k]
                 for k in (
                     "metric",

@@ -30,8 +30,9 @@ def main() -> int:
 
     n = spark.sparkContext.defaultParallelism
     spark.range(0, n, 1, n).mapInPandas(_ident, "id long").count()
+    names = sys.argv[1:] or sorted(QUERIES)
     out = {}
-    for name in sorted(QUERIES):
+    for name in names:
         try:
             t_build0 = time.time()
             df = QUERIES[name](spark, sf_dir)
