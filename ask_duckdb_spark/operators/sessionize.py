@@ -24,7 +24,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
-from ._util import floor_round, floor_round_sql
+from ._util import floor_round, floor_round_sql, unpersist_with
 from .registry import query
 
 SESSION_GAP_MIN = 30  # minutes of inactivity that closes a session
@@ -751,15 +751,21 @@ def x104_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = e.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("med")
     )
+    # r13: persist — dev feeds BOTH the mad percentile pass and the
+    # final rollup; unpersisted, each consumer re-ran the events scan
+    # AND the med percentile aggregate buried in dev's lineage (the
+    # r13 sweep clocked this operator ~10 s at sf0.1, ~half of it
+    # recompute). ~24 B/row, spills to disk at scale; released via
+    # unpersist_with.
     dev = e.join(F.broadcast(med), "event_type").select(
         "event_type",
         "med",
         F.abs(F.col("value") - F.col("med")).alias("ad"),
-    )
+    ).persist()
     mad = dev.groupBy("event_type").agg(
         F.expr("percentile(ad, 0.5)").alias("mad")
     )
-    return (
+    return unpersist_with(
         dev.join(F.broadcast(mad), "event_type")
         .groupBy(
             "event_type",
@@ -777,7 +783,8 @@ def x104_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
         .select("event_type", "n", "med", "mad", "n_outliers")
-        .orderBy("event_type")
+        .orderBy("event_type"),
+        dev,
     )
 
 
