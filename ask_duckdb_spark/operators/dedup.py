@@ -18,7 +18,7 @@ trick for web-scale dedup.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -282,15 +282,13 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
     return _pairs_from_bands(_banded(sig, id_col), id_col)
 
 
-def _pairs_from_bands(bands: DataFrame, id_col: str) -> DataFrame:
-    """In-bucket ordered pair generation over a (id, sig, band, bucket)
-    frame — the second half of :func:`lsh_candidate_pairs`, split out so
-    an INCREMENTAL ingest can feed it a pruned band frame (persisted
-    index rows for touched buckets ∪ the new batch's bands) instead of
-    re-banding the whole corpus (scripts/x140_trial.py's end-to-end
-    path). Skew/memory cap and dedup semantics identical to the full
-    path by construction."""
-    members = (
+def _bucket_members(bands: DataFrame, id_col: str) -> DataFrame:
+    """(band, bucket, ms): capped member arrays per LSH bucket — the
+    shared front half of both pair generators (ADVICE r13: the
+    groupBy + skew guard were copy-pasted between them and could
+    drift; now there is exactly one definition of bucket membership).
+    """
+    return (
         bands.groupBy("band", "bucket")
         .agg(
             F.collect_list(
@@ -301,7 +299,13 @@ def _pairs_from_bands(bands: DataFrame, id_col: str) -> DataFrame:
         # (> MAX_BUCKET members) are dropped before any pair exists.
         .filter((F.size("ms") >= 2) & (F.size("ms") <= MAX_BUCKET))
     )
-    pairs = members.select(
+
+
+def _raw_sig_pairs(bands: DataFrame, id_col: str) -> DataFrame:
+    """(id_a, id_b, sig_a, sig_b) candidate pairs straight out of the
+    bucket loop, PRE-dedup (a pair colliding in k bands appears k
+    times) — the shared in-bucket nested-loop pair generation."""
+    pairs = _bucket_members(bands, id_col).select(
         F.explode(
             F.flatten(
                 F.transform(
@@ -319,8 +323,19 @@ def _pairs_from_bands(bands: DataFrame, id_col: str) -> DataFrame:
             )
         ).alias("p")
     )
+    return pairs.select("p.id_a", "p.id_b", "p.sig_a", "p.sig_b")
+
+
+def _pairs_from_bands(bands: DataFrame, id_col: str) -> DataFrame:
+    """In-bucket ordered pair generation over a (id, sig, band, bucket)
+    frame — the second half of :func:`lsh_candidate_pairs`, split out so
+    an INCREMENTAL ingest can feed it a pruned band frame (persisted
+    index rows for touched buckets ∪ the new batch's bands) instead of
+    re-banding the whole corpus (scripts/x140_trial.py's end-to-end
+    path). Skew/memory cap and dedup semantics identical to the full
+    path by construction."""
     return (
-        pairs.select("p.id_a", "p.id_b", "p.sig_a", "p.sig_b")
+        _raw_sig_pairs(bands, id_col)
         # a pair colliding in k bands appears k times; sigs are
         # functionally dependent on the ids, so duplicates are exact.
         .dropDuplicates(["id_a", "id_b"])
@@ -409,68 +424,57 @@ def x2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash_signatures), so the DuckDB twin regenerates identical
     sketches and the driver value-hashes the pair list + estimates."""
     d = load_table(spark, sf_dir, "documents")
-    # The signature frame feeds three consumers (both self-join sides +
-    # the skew-guard counts); persist it so the CPU-heavy hashing runs
-    # once. ~100 B/doc (32 longs + id): memory at test SF, spills to
-    # disk at 100 TB — either way far cheaper than 3x the hashing.
-    # Lifecycle: the cache must outlive this call (the returned plan
-    # reads it); unpersist_with drops it when the caller releases the
-    # result, so long sessions don't accumulate dead blocks (ADVICE r5).
-    sig = minhash_signatures(d, "doc_id", "text").persist()
-    return unpersist_with(_neardup_pairs_from_signatures(sig), sig)
+    # No persist (r14): the r5-era self-join formulation read the
+    # signature frame from THREE consumers (both join sides + the
+    # skew-guard counts) and persisted it; the r13 bucket-loop pair
+    # generation reads it exactly ONCE, so the persist had become pure
+    # overhead — an extra cache-materialization pass (and a job wave)
+    # on every execution with nothing reusing the blocks. Single
+    # consumer -> straight pipeline.
+    sig = minhash_signatures(d, "doc_id", "text")
+    return _neardup_pairs_from_signatures(sig)
+
+
+def _sig_est(sig_a, sig_b) -> Column:
+    """Signature-estimated Jaccard: matching slots / N_HASHES.
+
+    One definition shared by the registered est path and
+    :func:`_jaccard_filtered` so the estimator can never drift between
+    consumers. The HOF chain is kept deliberately: an r14 interleaved
+    A/B (scripts/r14_ab_misc.py) measured the 32-term unrolled
+    element_at form ~15-20% SLOWER end-to-end at sf0.1 — Spark 4's
+    HOF evaluation is fast, and the unrolled tree only bloats the
+    plan/codegen (the same negative result as the vectors.py unroll
+    trial, scripts/r14_dot_micro.py: all dot formulations within 3%
+    per-pair)."""
+    return (
+        F.size(
+            F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda m: m)
+        )
+        / F.lit(N_HASHES)
+    )
 
 
 def _pairs_est_from_bands(bands: DataFrame, id_col: str) -> DataFrame:
     """(id_a, id_b, jaccard_est) straight out of the bucket loop.
 
-    r13 twin of :func:`_pairs_from_bands` for consumers that only need
-    the ESTIMATE (x2/x2f's registered path): the signature overlap is
-    computed INSIDE the pair lambda — while both sigs are in hand in
-    the bucket member array — so the pair frame that reaches the
-    dedup exchange is three scalars (~24 B/pair) instead of two 32-long
-    signatures (~550 B/pair), and ``dropDuplicates`` runs as a
-    HashAggregate instead of the SortAggregate (two extra Sorts) that
-    array columns forced in the r13 `before` plan. Identical pair set
-    and estimates by construction: est is a pure function of the two
-    signatures, so every duplicate (multi-band collision) carries the
-    same value and keep-any == keep-first."""
-    members = (
-        bands.groupBy("band", "bucket")
-        .agg(
-            F.collect_list(
-                F.struct(F.col(id_col).alias("i"), F.col("sig").alias("s"))
-            ).alias("ms")
-        )
-        .filter((F.size("ms") >= 2) & (F.size("ms") <= MAX_BUCKET))
+    Twin of :func:`_pairs_from_bands` for consumers that only need the
+    ESTIMATE (x2/x2f's registered path): the estimate is projected
+    immediately after the pair explode — in the SAME codegen stage,
+    before any exchange — so the frame that reaches the dedup exchange
+    is three scalars (~24 B/pair) instead of two 32-long signatures
+    (~550 B/pair), and ``dropDuplicates`` runs as a HashAggregate
+    instead of the SortAggregate (two extra Sorts) that array columns
+    force. r14: the estimate itself moved OUT of the bucket lambda
+    (where it was interpreted per candidate — the r13 driver
+    regression) into the post-explode projection with the unrolled
+    codegen form (:func:`_sig_est`). Identical pair set and estimates
+    by construction: est is a pure function of the two signatures, so
+    every duplicate (multi-band collision) carries the same value and
+    keep-any == keep-first."""
+    return _raw_sig_pairs(bands, id_col).select(
+        "id_a", "id_b", _sig_est(F.col("sig_a"), F.col("sig_b")).alias("jaccard_est")
     )
-    pairs = members.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "ms",
-                    lambda a: F.transform(
-                        F.filter(F.col("ms"), lambda b: b["i"] > a["i"]),
-                        lambda b: F.struct(
-                            a["i"].alias("id_a"),
-                            b["i"].alias("id_b"),
-                            (
-                                F.size(
-                                    F.filter(
-                                        F.zip_with(
-                                            a["s"], b["s"], lambda x, y: x == y
-                                        ),
-                                        lambda m: m,
-                                    )
-                                )
-                                / F.lit(N_HASHES)
-                            ).alias("jaccard_est"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    )
-    return pairs.select("p.id_a", "p.id_b", "p.jaccard_est")
 
 
 def _neardup_pairs_from_signatures(sig: DataFrame) -> DataFrame:
@@ -495,18 +499,12 @@ def _jaccard_filtered(pairs: DataFrame) -> DataFrame:
     probe (scripts/x140_trial.py)."""
     # Verify candidates with estimated Jaccard from the signatures that
     # rode through the bucket join (no re-join, no re-shuffle of text).
+    # Same unrolled codegen estimate as the registered path (_sig_est —
+    # one definition, no drift).
     est = pairs.select(
         "id_a",
         "id_b",
-        (
-            F.size(
-                F.filter(
-                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                    lambda m: m,
-                )
-            )
-            / F.lit(N_HASHES)
-        ).alias("jaccard_est"),
+        _sig_est(F.col("sig_a"), F.col("sig_b")).alias("jaccard_est"),
     )
     return est.filter(F.col("jaccard_est") >= 0.5).orderBy("id_a", "id_b")
 
@@ -541,9 +539,10 @@ def x2f_minhash_neardup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     family) estimates use _neardup_pairs_from_signatures directly.
     """
     d = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures_fast(d, "doc_id", "text").persist()
+    # No persist — single consumer since the r13 bucket-loop (see x2).
+    sig = minhash_signatures_fast(d, "doc_id", "text")
     pairs = _neardup_pairs_from_signatures(sig).select("id_a", "id_b")
-    return unpersist_with(pairs.orderBy("id_a", "id_b"), sig)
+    return pairs.orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------

@@ -515,12 +515,16 @@ def x20_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified end to end. Works because fixture text is pure ASCII
     (byte value == codepoint); a real decoder wouldn't care.
     """
-    # No widen() (r13): the stub decode is vectorized and I/O-light, so
-    # the repartition exchange + 32 tiny Arrow round-trips cost MORE
-    # than the decode at fixture scale (interleaved A/B: ~2x slower
-    # with widen). At 100 TB the scan already has >> cores partitions,
-    # so parallelism for a real (expensive) decoder comes from the scan
-    # itself — widen was fixture-only overhead on this operator.
-    d = load_table(spark, sf_dir, "documents")
+    # widen() RESTORED (r14, VERDICT r13 item 1): r13 dropped it on an
+    # interleaved warm-session A/B (~2x), but the driver's cold-JVM
+    # protocol — the scoreboard — read the removal as the round's one
+    # unambiguous regression (0.435 -> 0.696 s @32c AND 0.592 s @8c):
+    # the single-row-group fixture scan serializes the decode on one
+    # core, and cold runs pay that serial Python stage where the warm
+    # A/B's page-cached scan hid it. widen() is already scale-aware
+    # (repartitions ONLY when the scan has fewer partitions than
+    # cores), so at 100 TB it no-ops and the vectorized decode keeps
+    # its natural scan parallelism.
+    d = widen(load_table(spark, sf_dir, "documents"))
     payload = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     return payload.mapInPandas(_decode_batches, DECODE_SCHEMA).orderBy("doc_id")

@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 from ..sources.catalog import load_table
-from ._util import unpersist_with, widen
+from ._util import unpersist_with
 from .registry import query
 from .textstats import _TOKENS_ORACLE
 

@@ -196,6 +196,15 @@ def main() -> int:
         floor = round(min(walls), 3)
     except Exception:
         pass
+    # Echo the EFFECTIVE session geometry (VERDICT r13 item 2 / next-
+    # round 2): the driver's low-core control run inferred whether
+    # SPARK_GRAFT_CPUS was honored from per-query walls alone and
+    # flagged a false-positive "suspect_cpus_ignored". Carry the truth
+    # in the record itself: master string, scheduler parallelism, and
+    # shuffle partitions as the session actually ran them.
+    eff_master = spark.sparkContext.master
+    eff_parallelism = spark.sparkContext.defaultParallelism
+    eff_shuffle = spark.conf.get("spark.sql.shuffle.partitions", None)
     # Spark's work is done: tear the JVM down so the DuckDB co-timing
     # below runs on a quiet machine (r5 measured the resident idle JVM +
     # 32 python workers inflating DuckDB walls ~2x — that flatters the
@@ -339,6 +348,13 @@ def main() -> int:
                 "load_avg_start": round(load_start, 2),
                 "load_avg_end": round(os.getloadavg()[0], 2),
                 "settle_wait_sec": settled_wait,
+                # Effective session geometry (VERDICT r13 item 2): the
+                # contract env vars as the session ACTUALLY resolved
+                # them, so the driver's scaling probe can verify the
+                # core count instead of inferring it from wall ratios.
+                "master": eff_master,
+                "default_parallelism": eff_parallelism,
+                "shuffle_partitions": eff_shuffle,
     }
     print(json.dumps(payload))
     # The driver's BENCH artifact captures only the TAIL of stdout, and
@@ -373,6 +389,9 @@ def main() -> int:
                     "sf",
                     "load_avg_start",
                     "load_avg_end",
+                    "master",
+                    "default_parallelism",
+                    "shuffle_partitions",
                 )
             }
         )
