@@ -466,9 +466,9 @@ def _pairs_est_from_bands(bands: DataFrame, id_col: str) -> DataFrame:
     (~550 B/pair), and ``dropDuplicates`` runs as a HashAggregate
     instead of the SortAggregate (two extra Sorts) that array columns
     force. r14: the estimate itself moved OUT of the bucket lambda
-    (where it was interpreted per candidate — the r13 driver
-    regression) into the post-explode projection with the unrolled
-    codegen form (:func:`_sig_est`). Identical pair set and estimates
+    into the post-explode projection (:func:`_sig_est` — one shared
+    definition; placement measured a wash, the shared definition is
+    the point). Identical pair set and estimates
     by construction: est is a pure function of the two signatures, so
     every duplicate (multi-band collision) carries the same value and
     keep-any == keep-first."""
@@ -499,8 +499,8 @@ def _jaccard_filtered(pairs: DataFrame) -> DataFrame:
     probe (scripts/x140_trial.py)."""
     # Verify candidates with estimated Jaccard from the signatures that
     # rode through the bucket join (no re-join, no re-shuffle of text).
-    # Same unrolled codegen estimate as the registered path (_sig_est —
-    # one definition, no drift).
+    # Same estimator as the registered path (_sig_est — one
+    # definition, no drift).
     est = pairs.select(
         "id_a",
         "id_b",

@@ -77,37 +77,64 @@ def _profile_oracle() -> str:
 
 @query("x103_column_profile", oracle=_profile_oracle())
 def x103_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-scan profile of every lineitem column.
+    """Profile of every lineitem column, expand-free (r14).
 
-    All aggregates ride a single groupBy-less aggregation (Spark plans
-    the multiple exact count(DISTINCT)s via expand — one scan, wider
-    shuffle rows); ``stack`` then unpivots the 1-row result. The
-    timestamp column casts through VARCHAR identically in both engines
-    ('YYYY-MM-DD HH:MM:SS'); VARCHAR min/max is byte-order on ASCII
-    fixture values.
+    Plain aggregates (row count, null counts, min/max) ride one
+    groupBy-less scan; each exact count(DISTINCT c) is its own
+    two-phase aggregate over a column-pruned scan of c alone, joined
+    back as a broadcast scalar; ``stack`` then unpivots the 1-row
+    result. The timestamp column casts through VARCHAR identically in
+    both engines ('YYYY-MM-DD HH:MM:SS'); VARCHAR min/max is
+    byte-order on ASCII fixture values.
 
-    Scale (100 TB): the expand for k exact distinct aggregates
-    multiplies shuffle volume by k — acceptable for a profiler run
-    once per snapshot; swap count_distinct for approx_count_distinct
-    (g10's sketch) when estimates suffice and the expand disappears.
-    The unpivot is driver-free and touches |columns| rows.
+    Scale (100 TB): parquet is columnar, so the per-column scans read
+    the same total bytes as one wide scan, and each distinct count
+    shuffles only its column's partial-distinct sets — no k-times row
+    expansion (the pre-r14 multi-distinct Expand plan), no wide sort.
+    Swap count_distinct for approx_count_distinct (g10's sketch) when
+    estimates suffice. The unpivot is driver-free, |columns| rows.
     """
     df = load_table(spark, sf_dir, "lineitem")
+    # r14 rewrite (VERDICT r13 item 6): the old single aggregate
+    # carried all 12 exact count(DISTINCT)s, which Catalyst plans via
+    # Expand — |distinct aggs|+1 copies of EVERY row — and, because
+    # the string min/max aggregates shared the operator, the agg
+    # buffer was variable-width and the whole 13x-expanded stream fell
+    # back to SortAggregate: a full sort of ~13n wide rows, 32 s at
+    # sf0.1 (plans/r14/x103_column_profile_before.txt). Now each
+    # count(DISTINCT c) is its OWN two-phase aggregate over a
+    # column-pruned scan of just c (partial distinct per map task →
+    # one narrow exchange of per-column distinct values), cross-joined
+    # back as broadcast scalars; the plain aggregates (counts, null
+    # sums, min/max) keep the one-pass scan. No Expand anywhere.
+    # Interleaved A/B at sf0.1: 32 s → ~1.1-2.0 s (the intermediate
+    # "split the string min/max out of the Expand" form measured
+    # 6-8 s; widen() variants measured worse — both recorded in
+    # OPTIMIZATION_r14.md). At 100 TB: parquet is columnar, so 12
+    # single-column scans read the same bytes as one 12-column scan,
+    # and the shuffles carry per-column partial-distinct sets instead
+    # of a 13x row expansion — strictly less CPU and shuffle volume.
     aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    str_aggs = []
+    nd_arms = []
     for c, kind in PROFILE_COLS:
         aggs.append(
             F.sum(F.col(c).isNull().cast("long"))
             .cast("bigint")
             .alias(f"nn_{c}")
         )
-        aggs.append(F.count_distinct(F.col(c)).cast("bigint").alias(f"nd_{c}"))
+        nd_arms.append(
+            df.agg(F.count_distinct(F.col(c)).cast("bigint").alias(f"nd_{c}"))
+        )
         if kind == "num":
             aggs.append(F.min(c).cast("double").alias(f"mn_{c}"))
             aggs.append(F.max(c).cast("double").alias(f"mx_{c}"))
         else:
-            aggs.append(F.min(c).cast("string").alias(f"mn_{c}"))
-            aggs.append(F.max(c).cast("string").alias(f"mx_{c}"))
-    one = df.agg(*aggs)
+            str_aggs.append(F.min(c).cast("string").alias(f"mn_{c}"))
+            str_aggs.append(F.max(c).cast("string").alias(f"mx_{c}"))
+    one = df.agg(*aggs).crossJoin(F.broadcast(df.agg(*str_aggs)))
+    for arm in nd_arms:
+        one = one.crossJoin(F.broadcast(arm))
     parts = []
     for c, kind in PROFILE_COLS:
         mn_num = f"mn_{c}" if kind == "num" else "CAST(NULL AS DOUBLE)"

@@ -63,6 +63,19 @@ def test_x2_no_cache_single_consumer(spark):
         assert "SortAggregate" not in plan, (name, plan)
 
 
+def test_x103_no_expand_no_wide_sort(spark):
+    """x103 (VERDICT r13 item 6): the profiler must not plan the
+    multi-count_distinct Expand (13x row multiplication) — each
+    distinct count is its own column-pruned two-phase aggregate —
+    and the expanded wide-row SortAggregate (32 s at sf0.1) must not
+    come back. The only SortAggregate allowed is the tiny keyless
+    string-min/max pass."""
+    plan = checks.formatted_plan(QUERIES["x103_column_profile"](spark, SF_DIR))
+    assert "Expand" not in plan, plan
+    n_sort_agg = len(re.findall(r"\(\d+\) SortAggregate", plan))
+    assert n_sort_agg <= 2, plan
+
+
 def test_x2_exchange_budget(spark):
     """x2's whole pipeline needs exactly three shuffles — widen's
     round-robin (parallelize the CPU-heavy hashing on under-
