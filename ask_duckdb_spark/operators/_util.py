@@ -90,6 +90,18 @@ def unpersist_with(result: DataFrame, cached: DataFrame) -> DataFrame:
     the cache is dropped. Unpersist is always SAFE — a still-referenced
     plan silently recomputes — so the worst case of an early finalize
     is lost caching, never wrong results.
+
+    COMPOSITION CONTRACT (r14, VERDICT r13 item 7): an operator that
+    builds on another operator's returned frame must either keep that
+    frame's PYTHON handle alive in its own result chain (chain another
+    unpersist_with — the finalizer closure holds the reference) or
+    persist at its own level; deriving a plan and dropping the handle
+    fires the inner finalizer at build time, silently degrading every
+    execution. All current compositions hold the chain; the r13 sweep's
+    x74/x91 "rerun 15-40x slower" readings were instead an artifact of
+    re-executing a RELEASED plan after clearCache (join strategies
+    re-planned without cached-relation stats) — the driver never does
+    that, and scripts/r14_sweep.py rebuilds per rep accordingly.
     """
 
     def _drop(c=cached):

@@ -1887,12 +1887,17 @@ def x69_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("r"),
             )
         )
-    return (
+    out = (
         ranks.select("v", floor_round(F.col("r"), 6).alias("pagerank"))
         .select(F.col("v").alias("vec_id"), "pagerank")
         .orderBy(F.col("pagerank").desc(), "vec_id")
         .limit(10)
     )
+    # r14 hygiene: the two persisted frames (raw kNN edges + the
+    # outdegree-joined edge frame the iterations replay) were never
+    # released — tie them to the result like every other operator so
+    # long sessions don't accumulate dead blocks.
+    return unpersist_with(unpersist_with(out, e), edges)
 
 
 # --- x70: Lloyd's k-means, multi-round, unrolled-iteration oracle ----
