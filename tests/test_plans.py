@@ -345,10 +345,15 @@ def test_closing_ops_shuffle_budgets(spark):
     assert checks.has_broadcast_join(
         QUERIES["x94_retention_cohorts"](spark, SF_DIR)
     )
-    # x103 profiler: one scan (asserted in test_r5b_ops), one expand
-    # shuffle for the distinct aggregates + unpivot; no join at all
+    # x103 profiler (r14 shape): per-column distinct aggregates join
+    # back as BROADCAST scalars (1-row cross joins — no shuffle); the
+    # pre-r14 multi-distinct Expand (13x row multiplication into a
+    # wide-row SortAggregate, 32 s at sf0.1) must stay gone, and no
+    # KEYED join may appear (scalar cross-joins only).
     plan = checks.formatted_plan(QUERIES["x103_column_profile"](spark, SF_DIR))
-    assert "Join" not in plan
+    assert "Expand" not in plan
+    for keyed in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert keyed not in plan
 
 
 def test_layout_family_shuffle_budgets(spark):

@@ -941,14 +941,25 @@ def test_x103_profile_matches_direct_queries(spark):
     assert rows["l_extendedprice"].max_num == direct.mx
 
 
-def test_x103_single_scan_plan(spark):
-    """The profiler's selling point: ONE scan feeds every aggregate.
-    The physical plan must contain exactly one lineitem file scan."""
+def test_x103_column_pruned_scans_no_expand(spark):
+    """The profiler's r14 selling point: no Expand (the pre-r14
+    multi-count_distinct plan multiplied every row 13x into a wide-row
+    SortAggregate), and each distinct count reads a SINGLE-COLUMN
+    column-pruned scan — parquet being columnar, the per-column scans
+    read the same total bytes the old one-scan form did."""
+    import re
+
+    from ask_duckdb_spark.operators.profile import PROFILE_COLS
+
     df = QUERIES["x103_column_profile"](spark, SF_DIR_001)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("lineitem.parquet") <= 1 or (
-        plan.count("Scan parquet") <= 1
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
     )
+    assert "Expand" not in plan
+    # one single-column scan per profiled column's distinct count
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    single_col = [s for s in schemas if s.count(":") == 1]
+    assert len(single_col) >= len(PROFILE_COLS), schemas
 
 
 # ---------------------------------------------------------------------------
