@@ -2,8 +2,10 @@
 
 Pins, per VERDICT r13's "next round" items: x22's runtime exchange
 reuse (item 4 — the claim finally carries executable evidence), x20's
-restored scale-aware parallelism (item 1), and x2's straight-pipeline
-shape after the stale single-consumer persist was dropped.
+exchange-free vectorized decode (item 1 — the widen restore was
+applied, cold-measured, and reverted on an 11-run close series,
+BENCHLOG r14), and x2's straight-pipeline shape after the stale
+single-consumer persist was dropped.
 """
 
 from __future__ import annotations
